@@ -1,0 +1,546 @@
+"""Relational operator breadth (SURVEY.md §2.3-2.7) on the TPC-H-ish tables.
+
+One named query per operator family so the oracle harness exercises each
+primitive in isolation: equi/broadcast/shuffle/left/semi/anti/cross
+joins, grouped and windowed aggregation (rows + range frames), ordered
+list aggregation, conditional expressions, date/interval arithmetic,
+set operations, explode, pivot, rollup.
+
+Scale discipline applied throughout:
+* dimension sides (region/nation/customer) are explicitly broadcast;
+* fact-fact joins (orders x lineitem) shuffle on the join key and rely
+  on AQE for skew/partition sizing;
+* aggregates are expressed so Catalyst plants partial (map-side)
+  aggregation before the exchange;
+* every window order carries a unique tiebreak for reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.collections import ordered_collect
+from velib_lakehouse_spark.functions.convert import millis
+from velib_lakehouse_spark.functions.exact import (
+    dec_avg,
+    dec_product,
+    dec_sum,
+    dec_sum_expr,
+)
+
+
+def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter -> groupBy 2 cols -> multi-agg.
+
+    The canonical partial-agg pattern: Catalyst plants a map-side
+    HashAggregate before the exchange, so shuffled bytes are O(groups),
+    not O(rows) — the property that makes this run at 100TB.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity", "sum_qty"),
+            dec_sum("l_extendedprice", "sum_base_price"),
+            dec_sum_expr(
+                dec_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+            ).alias("sum_disc_price"),
+            dec_avg("l_quantity", "avg_qty"),
+            dec_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def join_broadcast_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact -> dim -> dim broadcast chain (customer⋈nation⋈region).
+
+    Both dimensions are broadcast explicitly: zero shuffles for the
+    joins, one exchange for the final aggregation.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal", "total_acctbal"),
+        )
+    )
+
+
+def join_shuffle_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join (orders⋈lineitem) + aggregation.
+
+    Both sides hash-partition on the order key; at scale this is the
+    sort-merge/shuffled-hash case AQE tunes (skew split, partition
+    coalescing).  Revenue is the decimal-exact product-sum.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dec_sum_expr(
+                dec_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving dimension rows with no facts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dec_sum_expr(F.col("o_totalprice")), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+def semi_orders_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS rewrite, J2 analog of reference src/api.py:54)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(l.select("l_orderkey"), o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def anti_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): parts that appear on no lineitem."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        p.join(l.select("l_partkey"), p.p_partkey == l.l_partkey, "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+def cross_scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two 1-row aggregate CTEs cross-joined with a derived ratio
+    (J3/A8; the shape of reference src/api.py:98-126)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    os = o.agg(
+        F.count(F.lit(1)).alias("n_orders"), dec_sum("o_totalprice", "sum_price")
+    )
+    ls = l.agg(F.count(F.lit(1)).alias("n_lines"), dec_sum("l_quantity", "sum_qty"))
+    return os.crossJoin(ls).withColumn(
+        "lines_per_order",
+        F.round(F.col("n_lines").cast("double") / F.col("n_orders"), 6),
+    )
+
+
+def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group (N=3) via ranked window — the reference's W2 shape."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame running sum + lag per customer over order time (W3 family)."""
+    o = load_table(spark, sf_dir, "orders")
+    ws = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        millis("o_orderdate").alias("order_date_ms"),
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(ws).alias("prev_price"),
+        F.row_number().over(ws).alias("order_seq"),
+    )
+
+
+def window_range_trailing_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over days (W4 family): trailing-30-day order count/sum
+    per customer, ordered by epoch day."""
+    o = load_table(spark, sf_dir, "orders")
+    wr = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_date(F.to_date("o_orderdate")))
+        .rangeBetween(-30, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        millis("o_orderdate").alias("order_date_ms"),
+        F.count(F.lit(1)).over(wr).alias("orders_30d"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(wr)
+        .cast("double")
+        .alias("spend_30d"),
+    )
+
+
+def count_if_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count aggregation (A7; reference src/api.py:73-74)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") < 100000).alias("n_small"),
+        F.count_if(
+            (F.col("o_totalprice") >= 100000) & (F.col("o_totalprice") < 300000)
+        ).alias("n_mid"),
+        F.count_if(F.col("o_totalprice") >= 300000).alias("n_large"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+def collect_ordered_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation (A5: DuckDB LIST(x ORDER BY ...) parity,
+    reference src/api.py:59) — per-order quantities by ship date."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_orderkey").agg(
+        ordered_collect(
+            F.col("l_quantity"), millis("l_shipdate"), F.col("l_linenumber")
+        ).alias("quantities"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch conditional expression (P6: when/otherwise chain)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 150000, "medium")
+        .when(F.col("o_totalprice") < 300000, "large")
+        .otherwise("jumbo")
+    )
+    return (
+        o.withColumn("price_bucket", bucket)
+        .groupBy("price_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "bucket_total"),
+        )
+    )
+
+
+def date_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic predicate + month truncation (P4/P9 family)."""
+    o = load_table(spark, sf_dir, "orders")
+    start = F.lit("1998-01-01").cast("date")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= start)
+            & (F.col("o_orderdate") < F.date_add(start, 365))
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice", "month_total"),
+        )
+    )
+
+
+def union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two tagged projections + re-aggregation (set-op surface)."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select(
+        F.lit("high_value").alias("src"), "o_orderkey"
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.lit("urgent").alias("src"), "o_orderkey"
+    )
+    return (
+        hi.unionAll(urgent)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_distinct"),
+        )
+    )
+
+
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a multi-column projection."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide conditional counts) on order status."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+        .withColumnsRenamed({"O": "n_open", "F": "n_finished", "P": "n_partial"})
+    )
+
+
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping-sets aggregation with grouping() indicators."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.grouping("r_name").cast("bigint").alias("g_region"),
+        F.grouping("n_name").cast("bigint").alias("g_nation"),
+    )
+
+
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode / UNNEST (O4; reference src/api.py:103) over document
+    tokens, with a HAVING-style post-aggregation filter."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.col("word") != ""
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") > 20
+    )
+
+
+ORACLE: dict[str, str | None] = {
+    "tpch_q1_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_disc_price,
+               ROUND(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     / COUNT(l_quantity), 6) AS avg_qty,
+               ROUND(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+                     / COUNT(l_discount), 6) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "join_broadcast_chain": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    "join_shuffle_revenue": """
+        SELECT o_orderpriority,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                        * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               COUNT(*) AS n_lines
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+    """,
+    "join_left_order_counts": """
+        SELECT c_custkey, c_name,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE),
+                        0.0) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "semi_orders_with_lines": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem)
+        GROUP BY o_orderstatus
+    """,
+    "anti_parts_never_ordered": """
+        SELECT p_partkey, p_name, p_brand
+        FROM part
+        WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)
+    """,
+    "cross_scalar_stats": """
+        WITH os AS (
+          SELECT COUNT(*) AS n_orders,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_price
+          FROM orders
+        ),
+        ls AS (
+          SELECT COUNT(*) AS n_lines,
+                 CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty
+          FROM lineitem
+        )
+        SELECT os.n_orders, os.sum_price, ls.n_lines, ls.sum_qty,
+               ROUND(CAST(ls.n_lines AS DOUBLE) / os.n_orders, 6)
+                 AS lines_per_order
+        FROM os CROSS JOIN ls
+    """,
+    "topn_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+          FROM orders
+        )
+        WHERE rn <= 3
+    """,
+    "window_running_totals": """
+        SELECT o_custkey, o_orderkey,
+               epoch_ms(o_orderdate) AS order_date_ms,
+               o_totalprice,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                      PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS running_spend,
+               lag(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
+               row_number() OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS order_seq
+        FROM orders
+    """,
+    "window_range_trailing_count": """
+        SELECT o_custkey, o_orderkey,
+               epoch_ms(o_orderdate) AS order_date_ms,
+               COUNT(*) OVER wr AS orders_30d,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER wr AS DOUBLE)
+                 AS spend_30d
+        FROM orders
+        WINDOW wr AS (
+          PARTITION BY o_custkey
+          ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+    "count_if_bands": """
+        SELECT o_orderpriority,
+               count_if(o_totalprice < 100000) AS n_small,
+               count_if(o_totalprice >= 100000 AND o_totalprice < 300000)
+                 AS n_mid,
+               count_if(o_totalprice >= 300000) AS n_large,
+               COUNT(*) AS n_total
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "collect_ordered_quantities": """
+        SELECT l_orderkey,
+               list(l_quantity
+                    ORDER BY l_shipdate ASC, l_linenumber ASC, l_quantity ASC)
+                 AS quantities,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        GROUP BY l_orderkey
+    """,
+    "case_buckets": """
+        SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+                    WHEN o_totalprice < 150000 THEN 'medium'
+                    WHEN o_totalprice < 300000 THEN 'large'
+                    ELSE 'jumbo' END AS price_bucket,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                 AS bucket_total
+        FROM orders
+        GROUP BY 1
+    """,
+    "date_interval_filter": """
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS month_total
+        FROM orders
+        WHERE o_orderdate >= DATE '1998-01-01'
+          AND o_orderdate < DATE '1998-01-01' + INTERVAL 365 DAY
+        GROUP BY 1
+    """,
+    "union_tagged": """
+        SELECT src, COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_distinct
+        FROM (
+          SELECT 'high_value' AS src, o_orderkey FROM orders
+          WHERE o_totalprice > 300000
+          UNION ALL
+          SELECT 'urgent' AS src, o_orderkey FROM orders
+          WHERE o_orderpriority = '1-URGENT'
+        )
+        GROUP BY src
+    """,
+    "distinct_pairs": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "pivot_status_counts": """
+        SELECT o_orderpriority,
+               count_if(o_orderstatus = 'O') AS n_open,
+               count_if(o_orderstatus = 'F') AS n_finished,
+               count_if(o_orderstatus = 'P') AS n_partial
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "rollup_region_nation": """
+        SELECT r_name, n_name, COUNT(*) AS n_customers,
+               CAST(grouping(r_name) AS BIGINT) AS g_region,
+               CAST(grouping(n_name) AS BIGINT) AS g_nation
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+    """,
+    "explode_words": """
+        SELECT word, COUNT(*) AS n
+        FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        WHERE word <> ''
+        GROUP BY word
+        HAVING COUNT(*) > 20
+    """,
+}
+
+QUERIES = {
+    "tpch_q1_pricing": tpch_q1_pricing,
+    "join_broadcast_chain": join_broadcast_chain,
+    "join_shuffle_revenue": join_shuffle_revenue,
+    "join_left_order_counts": join_left_order_counts,
+    "semi_orders_with_lines": semi_orders_with_lines,
+    "anti_parts_never_ordered": anti_parts_never_ordered,
+    "cross_scalar_stats": cross_scalar_stats,
+    "topn_orders_per_customer": topn_orders_per_customer,
+    "window_running_totals": window_running_totals,
+    "window_range_trailing_count": window_range_trailing_count,
+    "count_if_bands": count_if_bands,
+    "collect_ordered_quantities": collect_ordered_quantities,
+    "case_buckets": case_buckets,
+    "date_interval_filter": date_interval_filter,
+    "union_tagged": union_tagged,
+    "distinct_pairs": distinct_pairs,
+    "pivot_status_counts": pivot_status_counts,
+    "rollup_region_nation": rollup_region_nation,
+    "explode_words": explode_words,
+}

@@ -1,0 +1,81 @@
+"""SparkSession factory.
+
+Mirrors the capability of the reference's session builder
+(reference src/resources.py:67-104: local master, small shuffle-partition
+count, S3A credentials, explicit memory sizing) re-expressed for a
+generic deployment: AQE on, UTC session time zone, Arrow enabled for the
+pandas interop paths.  On a real cluster the same builder is used with
+``master`` unset (picked up from spark-submit) — nothing here is
+local-mode specific except the defaults.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable and that every query in this package
+# depends on.  They are (re-)applied defensively by the catalog layer
+# because the harness may hand us a session we did not build.
+SAFE_RUNTIME_CONFS: dict[str, str] = {
+    # Oracle comparisons (DuckDB) use naive/UTC timestamps.
+    "spark.sql.session.timeZone": "UTC",
+    # The events table is written with parquet TIMESTAMP(NANOS,...) which
+    # Spark has no native type for; read it as nanosecond longs and let
+    # the catalog convert to TimestampType (microseconds).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "velib-lakehouse-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (falls back to ``*``).
+    ``shuffle_partitions`` defaults to the core count — at local scale the
+    200-partition default just adds scheduling overhead; on a cluster the
+    caller should size it to ~2-3x total cores (AQE coalesces down).
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Adaptive execution: runtime partition coalescing, skew-join
+        # splitting, and dynamic join-strategy switching.  This is the
+        # 100TB-scale answer to skewed keys and mis-sized shuffles.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas-interop boundary (pandas_udf/mapInPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in SAFE_RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_safe_confs(spark: SparkSession) -> None:
+    """Apply the runtime confs this package's queries rely on.
+
+    Safe to call repeatedly; used when the session was built elsewhere.
+    """
+    for k, v in SAFE_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - immutable conf on some builds
+            pass
