@@ -1,0 +1,356 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup families over the ``documents`` / ``embeddings`` tables, each
+expressed as declarative DataFrame ops (no Python in the hot path) and
+mirrored in DuckDB SQL for the correctness gate:
+
+* exact           — hash-groupBy on md5(text)
+* n-gram Jaccard  — shingle -> rare-shingle self-join -> set overlap
+* MinHash + LSH   — shingle -> K seeded min-hashes -> banded signatures
+                    -> bucket join (the sub-quadratic scale path)
+* SimHash         — per-token hash bits -> majority vote -> 60-bit sketch
+* embedding near-dup — cosine >= threshold pair join
+
+All hashes are the md5-derived 60-bit family from functions/hashing.py,
+so DuckDB computes bit-identical values.
+
+Scale design (the point of each shape at 100 TB):
+* exact dedup shuffles once on a 60-bit hash — O(n) bytes, no text
+  comparison until the group is a candidate;
+* the Jaccard join only pairs documents sharing a *rare* shingle
+  (doc-frequency cap), which bounds the worst-case pair explosion that
+  kills naive similarity self-joins;
+* MinHash replaces the shingle join with a K-constant-width signature,
+  so the bucket join's fan-out is controlled by band size, not document
+  length — this is the variant to run at full scale;
+* every intermediate is keyed (doc_id or shingle), so AQE can rebalance
+  skewed shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.hashing import (
+    md5_long,
+    seeded_md5_long,
+    sql_md5_long,
+    sql_seeded_md5_long,
+)
+
+# MinHash configuration: 16 hash functions in 4 bands of 4 rows.
+MINHASH_K = 16
+MINHASH_BAND_ROWS = 4
+# Shingles occurring in more than this many docs carry no dedup signal
+# and would quadratically blow up the pair join; drop them (mirrored in
+# the oracle, so it is part of the operator's defined semantics).
+SHINGLE_DF_CAP = 50
+JACCARD_THRESHOLD = 0.2
+COSINE_DUP_THRESHOLD = 0.9
+
+
+def _words(col: str = "text"):
+    return F.filter(F.split(F.col(col), " "), lambda w: w != "")
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id -> exploded distinct word-3-gram shingles (docs with >=3 words)."""
+    w = df.select("doc_id", _words().alias("w")).filter(F.size("w") >= 3)
+    sh = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+_SQL_SHINGLES = """
+  SELECT DISTINCT doc_id, unnest(
+           list_transform(generate_series(1, len(w) - 2),
+                          i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+         ) AS shingle
+  FROM (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+    FROM documents
+  )
+  WHERE len(w) >= 3
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep min doc_id as canonical.
+
+    One shuffle on the 60-bit md5 key; the text itself never shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("text_hash", md5_long(F.col("text")))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by word-3-gram Jaccard similarity.
+
+    distinct shingles per doc -> drop shingles with doc-frequency >
+    SHINGLE_DF_CAP -> self-join on shingle (a < b) -> intersection
+    counts -> Jaccard against the *full* shingle-set sizes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    rare = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle"),
+        "shingle",
+    )
+    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sa") + F.col("sb") - F.col("n_common")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "sa", "sb", "jaccard")
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: the sub-quadratic near-dup path.
+
+    K seeded hash functions -> per-doc minimum per seed (the MinHash
+    signature) -> group rows into bands -> equality-join band signatures
+    -> distinct candidate pairs with the number of agreeing bands.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("seed"))
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .withColumn("h", seeded_md5_long(F.col("seed"), F.col("shingle")))
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = sig.withColumn(
+        "band", (F.col("seed") / MINHASH_BAND_ROWS).cast("int")
+    ).groupBy("doc_id", "band").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("seed"), F.col("mh").alias("v")))
+                ),
+                lambda x: x["v"].cast("string"),
+            ),
+        ).alias("band_sig")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    return (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash per document (majority vote over token-hash bits).
+
+    Near-identical docs get near-identical sketches (small Hamming
+    distance); downstream pairing can band on sketch prefixes.  Exploding
+    tokens x 60 bit positions is map-side only; the single shuffle is the
+    (doc, bit) aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(_words()).alias("w"))
+        .distinct()
+        .withColumn("h", md5_long(F.col("w")))
+    )
+    bits = spark.range(60).select(F.col("id").cast("int").alias("j"))
+    votes = (
+        toks.crossJoin(F.broadcast(bits))
+        .withColumn(
+            "vote", F.expr("if((shiftright(h, j) & 1) = 1, 1, -1)")
+        )
+        .groupBy("doc_id", "j")
+        .agg(F.sum("vote").alias("s"))
+    )
+    return (
+        votes.withColumn(
+            "bitval",
+            F.expr("if(s > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine similarity >= threshold.
+
+    Brute-force O(n^2) self-join — correct baseline at test scale; the
+    LSH-bucketed variant in operators/similarity.py is the 100TB path.
+    Vectors are upcast to double so both engines accumulate identically.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(v, v, (x, y) -> x * y),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        ),
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn(
+            "cos",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+_SQL_MINHASH_SIG = f"""
+  SELECT doc_id, seed, min({sql_seeded_md5_long('seed', 'shingle')}) AS mh
+  FROM ({_SQL_SHINGLES}) CROSS JOIN (
+    SELECT unnest(generate_series(0, {MINHASH_K - 1})) AS seed
+  )
+  GROUP BY doc_id, seed
+"""
+
+ORACLE: dict[str, str | None] = {
+    "dedup_exact": f"""
+        SELECT {sql_md5_long('text')} AS text_hash,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH sh AS ({_SQL_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        rare AS (
+          SELECT sh.* FROM sh
+          WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(DISTINCT doc_id) <= {SHINGLE_DF_CAP})
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM rare a JOIN rare b ON a.shingle = b.shingle
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               sa.n_shingles AS sa, sb.n_shingles AS sb,
+               ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
+                                     AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
+                                    AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "dedup_minhash_lsh": f"""
+        WITH sig AS ({_SQL_MINHASH_SIG}),
+        bands AS (
+          SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+          FROM sig GROUP BY doc_id, 2
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    "simhash_sketch": f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, w, {sql_md5_long('w')} AS h
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+            FROM documents
+          )
+        ),
+        votes AS (
+          SELECT doc_id, j,
+                 sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j)
+          GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+        FROM votes GROUP BY doc_id
+    """,
+    "dedup_embedding_cosine": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
+              >= {COSINE_DUP_THRESHOLD}
+    """,
+}
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "simhash_sketch": simhash_sketch,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}

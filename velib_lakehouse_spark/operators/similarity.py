@@ -1,0 +1,185 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two variants, both declarative (JVM-side higher-order functions — no
+Python in the distance loop):
+
+* ``ann_cosine_topk``  — brute-force cosine top-k: broadcast the query
+  set against every candidate.  Exact baseline; at scale this is a
+  map-side-only pass over the corpus (queries broadcast, no shuffle
+  until the per-query top-k aggregation), which is how you want the
+  exact variant to look on a cluster.
+* ``ann_lsh_topk``     — random-hyperplane LSH: 16 md5-seeded
+  hyperplanes -> 16-bit bucket signature -> equality join on bucket ->
+  cosine only within bucket.  The sub-linear scale path: candidate
+  count drops ~2^-16 per query at the cost of recall.
+
+Determinism: vectors are upcast to double before any arithmetic; the
+dot product is a sequential left fold in both engines; cosines are
+rounded to 6 places and ordering ties break on vec_id, so top-k sets are
+reproducible across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+N_PLANES = 16
+DIM = 64
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+    " cast(0.0 as double), (acc, x) -> acc + x)"
+)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn("norm", F.sqrt(F.expr(_DOT.format(a="v", b="v"))))
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k neighbours by cosine for each query vector."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    pairs = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("q_vec_id"))
+    scored = pairs.withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnorm") * F.col("norm")), 6
+        ),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_vec_id", "vec_id", "label", "cos", "rank")
+    )
+
+
+def _bucket_expr(vcol: str) -> str:
+    """16-bit LSH bucket: sign bits of md5-seeded random hyperplanes.
+
+    Hyperplane p's component c is a deterministic pseudo-random weight in
+    [-1, 1): (md5_60bit('plane:p:c') % 2000001 - 1000000) / 1e6.
+    Identical string expression evaluates identically in DuckDB.
+    """
+    plane = (
+        "aggregate(zip_with({v}, sequence(0, {dmax}), (x, c) -> x * "
+        "((cast(conv(substr(md5(concat('plane:', p, ':', c)), 1, 15), 16, 10)"
+        " as bigint) % 2000001) - 1000000) / 1000000.0),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    ).format(v=vcol, dmax=DIM - 1)
+    return (
+        "aggregate(transform(sequence(0, {pmax}), p -> "
+        "if({plane} > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    ).format(pmax=N_PLANES - 1, plane=plane)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: cosine only among bucket-mates."""
+    v = _vectors(spark, sf_dir).withColumn("bucket", F.expr(_bucket_expr("v")))
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("bucket"),
+    )
+    cand = v.join(F.broadcast(q), "bucket").filter(
+        F.col("vec_id") != F.col("q_vec_id")
+    )
+    scored = cand.withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnorm") * F.col("norm")), 6
+        ),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_vec_id", "vec_id", "cos", "rank")
+    )
+
+
+_SQL_PLANE = (
+    "list_sum(list_transform(generate_series(1, {dim}), c -> {v}[c] * "
+    "(((('0x' || substr(md5(concat('plane:', p, ':', c - 1)), 1, 15))::BIGINT"
+    " % 2000001) - 1000000) / 1000000.0)))"
+)
+_SQL_BUCKET = (
+    "list_sum(list_transform(generate_series(1, {np}), q -> "
+    "CASE WHEN {plane} > 0 THEN (1::BIGINT << (q - 1)) ELSE 0 END))"
+)
+
+
+def _sql_bucket(vcol: str) -> str:
+    plane = _SQL_PLANE.format(dim=DIM, v=vcol).replace("', p, '", "', q - 1, '")
+    return _SQL_BUCKET.format(np=N_PLANES, plane=plane)
+
+
+ORACLE: dict[str, str | None] = {
+    "ann_cosine_topk": f"""
+        WITH v AS (
+          SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT q.vec_id AS q_vec_id, c.vec_id, c.label,
+                 ROUND(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
+          FROM v q JOIN v c ON c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT q_vec_id, vec_id, label, cos, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY q_vec_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+    "ann_lsh_topk": f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm
+          FROM embeddings
+        ),
+        b AS (
+          SELECT vec_id, v, norm, {_sql_bucket('v')} AS bucket FROM v
+        ),
+        scored AS (
+          SELECT q.vec_id AS q_vec_id, c.vec_id,
+                 ROUND(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
+          FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        )
+        SELECT q_vec_id, vec_id, cos, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY q_vec_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+    """,
+}
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
