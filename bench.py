@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark the engine's headline queries.
+
+Runs on ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) with
+``local[$SPARK_GRAFT_CPUS]`` (default 32) and prints ONE JSON line:
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is fully materialized through the ``noop`` sink so every
+column is computed (a bare ``count()`` would let Catalyst prune the
+aggregates being measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from velib_lakehouse_spark import registry
+from velib_lakehouse_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1_pricing",
+    "join_shuffle_revenue",
+    "join_broadcast_chain",
+    "join_left_order_counts",
+    "topn_orders_per_customer",
+    "window_running_totals",
+    "velib_history_enrich",
+    "velib_sparkline",
+    "velib_alerts",
+    "collect_ordered_quantities",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "ann_cosine_topk",
+    "text_stats",
+    "streaming_silver_availablenow",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="velib-lakehouse-bench")
+
+    # Warm the JVM/codegen paths once with a trivial action.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,80 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+Correctness says the answer is right; these say the *plan* is the one
+that survives 100x data: dimensions broadcast, filters pushed to the
+parquet scan, partition pruning at the file listing, whole-stage
+codegen covering the hot expressions.
+"""
+
+from __future__ import annotations
+
+from velib_lakehouse_spark import registry
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(registry.QUERIES["join_broadcast_chain"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_and_anti_join_strategies(spark):
+    semi = _plan(registry.QUERIES["semi_orders_with_lines"](spark, SF_DIR))
+    anti = _plan(registry.QUERIES["anti_parts_never_ordered"](spark, SF_DIR))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    plan = _formatted(registry.QUERIES["tpch_q1_pricing"](spark, SF_DIR))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_column_pruning_reads_only_needed_columns(spark):
+    plan = _formatted(registry.QUERIES["distinct_pairs"](spark, SF_DIR))
+    read_schema = plan.split("ReadSchema")[1][:200]
+    assert "o_orderstatus" in read_schema and "o_orderpriority" in read_schema
+    assert "o_totalprice" not in read_schema
+
+
+def test_lake_read_partition_prunes(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from velib_lakehouse_spark.sources.lake import (
+        read_partition_pruned,
+        write_partitioned,
+    )
+
+    e = registry.QUERIES["velib_silver_parse"](spark, SF_DIR)
+    out = tempfile.mkdtemp(prefix="t_prune_")
+    write_partitioned(
+        e.withColumn("date", F.col("date")), out, "date", mode="overwrite"
+    )
+    pruned = read_partition_pruned(spark, out, "date", "2024-01-15")
+    plan = _formatted(pruned)
+    assert "PartitionFilters" in plan
+    # the scan's partition count must be below the total partition count
+    total_parts = spark.read.parquet(out).select("date").distinct().count()
+    kept_parts = pruned.select("date").distinct().count()
+    assert 0 < kept_parts < total_parts
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = registry.QUERIES["tpch_q1_pricing"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    assert "WholeStageCodegen" in plan

@@ -1,0 +1,46 @@
+"""Streaming behaviour tests (SURVEY.md §5 strategy 3).
+
+AvailableNow + checkpoint gives run-to-completion semantics that are
+deterministic and testable (the reference's own design choice,
+reference src/assets/silver.py:62-63): assert the partitioned layout,
+and that restarting from the same checkpoint is idempotent (T2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from velib_lakehouse_spark.streaming.silver import run_silver_stream
+from tests.conftest import SF_DIR
+
+
+def test_silver_stream_partitioned_layout_and_idempotent_restart(spark):
+    out = tempfile.mkdtemp(prefix="t_silver_out_")
+    ckpt = tempfile.mkdtemp(prefix="t_silver_ckpt_")
+
+    run_silver_stream(spark, SF_DIR, out, ckpt)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert n1 == expected > 0
+
+    # hive layout: date=YYYY-MM-DD partition directories
+    parts = [d for d in os.listdir(out) if d.startswith("date=")]
+    assert len(parts) > 1
+    assert all(len(d.split("=")[1]) == 10 for d in parts)
+
+    # restart from the same checkpoint: nothing reprocessed
+    run_silver_stream(spark, SF_DIR, out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # schema contract of the silver table
+    assert set(first.columns) == {
+        "event_id",
+        "station_code",
+        "k",
+        "event_type",
+        "bikes_available",
+        "last_reported",
+        "date",
+    }

@@ -35,7 +35,6 @@ from pyspark.sql import functions as F
 from velib_lakehouse_spark.catalog import load_table
 from velib_lakehouse_spark.functions.hashing import (
     md5_long,
-    seeded_md5_long,
     sql_md5_long,
     sql_seeded_md5_long,
 )
@@ -146,31 +145,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: the sub-quadratic near-dup path.
 
-    K seeded hash functions -> per-doc minimum per seed (the MinHash
-    signature) -> group rows into bands -> equality-join band signatures
-    -> distinct candidate pairs with the number of agreeing bands.
+    The K-wide signature is computed **map-side per document** with
+    nested higher-order array functions (no doc x seed explosion, no
+    shuffle until the band join): for each seed, the min seeded hash
+    over the document's shingle set.  Rows are then banded — one
+    exploded row per (doc, band) — and candidate pairs are an equality
+    join on (band, signature-slice).  At 100 TB the only shuffled bytes
+    are K x 8 per document plus the pair join itself.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
-    seeds = spark.range(MINHASH_K).select(F.col("id").cast("int").alias("seed"))
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .withColumn("h", seeded_md5_long(F.col("seed"), F.col("shingle")))
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    docs = d.select("doc_id", _words().alias("w")).filter(F.size("w") >= 3)
+    sh = docs.withColumn(
+        "sh",
+        F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        ),
     )
-    bands = sig.withColumn(
-        "band", (F.col("seed") / MINHASH_BAND_ROWS).cast("int")
-    ).groupBy("doc_id", "band").agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("seed"), F.col("mh").alias("v")))
-                ),
-                lambda x: x["v"].cast("string"),
-            ),
-        ).alias("band_sig")
+    seeded = (
+        "cast(conv(substr(md5(concat(cast(s as string), ':', x)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    sig = sh.withColumn(
+        "sig",
+        F.expr(
+            f"transform(sequence(0, {MINHASH_K - 1}),"
+            f" s -> array_min(transform(sh, x -> {seeded})))"
+        ),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {MINHASH_K // MINHASH_BAND_ROWS - 1}),"
+                f" b -> concat_ws(',', slice(sig, b * {MINHASH_BAND_ROWS} + 1,"
+                f" {MINHASH_BAND_ROWS})))"
+            )
+        ).alias("band", "band_sig"),
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
@@ -186,32 +197,31 @@ def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (majority vote over token-hash bits).
 
     Near-identical docs get near-identical sketches (small Hamming
-    distance); downstream pairing can band on sketch prefixes.  Exploding
-    tokens x 60 bit positions is map-side only; the single shuffle is the
-    (doc, bit) aggregation.
+    distance); downstream pairing can band on sketch prefixes.  The
+    whole sketch is one nested higher-order expression evaluated per row
+    — zero shuffles, scales with input bytes only.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = (
-        d.select("doc_id", F.explode(_words()).alias("w"))
-        .distinct()
-        .withColumn("h", md5_long(F.col("w")))
-    )
-    bits = spark.range(60).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "vote", F.expr("if((shiftright(h, j) & 1) = 1, 1, -1)")
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("vote").alias("s"))
-    )
-    return (
-        votes.withColumn(
-            "bitval",
-            F.expr("if(s > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))"),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("bitval").alias("simhash"))
+    md5h = "cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)"
+    return d.select(
+        "doc_id",
+        F.expr(
+            # distinct token hashes, then a 60-way majority vote, all
+            # evaluated per-row inside whole-stage codegen — zero shuffle
+            f"""
+            aggregate(
+              transform(sequence(0, 59), j ->
+                if(aggregate(
+                     transform(array_distinct(filter(split(text, ' '),
+                                                     x -> x != '')),
+                               x -> {md5h}),
+                     0L,
+                     (acc, h) -> acc + if((shiftright(h, j) & 1) = 1, 1L, -1L)
+                   ) > 0,
+                   shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+              cast(0 as bigint), (acc, x) -> acc + x)
+            """
+        ).alias("simhash"),
     )
 
 

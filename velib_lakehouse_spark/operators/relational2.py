@@ -1,0 +1,412 @@
+"""Relational breadth, part 2: temporal joins and the long tail.
+
+Operators Spark has no single primitive for (as-of join, sessionization)
+are composed from windows the scalable way; the rest round out the §2
+inventory surface: set ops, cube, exact percentiles, first/last/lead
+windows, string functions, JSON round-tripping.
+
+As-of join note: DuckDB ships a native ``ASOF JOIN``; Spark does not.
+The idiomatic cluster-scale equivalent used here is the union-sentinel
+pattern — union the probe rows into the event stream, then a single
+``last_value(..., ignoreNulls)`` window per key carries the latest event
+state forward onto each probe row.  One shuffle on the key, no
+range-explosion, no per-group pandas.  (The oracle mirrors the same
+formulation rather than ASOF so tie-breaking is pinned identically.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.exact import dec_sum
+
+ASOF_USERS = 10
+SESSION_GAP_SECONDS = 1800
+
+
+def asof_join_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest event state per user at daily checkpoints.
+
+    Probe side: users 0..9 x daily timestamps 2024-01-05..2024-01-25.
+    For each probe row, the most recent event with ts <= checkpoint.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < ASOF_USERS)
+    users = spark.range(ASOF_USERS).select(F.col("id").alias("user_id"))
+    checkpoints = users.crossJoin(
+        spark.range(1).select(
+            F.explode(
+                F.expr(
+                    "sequence(timestamp'2024-01-05 00:00:00',"
+                    " timestamp'2024-01-25 00:00:00', interval 1 day)"
+                )
+            ).alias("cp")
+        )
+    )
+    probe = checkpoints.select(
+        "user_id",
+        F.col("cp").alias("t"),
+        F.lit(1).alias("is_cp"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("bigint").alias("eid"),
+    )
+    build = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_cp"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("eid"),
+    )
+    # events sort before checkpoints at equal t (is_cp asc); eid breaks
+    # event-vs-event ties so the carried state is deterministic.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_cp").asc(), F.col("eid").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = build.unionByName(probe).select(
+        "user_id",
+        "t",
+        "is_cp",
+        F.last("v", ignorenulls=True).over(w).alias("asof_value"),
+        F.last(F.when(F.col("is_cp") == 0, F.col("t")), ignorenulls=True)
+        .over(w)
+        .alias("asof_ts"),
+    )
+    return carried.filter(F.col("is_cp") == 1).select(
+        "user_id",
+        F.unix_millis(F.col("t").cast("timestamp")).alias("checkpoint_ms"),
+        "asof_value",
+        F.unix_millis(F.col("asof_ts").cast("timestamp")).alias("asof_event_ms"),
+    )
+
+
+def range_join_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-overlap) join: overlapping 36h windows every 2 days;
+    each event lands in every window containing its timestamp.
+
+    The period side is tiny and broadcast, so Spark plans a broadcast
+    nested-loop join — the right call.  At scale with a large period
+    table the standard trick is bucketize-to-equi-join on the period's
+    covering days + residual filter.
+    """
+    e = load_table(spark, sf_dir, "events")
+    periods = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'2024-01-01 00:00:00',"
+                " timestamp'2024-01-29 00:00:00', interval 2 days)"
+            )
+        ).alias("period_start")
+    ).withColumn("period_end", F.expr("period_start + interval 36 hours"))
+    joined = e.join(
+        F.broadcast(periods),
+        (e.ts >= periods.period_start) & (e.ts < periods.period_end),
+    )
+    return joined.groupBy(
+        F.unix_millis(F.col("period_start").cast("timestamp")).alias(
+            "period_start_ms"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum("value", "total_value"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a gap > 30 min starts a new session per user
+    (lag + conditional cumsum — the standard two-window composition)."""
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            (F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(wo))
+            > SESSION_GAP_SECONDS,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_millis("ts")).alias("session_start_ms"),
+        F.max(F.unix_millis("ts")).alias("session_end_ms"),
+        dec_sum("value", "session_value"),
+    )
+
+
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value (full-partition frame) / lead per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wfull = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_totalprice").over(wfull).alias("first_price"),
+        F.last("o_totalprice").over(wfull).alias("last_price"),
+        F.lead("o_totalprice").over(wo).alias("next_price"),
+    )
+
+
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median + p90) per order status."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def set_ops_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer activity in two years."""
+    o = load_table(spark, sf_dir, "orders")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    y99 = o.filter(F.year("o_orderdate") == 1999).select("o_custkey")
+    both = y98.intersect(y99).select(F.lit("both_years").alias("segment"), "o_custkey")
+    only98 = y98.subtract(y99).select(F.lit("only_1998").alias("segment"), "o_custkey")
+    return both.unionByName(only98)
+
+
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets over status x priority with grouping flags."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+    )
+
+
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar string-function surface in one projection."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.expr("replace(p_name, ' ', '_')").alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.expr("split_part(p_type, ' ', 1)").alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.expr("concat('  ', p_brand, '  ')")).alias("brand_trimmed"),
+    )
+
+
+def json_roundtrip_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document round trip (the GBFS station_information shape,
+    reference src/assets/station_reference.py:44 + src/api.py:98-106):
+    build {data:{stations:[...]}} JSON per nation, parse it back with an
+    explicit schema, UNNEST the array, count — plus a JSON-path probe.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    docs = c.groupBy("c_nationkey").agg(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("c_custkey").alias("station_id"),
+                                F.col("c_name").alias("name"),
+                            )
+                        )
+                    ).alias("stations")
+                ).alias("data")
+            )
+        ).alias("doc")
+    )
+    schema = "STRUCT<data: STRUCT<stations: ARRAY<STRUCT<station_id: BIGINT, name: STRING>>>>"
+    parsed = docs.select(
+        "c_nationkey",
+        F.from_json("doc", schema).alias("d"),
+        F.get_json_object("doc", "$.data.stations[0].name").alias(
+            "first_station_name"
+        ),
+    )
+    return parsed.select(
+        "c_nationkey",
+        "first_station_name",
+        F.size("d.data.stations").cast("bigint").alias("n_stations"),
+    )
+
+
+def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for the 100TB path: HyperLogLog distinct counts
+    and approximate percentiles next to their exact counterparts.
+
+    Rows-only check (sketch internals differ across engines by design);
+    tests/test_extensions.py pins the approximation error instead.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 4).alias(
+            "approx_median_price"
+        ),
+    )
+
+
+ORACLE: dict[str, str | None] = {
+    "approx_distinct_stats": None,
+    "asof_join_latest_state": f"""
+        WITH probe AS (
+          SELECT u.user_id, unnest(generate_series(
+                   TIMESTAMP '2024-01-05 00:00:00',
+                   TIMESTAMP '2024-01-25 00:00:00', INTERVAL 1 DAY)) AS t
+          FROM (SELECT unnest(generate_series(0, {ASOF_USERS - 1})) AS user_id) u
+        ),
+        unioned AS (
+          SELECT user_id, ts AS t, 0 AS is_cp, value AS v, event_id AS eid
+          FROM events WHERE user_id < {ASOF_USERS}
+          UNION ALL
+          SELECT user_id, t, 1 AS is_cp, NULL AS v, NULL AS eid FROM probe
+        ),
+        carried AS (
+          SELECT user_id, t, is_cp,
+                 last_value(v IGNORE NULLS) OVER w AS asof_value,
+                 last_value(CASE WHEN is_cp = 0 THEN t END IGNORE NULLS)
+                   OVER w AS asof_ts
+          FROM unioned
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY t ASC, is_cp ASC, eid ASC NULLS LAST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id, epoch_ms(t) AS checkpoint_ms, asof_value,
+               epoch_ms(asof_ts) AS asof_event_ms
+        FROM carried WHERE is_cp = 1
+    """,
+    "range_join_periods": """
+        WITH periods AS (
+          SELECT p AS period_start, p + INTERVAL 36 HOUR AS period_end
+          FROM (SELECT unnest(generate_series(
+                  TIMESTAMP '2024-01-01 00:00:00',
+                  TIMESTAMP '2024-01-29 00:00:00', INTERVAL 2 DAY)) AS p)
+        )
+        SELECT epoch_ms(period_start) AS period_start_ms,
+               count(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_value
+        FROM events JOIN periods
+          ON ts >= period_start AND ts < period_end
+        GROUP BY 1
+    """,
+    "sessionize_events": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN epoch(ts) - lag(epoch(ts)) OVER wo
+                           > {SESSION_GAP_SECONDS}
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW wo AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sessions AS (
+          SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_idx
+          FROM flagged
+        )
+        SELECT user_id, session_idx,
+               count(*) AS n_events,
+               min(epoch_ms(ts)) AS session_start_ms,
+               max(epoch_ms(ts)) AS session_end_ms,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS session_value
+        FROM sessions
+        GROUP BY user_id, session_idx
+    """,
+    "window_first_last": """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               first_value(o_totalprice) OVER wfull AS first_price,
+               last_value(o_totalprice) OVER wfull AS last_price,
+               lead(o_totalprice) OVER wo AS next_price
+        FROM orders
+        WINDOW wo AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC),
+               wfull AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate ASC, o_orderkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+    "percentile_prices": """
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    "set_ops_intersect_except": """
+        WITH y98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998),
+             y99 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1999)
+        SELECT 'both_years' AS segment, o_custkey
+        FROM (SELECT o_custkey FROM y98 INTERSECT SELECT o_custkey FROM y99)
+        UNION ALL
+        SELECT 'only_1998' AS segment, o_custkey
+        FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y99)
+    """,
+    "cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "string_functions_showcase": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               lower(p_brand) AS brand_lower,
+               substr(p_type, 1, 5) AS type_prefix,
+               replace(p_name, ' ', '_') AS name_snake,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               split_part(p_type, ' ', 1) AS type_head,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               trim(concat('  ', p_brand, '  ')) AS brand_trimmed
+        FROM part
+    """,
+    "json_roundtrip_unnest": """
+        WITH stations AS (
+          SELECT c_nationkey, c_custkey, c_name FROM customer
+        )
+        SELECT c_nationkey,
+               arg_min(c_name, c_custkey) AS first_station_name,
+               CAST(count(*) AS BIGINT) AS n_stations
+        FROM stations
+        GROUP BY c_nationkey
+    """,
+}
+
+QUERIES = {
+    "approx_distinct_stats": approx_distinct_stats,
+    "asof_join_latest_state": asof_join_latest_state,
+    "range_join_periods": range_join_periods,
+    "sessionize_events": sessionize_events,
+    "window_first_last": window_first_last,
+    "percentile_prices": percentile_prices,
+    "set_ops_intersect_except": set_ops_intersect_except,
+    "cube_status_priority": cube_status_priority,
+    "string_functions_showcase": string_functions_showcase,
+    "json_roundtrip_unnest": json_roundtrip_unnest,
+}

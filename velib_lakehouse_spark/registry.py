@@ -29,9 +29,9 @@ def _register(module) -> None:
 
 
 def _load() -> None:
-    from velib_lakehouse_spark.operators import relational, velib
+    from velib_lakehouse_spark.operators import relational, relational2, velib
 
-    for mod in (velib, relational):
+    for mod in (velib, relational, relational2):
         _register(mod)
 
     # Optional modules land as they are implemented; import-gated so a
@@ -49,6 +49,13 @@ def _load() -> None:
         from velib_lakehouse_spark.streaming import silver as streaming_silver
 
         _register(streaming_silver)
+    except ImportError:
+        pass
+
+    try:
+        from velib_lakehouse_spark.sources import lake
+
+        _register(lake)
     except ImportError:
         pass
 

@@ -1,0 +1,154 @@
+"""Lakehouse table layout: hive-partitioned writes, pruned reads,
+snapshot overwrites, retention.
+
+Re-expresses the reference's storage conventions idiomatically:
+
+* silver: date-partitioned parquet appends (reference
+  src/assets/silver.py:52-60) -> ``write_partitioned`` +
+  ``read_partition_pruned`` — the pruning is a *filter*, which Catalyst
+  turns into static partition pruning, instead of the reference's
+  hand-built ``date=...`` path lists (src/assets/velib_alerte.py:23-34);
+* gold: compacted snapshot overwrite (``coalesce(1).mode("overwrite")``,
+  reference src/assets/velib_alerte.py:70-72);
+* retention: partition-level deletes by age (reference
+  src/assets/maintenance.py:16-54), driven by the partition values
+  actually on disk — no object-store paging loop.
+
+With Delta on the classpath the same calls upgrade to ACID overwrite +
+VACUUM; layout and query shapes are unchanged, which is the point of
+keeping these behind one module.
+"""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.session import apply_safe_confs
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_col: str = "date", mode: str = "append"
+) -> None:
+    df.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str, partition_col: str, min_value: str
+) -> DataFrame:
+    """Partition-discovery read + pruning filter.
+
+    The filter on the partition column reaches the file listing
+    (``PartitionFilters`` in the plan): only matching ``date=...``
+    directories are ever opened.
+    """
+    apply_safe_confs(spark)
+    return spark.read.parquet(path).filter(F.col(partition_col) >= F.lit(min_value))
+
+
+def write_gold_snapshot(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """Compacted full-overwrite snapshot (the reference's gold pattern)."""
+    df.coalesce(n_files).write.mode("overwrite").parquet(path)
+
+
+def retention_delete(path: str, partition_col: str, min_keep_value: str) -> int:
+    """Drop partitions whose value sorts below ``min_keep_value``.
+
+    Returns the number of partitions removed.  Partition values are
+    taken from the directory layout itself; with Delta this becomes
+    ``DELETE WHERE`` + ``VACUUM``.
+    """
+    removed = 0
+    for child in Path(path).iterdir():
+        if not child.is_dir() or not child.name.startswith(f"{partition_col}="):
+            continue
+        value = child.name.split("=", 1)[1]
+        if value < min_keep_value:
+            shutil.rmtree(child)
+            removed += 1
+    return removed
+
+
+# ---------------------------------------------------------------------------
+# Registry queries
+# ---------------------------------------------------------------------------
+
+PRUNE_CUTOFF = "2024-01-15"
+
+
+def _silver_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.col("user_id").alias("station_code"),
+        F.col("value").alias("bikes_available"),
+        F.unix_millis("ts").alias("last_reported_ms"),
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("date"),
+    )
+
+
+def lake_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip: partitioned write -> pruned read (S4 done Spark-first).
+
+    Writes the silver shape date-partitioned to a scratch dir, reads it
+    back filtering on the partition column — Catalyst prunes to the
+    matching ``date=...`` directories (asserted in tests/test_plans.py).
+    """
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="lake_silver_")
+    write_partitioned(_silver_shape(spark, sf_dir), out, "date", mode="overwrite")
+    back = read_partition_pruned(spark, out, "date", PRUNE_CUTOFF)
+    return back.select(
+        "event_id",
+        "station_code",
+        "bikes_available",
+        "last_reported_ms",
+        F.col("date").cast("string").alias("date"),
+    )
+
+
+def lake_gold_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round trip: the alerts gold table written as a compacted overwrite
+    snapshot (K3) and read back — same oracle as the alerts query."""
+    import tempfile
+
+    from velib_lakehouse_spark.operators.velib import alerts
+
+    out = tempfile.mkdtemp(prefix="lake_gold_")
+    write_gold_snapshot(alerts(spark, sf_dir), out)
+    return spark.read.parquet(out)
+
+
+ORACLE: dict[str, str | None] = {
+    "lake_partition_pruned": f"""
+        SELECT event_id,
+               user_id AS station_code,
+               value AS bikes_available,
+               epoch_ms(ts) AS last_reported_ms,
+               strftime(ts, '%Y-%m-%d') AS "date"
+        FROM events
+        WHERE strftime(ts, '%Y-%m-%d') >= '{PRUNE_CUTOFF}'
+    """,
+    # Same semantics as velib_alerts; the round trip through the gold
+    # snapshot must be lossless.
+    "lake_gold_snapshot": None,  # filled in _load() below to avoid dup SQL
+}
+
+
+def _load_oracle() -> None:
+    from velib_lakehouse_spark.operators.velib import ORACLE as VELIB_ORACLE
+
+    ORACLE["lake_gold_snapshot"] = VELIB_ORACLE["velib_alerts"]
+
+
+_load_oracle()
+
+QUERIES = {
+    "lake_partition_pruned": lake_partition_pruned,
+    "lake_gold_snapshot": lake_gold_snapshot,
+}
