@@ -55,8 +55,19 @@ def _words(col: str = "text"):
 
 
 def _shingles(df: DataFrame) -> DataFrame:
-    """doc_id -> exploded distinct word-3-gram shingles (docs with >=3 words)."""
-    w = df.select("doc_id", _words().alias("w")).filter(F.size("w") >= 3)
+    """doc_id -> exploded distinct word-3-gram shingles (docs with >=3 words).
+
+    The explicit-N repartition spreads the CPU-bound shingling/hashing
+    across all cores: small corpora arrive as one parquet split, and an
+    AQE-coalescible shuffle would merge right back to one task (AQE
+    honors a user-specified partition count).
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    w = (
+        df.repartition(n, "doc_id")
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") >= 3)
+    )
     sh = w.select(
         "doc_id",
         F.explode(
@@ -154,7 +165,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are K x 8 per document plus the pair join itself.
     """
     d = load_table(spark, sf_dir, "documents")
-    docs = d.select("doc_id", _words().alias("w")).filter(F.size("w") >= 3)
+    docs = (
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") >= 3)
+    )
     sh = docs.withColumn(
         "sh",
         F.expr(
@@ -166,12 +181,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(conv(substr(md5(concat(cast(s as string), ':', x)), 1, 15),"
         " 16, 10) as bigint)"
     )
-    sig = sh.withColumn(
-        "sig",
-        F.expr(
-            f"transform(sequence(0, {MINHASH_K - 1}),"
-            f" s -> array_min(transform(sh, x -> {seeded})))"
-        ),
+    # explode(array(...)) is a generator barrier: the K-wide signature is
+    # evaluated exactly once per document and lands as a concrete column,
+    # so the per-band slices below reuse it instead of re-hashing every
+    # shingle once per band (Catalyst would otherwise inline the
+    # expression into each lambda).
+    sig = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.expr(
+                    f"transform(sequence(0, {MINHASH_K - 1}),"
+                    f" s -> array_min(transform(sh, x -> {seeded})))"
+                )
+            )
+        ).alias("sig"),
     )
     bands = sig.select(
         "doc_id",
@@ -201,7 +225,9 @@ def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole sketch is one nested higher-order expression evaluated per row
     — zero shuffles, scales with input bytes only.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     md5h = "cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)"
     return d.select(
         "doc_id",

@@ -86,7 +86,11 @@ def run_silver_stream(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
 ) -> None:
     """Drain the stream to date-partitioned parquet (AvailableNow + checkpoint)."""
-    silver = silver_transform(_event_stream(spark, sf_dir))
+    # repartition by the partition column: one output file per date per
+    # micro-batch instead of one per task per date (the small-file
+    # compaction the reference does with coalesce(1),
+    # reference src/assets/velib_alerte.py:72, done stream-side).
+    silver = silver_transform(_event_stream(spark, sf_dir)).repartition("date")
     query = (
         silver.writeStream.format("parquet")
         .option("path", out_dir)
