@@ -72,6 +72,17 @@ def test_lake_read_partition_prunes(spark):
     assert 0 < kept_parts < total_parts
 
 
+def test_history_windows_share_one_shuffle(spark):
+    """net_flow (lag) and moving_avg_1h (range frame) partition on the
+    same key: Catalyst must plan exactly one Exchange feeding both
+    Window operators — the property that keeps the history enrichment a
+    single-shuffle job at any scale."""
+    df = registry.QUERIES["velib_history_enrich"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window") == 2
+
+
 def test_whole_stage_codegen_covers_agg(spark):
     df = registry.QUERIES["tpch_q1_pricing"](spark, SF_DIR)
     plan = df._sc._jvm.PythonSQLUtils.explainString(

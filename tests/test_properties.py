@@ -1,0 +1,84 @@
+"""Property-based invariants (SURVEY.md §5 strategy 4) via hypothesis.
+
+Random inputs pin the invariants the fixed fixtures can't sweep:
+ordering determinism of the collect idiom, partitioning-invariance of
+the exact-sum convention, window-vs-pandas agreement for the history
+enrichment.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.functions.collections import ordered_collect
+from velib_lakehouse_spark.functions.exact import dec_sum
+from velib_lakehouse_spark.functions.timeseries import net_flow
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10**9),  # ts seconds
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_ordered_collect_matches_python_sort(spark, rows):
+    data = [(i, int(ts), float(v)) for i, (ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, ts long, v double")
+    got = df.agg(
+        ordered_collect(F.col("v"), F.col("ts"), F.col("id")).alias("xs")
+    ).collect()[0]["xs"]
+    # ts order; ties (equal ts) break on insertion id, matching enumerate
+    expected = [v for ts, i, v in sorted((int(ts), i, float(v))
+                                         for i, (ts, v) in enumerate(rows))]
+    assert got == expected
+
+
+@given(rows=st.lists(
+    st.floats(min_value=-1e7, max_value=1e7, allow_nan=False,
+              allow_infinity=False),
+    min_size=1, max_size=60,
+))
+@settings(**SETTINGS)
+def test_dec_sum_is_partitioning_invariant(spark, rows):
+    data = [(float(v),) for v in rows]
+    df = spark.createDataFrame(data, "v double")
+    one = df.repartition(1).agg(dec_sum("v", "s")).collect()[0]["s"]
+    many = df.repartition(7).agg(dec_sum("v", "s")).collect()[0]["s"]
+    assert one == many  # exact equality, not approx
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_net_flow_matches_pandas_diff(spark, rows):
+    data = [(i, int(ts), float(v)) for i, (ts, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, ts long, v double")
+    got = (
+        df.select("id", net_flow(F.lit("k").cast("string"), "ts", "id", "v")
+                  .alias("nf"))
+        .orderBy("id")
+        .collect()
+    )
+    pdf = pd.DataFrame(data, columns=["id", "ts", "v"]).sort_values(["ts", "id"])
+    pdf["nf"] = pdf["v"].diff()
+    expected = pdf.sort_values("id")["nf"].tolist()
+    for (r, e) in zip(got, expected):
+        if pd.isna(e):
+            assert r.nf is None
+        else:
+            assert r.nf == e

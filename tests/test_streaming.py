@@ -19,11 +19,12 @@ def test_silver_stream_partitioned_layout_and_idempotent_restart(spark):
     out = tempfile.mkdtemp(prefix="t_silver_out_")
     ckpt = tempfile.mkdtemp(prefix="t_silver_ckpt_")
 
-    run_silver_stream(spark, SF_DIR, out, ckpt)
+    meta = run_silver_stream(spark, SF_DIR, out, ckpt)
     first = spark.read.parquet(out)
     n1 = first.count()
     expected = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert n1 == expected > 0
+    assert meta["rows_processed"] == expected  # T5 progress introspection
 
     # hive layout: date=YYYY-MM-DD partition directories
     parts = [d for d in os.listdir(out) if d.startswith("date=")]
@@ -31,8 +32,9 @@ def test_silver_stream_partitioned_layout_and_idempotent_restart(spark):
     assert all(len(d.split("=")[1]) == 10 for d in parts)
 
     # restart from the same checkpoint: nothing reprocessed
-    run_silver_stream(spark, SF_DIR, out, ckpt)
+    meta2 = run_silver_stream(spark, SF_DIR, out, ckpt)
     assert spark.read.parquet(out).count() == n1
+    assert meta2["rows_processed"] == 0
 
     # schema contract of the silver table
     assert set(first.columns) == {

@@ -112,6 +112,40 @@ def lake_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_file_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON lake scan with schema inference (S7: the reference reads its
+    GBFS dimension document with ``read_json_auto``, reference
+    src/api.py:104): write nested station documents as JSON files, read
+    them back letting Spark infer the nested schema, then explode.
+    """
+    import tempfile
+
+    c = load_table(spark, sf_dir, "customer")
+    docs = c.groupBy("c_nationkey").agg(
+        F.struct(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("c_custkey").alias("station_id"),
+                        F.col("c_name").alias("name"),
+                    )
+                )
+            ).alias("stations")
+        ).alias("data")
+    )
+    out = tempfile.mkdtemp(prefix="lake_json_")
+    docs.write.mode("overwrite").json(out)
+
+    inferred = spark.read.json(out)  # schema inference, no hints
+    exploded = inferred.select(
+        "c_nationkey", F.explode("data.stations").alias("s")
+    )
+    return exploded.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_stations"),
+        F.max("s.station_id").alias("max_station_id"),
+    )
+
+
 def lake_gold_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round trip: the alerts gold table written as a compacted overwrite
     snapshot (K3) and read back — same oracle as the alerts query."""
@@ -125,6 +159,13 @@ def lake_gold_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str | None] = {
+    "json_file_scan": """
+        SELECT c_nationkey,
+               count(*) AS n_stations,
+               max(c_custkey) AS max_station_id
+        FROM customer
+        GROUP BY c_nationkey
+    """,
     "lake_partition_pruned": f"""
         SELECT event_id,
                user_id AS station_code,
@@ -149,6 +190,7 @@ def _load_oracle() -> None:
 _load_oracle()
 
 QUERIES = {
+    "json_file_scan": json_file_scan,
     "lake_partition_pruned": lake_partition_pruned,
     "lake_gold_snapshot": lake_gold_snapshot,
 }

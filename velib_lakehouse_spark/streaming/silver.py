@@ -84,8 +84,13 @@ def silver_transform(stream: DataFrame) -> DataFrame:
 
 def run_silver_stream(
     spark: SparkSession, sf_dir: str, out_dir: str, checkpoint_dir: str
-) -> None:
-    """Drain the stream to date-partitioned parquet (AvailableNow + checkpoint)."""
+) -> dict:
+    """Drain the stream to date-partitioned parquet (AvailableNow + checkpoint).
+
+    Returns run metadata from the query's progress (rows processed, batch
+    count — the observability surface the reference logs per
+    materialization, reference src/assets/silver.py:73-82).
+    """
     # repartition by the partition column: one output file per date per
     # micro-batch instead of one per task per date (the small-file
     # compaction the reference does with coalesce(1),
@@ -101,6 +106,12 @@ def run_silver_stream(
         .start()
     )
     query.awaitTermination()
+    progress = [p for p in query.recentProgress if p]
+    return {
+        "rows_processed": sum(int(p["numInputRows"]) for p in progress),
+        "n_batches": len(progress),
+        "sink_path": out_dir,
+    }
 
 
 def streaming_silver_availablenow(spark: SparkSession, sf_dir: str) -> DataFrame:
