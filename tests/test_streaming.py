@@ -46,3 +46,21 @@ def test_silver_stream_partitioned_layout_and_idempotent_restart(spark):
         "last_reported",
         "date",
     }
+
+
+def test_streaming_sessions_agree_with_batch(spark):
+    """Every session the stream closes must exist identically in the
+    batch sessionization (same gap): same (station, start, end, count)."""
+    from velib_lakehouse_spark.operators.relational2 import sessionize_events
+    from velib_lakehouse_spark.streaming.silver import streaming_session_windows
+
+    streamed = {
+        (r.station_code, r.session_start_ms, r.n_events)
+        for r in streaming_session_windows(spark, SF_DIR).collect()
+    }
+    assert streamed  # the 30-day fixture must close plenty of sessions
+    batch = {
+        (r.user_id, r.session_start_ms, r.n_events)
+        for r in sessionize_events(spark, SF_DIR).collect()
+    }
+    assert streamed <= batch

@@ -217,6 +217,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate *clusters*: connected components over MinHash candidate
+    pairs, every document labeled with the min doc_id of its component.
+
+    The iterative piece Spark SQL can't express in one query: Pregel-lite
+    min-label propagation as a driver loop of joins, each iteration
+    persisted and the previous one released.  Converges in
+    graph-diameter iterations (dup clusters are shallow — single digits);
+    at 100 TB each iteration is one shuffle join on doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+
+    labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.doc_a == labels.doc_id)
+            .groupBy(F.col("doc_b").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.join(
+                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (majority vote over token-hash bits).
 
@@ -349,6 +399,32 @@ ORACLE: dict[str, str | None] = {
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
     """,
+    "dedup_clusters": f"""
+        WITH RECURSIVE sig AS ({_SQL_MINHASH_SIG}),
+        bands AS (
+          SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+          FROM sig GROUP BY doc_id, 2
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+          WHERE a.doc_id < b.doc_id
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT doc_id AS a, doc_id AS b FROM documents
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, min(b) AS cluster_id
+        FROM reach GROUP BY a
+    """,
     "simhash_sketch": f"""
         WITH toks AS (
           SELECT DISTINCT doc_id, w, {sql_md5_long('w')} AS h
@@ -384,6 +460,7 @@ ORACLE: dict[str, str | None] = {
 }
 
 QUERIES = {
+    "dedup_clusters": dedup_clusters,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

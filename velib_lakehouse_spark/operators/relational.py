@@ -162,6 +162,45 @@ def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface: rank / dense_rank / percent_rank
+    / cume_dist over a tie-heavy key (order year), plus row_number and
+    ntile with a full tiebreak (they are order-sensitive within ties, so
+    determinism requires a total order)."""
+    o = load_table(spark, sf_dir, "orders")
+    year = F.year("o_orderdate")
+    w_ties = Window.partitionBy("o_orderstatus").orderBy(year.asc())
+    w_total = Window.partitionBy("o_orderstatus").orderBy(
+        year.asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        year.cast("bigint").alias("order_year"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w_ties), 6).alias("cdist"),
+        F.row_number().over(w_total).alias("rn"),
+        F.ntile(4).over(w_total).alias("quartile"),
+    )
+
+
+def global_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (top-20 revenue orders).
+
+    Spark plans this as TakeOrderedAndProject — per-partition top-K then
+    a driver merge of K-sized heaps, never a full global sort; the
+    orderkey tiebreak makes the cut deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
 def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS-frame running sum + lag per customer over order time (W3 family)."""
     o = load_table(spark, sf_dir, "orders")
@@ -412,6 +451,26 @@ ORACLE: dict[str, str | None] = {
         )
         WHERE rn <= 3
     """,
+    "rank_family": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               rank() OVER wt AS rnk,
+               dense_rank() OVER wt AS drnk,
+               ROUND(percent_rank() OVER wt, 6) AS prnk,
+               ROUND(cume_dist() OVER wt, 6) AS cdist,
+               row_number() OVER wtot AS rn,
+               ntile(4) OVER wtot AS quartile
+        FROM orders
+        WINDOW wt AS (PARTITION BY o_orderstatus ORDER BY year(o_orderdate) ASC),
+               wtot AS (PARTITION BY o_orderstatus
+                        ORDER BY year(o_orderdate) ASC, o_orderkey ASC)
+    """,
+    "global_sort_limit": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20
+    """,
     "window_running_totals": """
         SELECT o_custkey, o_orderkey,
                epoch_ms(o_orderdate) AS order_date_ms,
@@ -532,6 +591,8 @@ QUERIES = {
     "anti_parts_never_ordered": anti_parts_never_ordered,
     "cross_scalar_stats": cross_scalar_stats,
     "topn_orders_per_customer": topn_orders_per_customer,
+    "rank_family": rank_family,
+    "global_sort_limit": global_sort_limit,
     "window_running_totals": window_running_totals,
     "window_range_trailing_count": window_range_trailing_count,
     "count_if_bands": count_if_bands,

@@ -248,6 +248,29 @@ def json_roundtrip_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    ``event_type`` has ~5 values over the whole table — the textbook hot
+    key.  Phase 1 aggregates on (key, salt) so the hot key's rows spread
+    over 16 reducers; phase 2 merges the 16 partials per key.  The salt
+    derives from xxhash64 of a unique column, so it never influences the
+    final result (asserted by the oracle, which aggregates unsalted) —
+    only the shuffle distribution.  Decimal partials keep the merge
+    exact regardless of how rows split.
+    """
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.round(F.sum("pv"), 2).cast("double").alias("total_value"),
+    )
+
+
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for the 100TB path: HyperLogLog distinct counts
     and approximate percentiles next to their exact counterparts.
@@ -269,6 +292,13 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE: dict[str, str | None] = {
     "approx_distinct_stats": None,
+    "skew_salted_agg": """
+        SELECT event_type, count(*) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
     "asof_join_latest_state": f"""
         WITH probe AS (
           SELECT u.user_id, unnest(generate_series(
@@ -400,6 +430,7 @@ ORACLE: dict[str, str | None] = {
 
 QUERIES = {
     "approx_distinct_stats": approx_distinct_stats,
+    "skew_salted_agg": skew_salted_agg,
     "asof_join_latest_state": asof_join_latest_state,
     "range_join_periods": range_join_periods,
     "sessionize_events": sessionize_events,

@@ -172,6 +172,39 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows in-stream: per-station sessions with a
+    30-minute inactivity gap, emitted as the watermark closes them.
+
+    Rows-only correctness entry (which sessions are closed at drain time
+    depends on watermark internals); tests/test_streaming.py checks the
+    emitted sessions agree with the batch sessionization operator.
+    """
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", f"{WATERMARK_SECONDS} seconds")
+        .groupBy(
+            F.session_window("ts", "1800 seconds").alias("sw"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "session_windows_sink"
+    query = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name).select(
+        F.col("user_id").alias("station_code"),
+        F.unix_millis("sw.start").alias("session_start_ms"),
+        F.unix_millis("sw.end").alias("session_end_ms"),
+        "n_events",
+    )
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates on (station, event-time) under a watermark
     — the T6 upgrade (the reference dedups only downstream in batch)."""
@@ -227,6 +260,7 @@ ORACLE: dict[str, str | None] = {
         CROSS JOIN (SELECT max(epoch_ms(ts)) AS mx FROM events) m
         WHERE w.window_end_ms <= m.mx - {WATERMARK_SECONDS * 1000}
     """,
+    "streaming_session_windows": None,
     "streaming_dedup": """
         SELECT event_id,
                user_id AS station_code,
@@ -241,5 +275,6 @@ ORACLE: dict[str, str | None] = {
 QUERIES = {
     "streaming_silver_availablenow": streaming_silver_availablenow,
     "streaming_windowed_counts": streaming_windowed_counts,
+    "streaming_session_windows": streaming_session_windows,
     "streaming_dedup": streaming_dedup,
 }
