@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.session import tuned_shuffle
 from velib_lakehouse_spark.functions.hashing import (
     md5_long,
     sql_md5_long,
@@ -229,6 +230,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    with tuned_shuffle(spark):
+        return _propagate_labels(d, pairs)
+
+
+def _propagate_labels(d, pairs):
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

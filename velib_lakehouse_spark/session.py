@@ -69,6 +69,24 @@ def get_spark(
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def tuned_shuffle(spark: SparkSession, n: int | None = None):
+    """Temporarily size shuffle partitions to the machine (restored on
+    exit).  Stateful streaming and iterative jobs otherwise inherit the
+    session default (often 200), which at small-cluster/local scale is
+    pure task-scheduling overhead per micro-batch/iteration."""
+    n = n or spark.sparkContext.defaultParallelism
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def apply_safe_confs(spark: SparkSession) -> None:
     """Apply the runtime confs this package's queries rely on.
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
-from velib_lakehouse_spark.session import apply_safe_confs
+from velib_lakehouse_spark.session import apply_safe_confs, tuned_shuffle
 
 WINDOW_SECONDS = 300
 WATERMARK_SECONDS = 600
@@ -155,14 +155,15 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = "windowed_counts_sink"
-    query = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with tuned_shuffle(spark):
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).select(
         F.unix_millis("win.start").alias("window_start_ms"),
         F.unix_millis("win.end").alias("window_end_ms"),
@@ -189,14 +190,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
     name = "session_windows_sink"
-    query = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with tuned_shuffle(spark):
+        query = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).select(
         F.col("user_id").alias("station_code"),
         F.unix_millis("sw.start").alias("session_start_ms"),
@@ -213,14 +215,15 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id", "ts"]
     )
     name = "streaming_dedup_sink"
-    query = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with tuned_shuffle(spark):
+        query = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).select(
         "event_id",
         F.col("user_id").alias("station_code"),
