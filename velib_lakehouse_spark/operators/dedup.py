@@ -118,7 +118,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts -> Jaccard against the *full* shingle-set sizes.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    # the shingle table feeds three consumers (sizes, doc-frequency cap,
+    # pair join) — persist it instead of recomputing the explode+distinct
+    # chain per consumer (at scale: materialize it as a table)
+    sh = _shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
     rare = sh.join(

@@ -210,6 +210,52 @@ def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-function surface over per-order quantity lists: build,
+    sort, dedup, slice, reverse, min/max, membership, flatten-free
+    element arithmetic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(l_linenumber, l_quantity))),"
+            " x -> x.l_quantity)"
+        ).alias("qtys")
+    )
+    return per_order.select(
+        "l_orderkey",
+        "qtys",
+        # distinct preserves engine-specific encounter order; sort for a
+        # canonical cross-engine value
+        F.array_sort(F.array_distinct("qtys")).alias("distinct_qtys"),
+        F.array_max("qtys").alias("max_qty"),
+        F.array_min("qtys").alias("min_qty"),
+        F.size("qtys").cast("bigint").alias("n_qtys"),
+        F.slice("qtys", 1, 3).alias("first3"),
+        F.reverse("qtys").alias("reversed"),
+        F.array_contains("qtys", 1.0).alias("has_single_unit"),
+        F.round(
+            F.expr(
+                "aggregate(qtys, cast(0.0 as double), (acc, x) -> acc + x)"
+            ),
+            2,
+        ).alias("sum_qtys"),
+        F.expr("transform(qtys, x -> x * 2)").alias("doubled"),
+    )
+
+
+def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/correlation/
+    covariance, rounded to absorb engine summation-order ULP noise."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("cov_qty_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def json_roundtrip_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-document round trip (the GBFS station_information shape,
     reference src/assets/station_reference.py:44 + src/api.py:98-106):
@@ -416,6 +462,35 @@ ORACLE: dict[str, str | None] = {
                trim(concat('  ', p_brand, '  ')) AS brand_trimmed
         FROM part
     """,
+    "array_functions_showcase": """
+        WITH per_order AS (
+          SELECT l_orderkey,
+                 list(l_quantity ORDER BY l_linenumber ASC, l_quantity ASC)
+                   AS qtys
+          FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT l_orderkey, qtys,
+               list_sort(list_distinct(qtys)) AS distinct_qtys,
+               list_max(qtys) AS max_qty,
+               list_min(qtys) AS min_qty,
+               CAST(len(qtys) AS BIGINT) AS n_qtys,
+               qtys[1:3] AS first3,
+               list_reverse(qtys) AS reversed,
+               list_contains(qtys, 1.0) AS has_single_unit,
+               ROUND(list_sum(qtys), 2) AS sum_qtys,
+               list_transform(qtys, x -> x * 2) AS doubled
+        FROM per_order
+    """,
+    "stats_functions": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+               ROUND(var_samp(l_quantity), 4) AS var_qty,
+               ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
     "json_roundtrip_unnest": """
         WITH stations AS (
           SELECT c_nationkey, c_custkey, c_name FROM customer
@@ -431,6 +506,8 @@ ORACLE: dict[str, str | None] = {
 QUERIES = {
     "approx_distinct_stats": approx_distinct_stats,
     "skew_salted_agg": skew_salted_agg,
+    "array_functions_showcase": array_functions_showcase,
+    "stats_functions": stats_functions,
     "asof_join_latest_state": asof_join_latest_state,
     "range_join_periods": range_join_periods,
     "sessionize_events": sessionize_events,
