@@ -36,7 +36,15 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "ann_cosine_topk",
+    "ann_lsh_topk",
     "text_stats",
+    "simhash_sketch",
+    "dedup_exact",
+    "sessionize_events",
+    "asof_join_latest_state",
+    "hypertable_rollup",
+    "scd2_merge",
+    "pandas_session_gaps",
     "streaming_silver_availablenow",
 ]
 

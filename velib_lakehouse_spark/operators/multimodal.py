@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.session import ensure_package_on_workers
 
 DECODE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, width bigint, height bigint, n_frames bigint"
@@ -64,6 +65,7 @@ def decode_media(df: DataFrame, decoder=_fake_decode) -> DataFrame:
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out
 
+    ensure_package_on_workers(df.sparkSession)
     return df.select("doc_id", "payload").mapInPandas(run, schema=DECODE_SCHEMA)
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.session import ensure_package_on_workers
 
 
 @F.pandas_udf(LongType())
@@ -42,6 +43,7 @@ def _n_digit_chars(texts: pd.Series) -> pd.Series:
 
 def pandas_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized per-document features through the Arrow scalar path."""
+    ensure_package_on_workers(spark)
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -75,6 +77,7 @@ def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 
 def pandas_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-station inter-event gap stats via grouped-map applyInPandas."""
+    ensure_package_on_workers(spark)
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     return e.groupBy("user_id").applyInPandas(_gap_stats, schema=_GAP_SCHEMA)
 

@@ -327,9 +327,9 @@ def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return l.agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 4).alias(
             "approx_median_price"
         ),

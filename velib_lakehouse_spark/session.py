@@ -87,6 +87,39 @@ def tuned_shuffle(spark: SparkSession, n: int | None = None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers.
+
+    Module-level functions used in pandas UDFs are cloudpickled *by
+    reference* — workers must be able to ``import velib_lakehouse_spark``.
+    When the driver process wasn't started from the repo root (any real
+    harness), that import fails; zipping the package and ``addPyFile``-ing
+    it makes every operator self-contained regardless of cwd or cluster
+    layout.  Idempotent per SparkContext.
+    """
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zpath = tempfile.mkstemp(prefix="velib_lakehouse_spark_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _, files in os.walk(pkg_dir):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED.add(id(sc))
+
+
 def apply_safe_confs(spark: SparkSession) -> None:
     """Apply the runtime confs this package's queries rely on.
 

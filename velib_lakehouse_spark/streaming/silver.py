@@ -173,6 +173,45 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_gold_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming -> gold via ``foreachBatch`` + atomic snapshot commit.
+
+    Each micro-batch runs arbitrary batch logic and commits a new
+    version of the gold snapshot table (sources/snapshots.py) — the
+    exactly-once upsert pattern Delta's streaming MERGE performs,
+    composed from this repo's own primitives.  With a file source and
+    AvailableNow the drain is a single batch, so the committed snapshot
+    equals the batch transform (which is what the oracle computes).
+    """
+    from velib_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    table = tempfile.mkdtemp(prefix="gold_snap_")
+    ckpt = tempfile.mkdtemp(prefix="gold_snap_ckpt_")
+    ev = _event_stream(spark, sf_dir)
+    low = ev.filter(F.col("value") < 50).select(
+        "event_id",
+        F.col("user_id").alias("station_code"),
+        F.col("value").alias("bikes_available"),
+        F.unix_millis("ts").alias("last_reported_ms"),
+    )
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_snapshot(batch_df, table)
+
+    with tuned_shuffle(spark):
+        query = (
+            low.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return read_snapshot(spark, table)
+
+
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful session windows in-stream: per-station sessions with a
     30-minute inactivity gap, emitted as the watermark closes them.
@@ -263,6 +302,14 @@ ORACLE: dict[str, str | None] = {
         CROSS JOIN (SELECT max(epoch_ms(ts)) AS mx FROM events) m
         WHERE w.window_end_ms <= m.mx - {WATERMARK_SECONDS * 1000}
     """,
+    "streaming_gold_foreachbatch": """
+        SELECT event_id,
+               user_id AS station_code,
+               value AS bikes_available,
+               epoch_ms(ts) AS last_reported_ms
+        FROM events
+        WHERE value < 50
+    """,
     "streaming_session_windows": None,
     "streaming_dedup": """
         SELECT event_id,
@@ -277,6 +324,7 @@ ORACLE: dict[str, str | None] = {
 
 QUERIES = {
     "streaming_silver_availablenow": streaming_silver_availablenow,
+    "streaming_gold_foreachbatch": streaming_gold_foreachbatch,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_dedup": streaming_dedup,
