@@ -78,7 +78,15 @@ def _gap_stats(pdf: pd.DataFrame) -> pd.DataFrame:
 def pandas_session_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-station inter-event gap stats via grouped-map applyInPandas."""
     ensure_package_on_workers(spark)
-    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    # explicit-N pre-partition on the group key: the groupBy reuses the
+    # partitioning (no second exchange) and AQE cannot coalesce the
+    # small shuffle into one task, which would serialize the thousands
+    # of per-group pandas calls
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .repartition(spark.sparkContext.defaultParallelism, "user_id")
+    )
     return e.groupBy("user_id").applyInPandas(_gap_stats, schema=_GAP_SCHEMA)
 
 

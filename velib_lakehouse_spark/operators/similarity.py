@@ -38,7 +38,12 @@ _DOT = (
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
+    # explicit-N repartition: the corpus arrives as one parquet split and
+    # the per-vector hashing/dot-product work would serialize onto one
+    # task otherwise (AQE honors the explicit count)
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     return e.select(
         "vec_id",
         "label",
@@ -71,24 +76,47 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(vcol: str) -> str:
-    """16-bit LSH bucket: sign bits of md5-seeded random hyperplanes.
+def _plane_weights() -> list[list[float]]:
+    """The 16x64 hyperplane weight matrix.
 
-    Hyperplane p's component c is a deterministic pseudo-random weight in
-    [-1, 1): (md5_60bit('plane:p:c') % 2000001 - 1000000) / 1e6.
-    Identical string expression evaluates identically in DuckDB.
+    Weight(p, c) = (md5_60bit('plane:p:c') % 2000001 - 1000000) / 1e6 —
+    the identical formula the DuckDB oracle evaluates in SQL, computed
+    once on the driver (hashlib md5 == engine md5), so the runtime plan
+    multiplies by *literals* instead of doing 1024 md5 calls per vector.
     """
-    plane = (
-        "aggregate(zip_with({v}, sequence(0, {dmax}), (x, c) -> x * "
-        "((cast(conv(substr(md5(concat('plane:', p, ':', c)), 1, 15), 16, 10)"
-        " as bigint) % 2000001) - 1000000) / 1000000.0),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
-    ).format(v=vcol, dmax=DIM - 1)
-    return (
-        "aggregate(transform(sequence(0, {pmax}), p -> "
-        "if({plane} > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))),"
-        " cast(0 as bigint), (acc, x) -> acc + x)"
-    ).format(pmax=N_PLANES - 1, plane=plane)
+    import hashlib
+
+    out = []
+    for p in range(N_PLANES):
+        row = []
+        for c in range(DIM):
+            h = int(hashlib.md5(f"plane:{p}:{c}".encode()).hexdigest()[:15], 16)
+            row.append((h % 2000001 - 1000000) / 1000000.0)
+        out.append(row)
+    return out
+
+
+_WEIGHTS = _plane_weights()
+
+
+def _bucket_expr(vcol: str) -> str:
+    """16-bit LSH bucket: sign bits of the fixed random hyperplanes.
+
+    Each plane's projection is a left-fold dot product against the
+    literal weight array — pure arithmetic inside codegen, no hashing in
+    the hot path.
+    """
+    planes = []
+    for p in range(N_PLANES):
+        weights = ",".join(f"cast({w!r} as double)" for w in _WEIGHTS[p])
+        dot = (
+            f"aggregate(zip_with({vcol}, array({weights}), (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        planes.append(
+            f"if({dot} > 0, shiftleft(cast(1 as bigint), {p}), cast(0 as bigint))"
+        )
+    return " + ".join(planes)
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
