@@ -43,6 +43,22 @@ def test_minhash_candidates_superset_of_high_jaccard(spark):
     assert high <= got or not high  # vacuous only if no high-sim pairs exist
 
 
+def test_ivf_recall_against_exact(spark):
+    """IVF with nprobe=2/8 cells must recover a reasonable share of the
+    exact top-5 (structure check + recall floor, since the operator is
+    rows-only)."""
+    exact = {
+        (r.q_vec_id, r.vec_id)
+        for r in registry.QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    }
+    ivf_rows = registry.QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    ivf = {(r.q_vec_id, r.vec_id) for r in ivf_rows}
+    assert all(1 <= r.rank <= 5 for r in ivf_rows)
+    assert len({r.q_vec_id for r in ivf_rows}) == 8
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"recall {recall}"
+
+
 def test_approx_distinct_within_5_percent(spark):
     row = registry.QUERIES["approx_distinct_stats"](spark, SF_DIR).collect()[0]
     assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05

@@ -14,6 +14,12 @@ mirrored in DuckDB SQL for the correctness gate:
 All hashes are the md5-derived 60-bit family from functions/hashing.py,
 so DuckDB computes bit-identical values.
 
+Literature: MinHash resemblance sketching follows Broder, "On the
+resemblance and containment of documents" (SEQUENCES 1997); banding
+analysis per Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+ch. 3; SimHash follows Charikar, "Similarity estimation techniques from
+rounding algorithms" (STOC 2002).
+
 Scale design (the point of each shape at 100 TB):
 * exact dedup shuffles once on a 60-bit hash — O(n) bytes, no text
   comparison until the group is a candidate;

@@ -13,6 +13,12 @@ Python in the distance loop):
   cosine only within bucket.  The sub-linear scale path: candidate
   count drops ~2^-16 per query at the cost of recall.
 
+Literature: random-hyperplane LSH per Charikar (STOC 2002); the
+inverted-file (IVF) coarse quantizer follows the classic IVF/IVFADC
+design (Sivic & Zisserman, "Video Google", ICCV 2003; Jegou et al.,
+"Product quantization for nearest neighbor search", TPAMI 2011) minus
+the product-quantized residuals.
+
 Determinism: vectors are upcast to double before any arithmetic; the
 dot product is a sequential left fold in both engines; cosines are
 rounded to 6 places and ordering ties break on vec_id, so top-k sets are
@@ -147,6 +153,105 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NLIST = 8  # IVF coarse-quantizer cells
+NPROBE = 2  # cells searched per query
+IVF_ITERS = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the clustered scale path.
+
+    Coarse quantizer: NLIST centroids refined by a few Lloyd iterations
+    (deterministic init: the first NLIST vectors), assignments computed
+    by broadcast distance argmin, centroid update via posexplode ->
+    per-(cell, component) mean -> rebuild — every step a DataFrame op,
+    so the training loop distributes.  Queries then probe only their
+    NPROBE nearest cells' inverted lists.
+
+    Rows-only correctness (float centroid means are not reproducible
+    across engines by design); tests pin recall against the exact
+    operator instead.
+    """
+    v = _vectors(spark, sf_dir).persist()
+
+    centroids = v.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+    )
+    dist2 = (
+        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    for _ in range(IVF_ITERS):
+        assigned = (
+            v.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", F.expr(dist2))
+            .withColumn("rn", F.row_number().over(w_assign))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v")
+        )
+        centroids = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, mx))),"
+                    " s -> s.mx)"
+                ).alias("cv")
+            )
+        )
+    assigned = (
+        v.crossJoin(F.broadcast(centroids))
+        .withColumn("d2", F.expr(dist2))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v", "norm")
+    )
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES)
+    q_probe = (
+        q.select("vec_id", "v", "norm")
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("d2", F.expr(dist2))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.col("d2").asc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= NPROBE)
+        .select(
+            F.col("vec_id").alias("q_vec_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "cid",
+        )
+    )
+    cand = assigned.join(q_probe, "cid").filter(
+        F.col("vec_id") != F.col("q_vec_id")
+    )
+    scored = cand.withColumn(
+        "cos",
+        F.round(
+            F.expr(_DOT.format(a="qv", b="v")) / (F.col("qnorm") * F.col("norm")), 6
+        ),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("q_vec_id", "vec_id", "cos", "rank")
+    )
+
+
 _SQL_PLANE = (
     "list_sum(list_transform(generate_series(1, {dim}), c -> {v}[c] * "
     "(((('0x' || substr(md5(concat('plane:', p, ':', c - 1)), 1, 15))::BIGINT"
@@ -207,7 +312,10 @@ ORACLE: dict[str, str | None] = {
     """,
 }
 
+ORACLE["ann_ivf_topk"] = None  # float centroids: rows-only + recall test
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }
