@@ -61,6 +61,11 @@ def retention_delete(path: str, partition_col: str, min_keep_value: str) -> int:
     Returns the number of partitions removed.  Partition values are
     taken from the directory layout itself; with Delta this becomes
     ``DELETE WHERE`` + ``VACUUM``.
+
+    Caveat: if the table was written by a streaming file sink, its
+    ``_spark_metadata`` log still references the removed files — read
+    the table through a partition glob + ``basePath`` (see pipeline.py)
+    or migrate to a log-backed table format.
     """
     removed = 0
     for child in Path(path).iterdir():
