@@ -1,0 +1,145 @@
+"""Corpus-curation operators: sampling, cleaning, and data mixing.
+
+The remaining staples of a training-data pipeline, all map-side or
+single-shuffle and oracle-mirrored:
+
+* ``deterministic_sample`` — hash-bucket sampling: md5-derived bucket in
+  [0,100); keep bucket < rate.  Unlike ``rand()``-based sampling it is
+  reproducible across runs, engines, partitionings, and retries — the
+  property a 100 TB pipeline needs so a re-run selects the same corpus.
+* ``text_clean_redact``   — normalization + PII-shaped redaction
+  (emails, long digit runs), whitespace collapse — regexp_replace
+  chains, pure map-side.
+* ``quality_topk_mix``    — stratified data mixing: top-N documents per
+  language by the text_stats quality score, with per-language quotas —
+  the "mixture weights" shape, as one ranked-window pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.operators.text import text_stats
+
+SAMPLE_PCT = 10  # keep ~10% of documents
+MIX_TOP_N = 25  # documents per language stratum
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~SAMPLE_PCT% sample via md5 bucket of doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return (
+        d.withColumn("sample_bucket", bucket)
+        .filter(F.col("sample_bucket") < SAMPLE_PCT)
+        .select("doc_id", "lang", "n_chars", "sample_bucket")
+    )
+
+
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize + redact: lowercase, mask email-shaped tokens and 6+
+    digit runs, strip non [a-z0-9 .@<>] chars, collapse whitespace."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = F.lower(F.col("text"))
+    cleaned = F.regexp_replace(
+        cleaned, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<email>"
+    )
+    cleaned = F.regexp_replace(cleaned, r"[0-9]{6,}", "<number>")
+    cleaned = F.regexp_replace(cleaned, r"[^a-z0-9 .@<>]", " ")
+    cleaned = F.trim(F.regexp_replace(cleaned, r" +", " "))
+    return d.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("bigint").alias("clean_len"),
+        (F.length(cleaned) < F.length("text")).alias("was_modified"),
+    )
+
+
+def quality_topk_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified mix: top MIX_TOP_N docs per language by quality score
+    (ties broken by doc_id for determinism)."""
+    stats = text_stats(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        stats.withColumn("mix_rank", F.row_number().over(w))
+        .filter(F.col("mix_rank") <= MIX_TOP_N)
+        .select("lang", "doc_id", "quality_score", "mix_rank")
+    )
+
+
+_SQL_QUALITY = """
+  SELECT doc_id, lang,
+         ROUND(0.4 * stopword_ratio + 0.3 * (1 - punct_ratio)
+               + 0.3 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0), 6)
+           AS quality_score
+  FROM (
+    SELECT doc_id, lang,
+           CAST(len(w) AS BIGINT) AS n_words,
+           ROUND(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+                  AS DOUBLE) / length(text), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(w, x -> list_contains(
+                    ['the','a','of','and','to','in','is','on'], x)))
+                  AS DOUBLE) / len(w), 6) AS stopword_ratio
+    FROM (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    )
+  )
+"""
+
+ORACLE: dict[str, str | None] = {
+    "deterministic_sample": f"""
+        SELECT doc_id, lang, n_chars,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 100) AS sample_bucket
+        FROM documents
+        WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 100) < {SAMPLE_PCT}
+    """,
+    "text_clean_redact": r"""
+        WITH c AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(lower(text),
+                         '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>',
+                         'g'),
+                       '[0-9]{6,}', '<number>', 'g'),
+                     '[^a-z0-9 .@<>]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS clean_text,
+                 text
+          FROM documents
+        )
+        SELECT doc_id, clean_text,
+               CAST(length(clean_text) AS BIGINT) AS clean_len,
+               length(clean_text) < length(text) AS was_modified
+        FROM c
+    """,
+    "quality_topk_mix": f"""
+        SELECT lang, doc_id, quality_score, mix_rank
+        FROM (
+          SELECT lang, doc_id, quality_score,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY quality_score DESC, doc_id ASC) AS mix_rank
+          FROM ({_SQL_QUALITY})
+        )
+        WHERE mix_rank <= {MIX_TOP_N}
+    """,
+}
+
+QUERIES = {
+    "deterministic_sample": deterministic_sample,
+    "text_clean_redact": text_clean_redact,
+    "quality_topk_mix": quality_topk_mix,
+}

@@ -36,7 +36,15 @@ def _load() -> None:
 
     # Optional modules land as they are implemented; import-gated so a
     # broken extension never takes down the core inventory.
-    for name in ("dedup", "similarity", "text", "multimodal", "pandas_ops", "rollups"):
+    for name in (
+        "dedup",
+        "similarity",
+        "text",
+        "multimodal",
+        "pandas_ops",
+        "rollups",
+        "curation",
+    ):
         try:
             mod = __import__(
                 f"velib_lakehouse_spark.operators.{name}", fromlist=["QUERIES"]
