@@ -256,6 +256,51 @@ def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling parity surface: outer-join nulls through COALESCE /
+    NULLIF / null-safe equality / conditional counting — the behaviours
+    the alert rules depend on (NULL trend never alerts), pinned broadly.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderkey").alias("n_orders"),  # count() skips nulls
+        F.count_if(F.col("o_orderkey").isNull()).alias("n_null_rows"),
+        F.coalesce(F.max("o_totalprice"), F.lit(-1.0)).alias("max_or_default"),
+        F.max(F.nullif(F.col("o_orderstatus"), F.lit("O"))).alias(
+            "max_nonopen_status"
+        ),
+        F.count_if(F.col("o_orderstatus").eqNullSafe("O")).alias("n_open_safe"),
+    )
+
+
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution primitive: Levenshtein edit distance over a
+    blocked candidate set (same nation) — integer distances are exactly
+    comparable across engines.  Blocking bounds the pair explosion the
+    same way the rare-shingle cap does for Jaccard."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_nationkey",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "c_nationkey",
+    )
+    return (
+        a.join(b, "c_nationkey")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
+    )
+
+
 def json_roundtrip_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested-document round trip (the GBFS station_information shape,
     reference src/assets/station_reference.py:44 + src/api.py:98-106):
@@ -491,6 +536,29 @@ ORACLE: dict[str, str | None] = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    "null_semantics": """
+        SELECT c_custkey,
+               count(*) AS n_rows,
+               count(o_orderkey) AS n_orders,
+               count_if(o_orderkey IS NULL) AS n_null_rows,
+               COALESCE(max(o_totalprice), -1.0) AS max_or_default,
+               max(NULLIF(o_orderstatus, 'O')) AS max_nonopen_status,
+               count_if(o_orderstatus IS NOT DISTINCT FROM 'O') AS n_open_safe
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "fuzzy_name_pairs": """
+        WITH c AS (
+          SELECT c_custkey, c_name, c_nationkey FROM customer
+          WHERE c_custkey < 200
+        )
+        SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+               a.c_name AS name_a, b.c_name AS name_b,
+               levenshtein(a.c_name, b.c_name) AS edit_dist
+        FROM c a JOIN c b ON a.c_nationkey = b.c_nationkey
+        WHERE a.c_custkey < b.c_custkey
+          AND levenshtein(a.c_name, b.c_name) <= 3
+    """,
     "json_roundtrip_unnest": """
         WITH stations AS (
           SELECT c_nationkey, c_custkey, c_name FROM customer
@@ -508,6 +576,8 @@ QUERIES = {
     "skew_salted_agg": skew_salted_agg,
     "array_functions_showcase": array_functions_showcase,
     "stats_functions": stats_functions,
+    "null_semantics": null_semantics,
+    "fuzzy_name_pairs": fuzzy_name_pairs,
     "asof_join_latest_state": asof_join_latest_state,
     "range_join_periods": range_join_periods,
     "sessionize_events": sessionize_events,
