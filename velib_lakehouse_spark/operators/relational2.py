@@ -256,6 +256,78 @@ def stats_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each priority's revenue share.
+
+    Computed as group aggregates cross-joined with the 1-row grand total
+    (broadcast) rather than a ``Window.partitionBy()`` over everything —
+    an all-rows window funnels the table through one task at scale; the
+    cross-join form keeps both aggregations parallel.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(dec_sum("o_totalprice", "revenue"))
+    total = o.agg(dec_sum("o_totalprice", "total_revenue"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "o_orderpriority",
+        "revenue",
+        F.round(F.col("revenue") / F.col("total_revenue"), 6).alias("share"),
+    )
+
+
+def resample_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling resample: a regular 6h grid per station, forward-filled
+    with the last observed value (sparklines want regular intervals; raw
+    readings are irregular).  Same union-sentinel + last_value machinery
+    as the as-of join, with a dense generated grid as the probe side."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 5)
+    grid = (
+        spark.range(5)
+        .select(F.col("id").alias("user_id"))
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.expr(
+                        "sequence(timestamp'2024-01-10 00:00:00',"
+                        " timestamp'2024-01-20 00:00:00', interval 6 hours)"
+                    )
+                ).alias("slot")
+            )
+        )
+    )
+    probe = grid.select(
+        "user_id",
+        F.col("slot").alias("t"),
+        F.lit(1).alias("is_grid"),
+        F.lit(None).cast("double").alias("v"),
+        F.lit(None).cast("bigint").alias("eid"),
+    )
+    build = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_grid"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("eid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("t").asc(), F.col("is_grid").asc(), F.col("eid").asc_nulls_last()
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = build.unionByName(probe).select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(w).alias("filled_value"),
+    )
+    return filled.filter(F.col("is_grid") == 1).select(
+        "user_id",
+        F.unix_millis(F.col("t").cast("timestamp")).alias("slot_ms"),
+        "filled_value",
+    )
+
+
 def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling parity surface: outer-join nulls through COALESCE /
     NULLIF / null-safe equality / conditional counting — the behaviours
@@ -536,6 +608,47 @@ ORACLE: dict[str, str | None] = {
         FROM lineitem
         GROUP BY l_returnflag
     """,
+    "share_of_total": """
+        WITH per AS (
+          SELECT o_orderpriority,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) AS revenue
+          FROM orders GROUP BY o_orderpriority
+        ),
+        tot AS (
+          SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                      AS DOUBLE) AS total_revenue
+          FROM orders
+        )
+        SELECT o_orderpriority, revenue,
+               ROUND(revenue / total_revenue, 6) AS share
+        FROM per CROSS JOIN tot
+    """,
+    "resample_forward_fill": """
+        WITH probe AS (
+          SELECT u.user_id,
+                 unnest(generate_series(TIMESTAMP '2024-01-10 00:00:00',
+                        TIMESTAMP '2024-01-20 00:00:00', INTERVAL 6 HOUR)) AS t
+          FROM (SELECT unnest(generate_series(0, 4)) AS user_id) u
+        ),
+        unioned AS (
+          SELECT user_id, ts AS t, 0 AS is_grid, value AS v, event_id AS eid
+          FROM events WHERE user_id < 5
+          UNION ALL
+          SELECT user_id, t, 1 AS is_grid, NULL AS v, NULL AS eid FROM probe
+        ),
+        filled AS (
+          SELECT user_id, t, is_grid,
+                 last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY t ASC, is_grid ASC, eid ASC NULLS LAST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS filled_value
+          FROM unioned
+        )
+        SELECT user_id, epoch_ms(t) AS slot_ms, filled_value
+        FROM filled WHERE is_grid = 1
+    """,
     "null_semantics": """
         SELECT c_custkey,
                count(*) AS n_rows,
@@ -578,6 +691,8 @@ QUERIES = {
     "stats_functions": stats_functions,
     "null_semantics": null_semantics,
     "fuzzy_name_pairs": fuzzy_name_pairs,
+    "share_of_total": share_of_total,
+    "resample_forward_fill": resample_forward_fill,
     "asof_join_latest_state": asof_join_latest_state,
     "range_join_periods": range_join_periods,
     "sessionize_events": sessionize_events,

@@ -87,7 +87,7 @@ def tuned_shuffle(spark: SparkSession, n: int | None = None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:
@@ -101,7 +101,8 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     layout.  Idempotent per SparkContext.
     """
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED:
+    app_id = sc.applicationId  # unique per context (id() could be reused)
+    if app_id in _SHIPPED:
         return
     import tempfile
     import zipfile
@@ -117,7 +118,7 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
                     rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                     z.write(full, rel)
     sc.addPyFile(zpath)
-    _SHIPPED.add(id(sc))
+    _SHIPPED.add(app_id)
 
 
 def apply_safe_confs(spark: SparkSession) -> None:
