@@ -42,17 +42,23 @@ def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalize + redact: lowercase, mask email-shaped tokens and 6+
-    digit runs, strip non [a-z0-9 .@<>] chars, collapse whitespace."""
-    d = load_table(spark, sf_dir, "documents")
-    cleaned = F.lower(F.col("text"))
+def clean_text_expr(col) -> "F.Column":
+    """The normalization/redaction pipeline as a reusable expression:
+    lowercase, mask email-shaped tokens and 6+ digit runs, strip non
+    [a-z0-9 .@<>] chars, collapse whitespace."""
+    cleaned = F.lower(col)
     cleaned = F.regexp_replace(
         cleaned, r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<email>"
     )
     cleaned = F.regexp_replace(cleaned, r"[0-9]{6,}", "<number>")
     cleaned = F.regexp_replace(cleaned, r"[^a-z0-9 .@<>]", " ")
-    cleaned = F.trim(F.regexp_replace(cleaned, r" +", " "))
+    return F.trim(F.regexp_replace(cleaned, r" +", " "))
+
+
+def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize + redact the corpus (see ``clean_text_expr``)."""
+    d = load_table(spark, sf_dir, "documents")
+    cleaned = clean_text_expr(F.col("text"))
     return d.select(
         "doc_id",
         cleaned.alias("clean_text"),

@@ -68,6 +68,51 @@ def kafka_stream(spark: SparkSession, brokers: str, topic: str) -> DataFrame:
     )
 
 
+KAFKA_VALUE_SCHEMA = (
+    "STRUCT<event_id: BIGINT, station_code: BIGINT, event_type: STRING,"
+    " bikes_available: DOUBLE, last_reported_us: BIGINT>"
+)
+
+
+def kafka_shaped_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact bronze->silver parse (silver.py:40-42):
+    a Kafka-shaped frame (binary key, binary JSON value) decoded with
+    ``from_json(value.cast(string), schema)`` + star-expansion.
+
+    The Kafka frame is built from events (key = station code bytes,
+    value = JSON payload — mirroring sources/ingest.to_keyed_messages),
+    then parsed back; a lossless round trip proves the P1 path.
+    """
+    e = load_table(spark, sf_dir, "events")
+    kafka_shaped = e.select(
+        F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+        F.encode(
+            F.to_json(
+                F.struct(
+                    F.col("event_id"),
+                    F.col("user_id").alias("station_code"),
+                    F.col("event_type"),
+                    F.col("value").alias("bikes_available"),
+                    F.unix_micros(F.col("ts").cast("timestamp")).alias(
+                        "last_reported_us"
+                    ),
+                )
+            ),
+            "UTF-8",
+        ).alias("value"),
+    )
+    parsed = kafka_shaped.select(
+        F.from_json(F.col("value").cast("string"), KAFKA_VALUE_SCHEMA).alias("data")
+    ).select("data.*")
+    return parsed.select(
+        "event_id",
+        "station_code",
+        "event_type",
+        "bikes_available",
+        F.expr("last_reported_us div 1000").alias("last_reported_ms"),
+    )
+
+
 def silver_transform(stream: DataFrame) -> DataFrame:
     """The silver parse+derive (reference silver.py:40-49): payload parse,
     event-time and partition-date derivation."""
@@ -302,6 +347,14 @@ ORACLE: dict[str, str | None] = {
         CROSS JOIN (SELECT max(epoch_ms(ts)) AS mx FROM events) m
         WHERE w.window_end_ms <= m.mx - {WATERMARK_SECONDS * 1000}
     """,
+    "kafka_shaped_roundtrip": """
+        SELECT event_id,
+               user_id AS station_code,
+               event_type,
+               value AS bikes_available,
+               epoch_us(ts) // 1000 AS last_reported_ms
+        FROM events
+    """,
     "streaming_gold_foreachbatch": """
         SELECT event_id,
                user_id AS station_code,
@@ -323,6 +376,7 @@ ORACLE: dict[str, str | None] = {
 }
 
 QUERIES = {
+    "kafka_shaped_roundtrip": kafka_shaped_roundtrip,
     "streaming_silver_availablenow": streaming_silver_availablenow,
     "streaming_gold_foreachbatch": streaming_gold_foreachbatch,
     "streaming_windowed_counts": streaming_windowed_counts,
