@@ -77,7 +77,10 @@ def quality_topk_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stats.withColumn("mix_rank", F.row_number().over(w))
         .filter(F.col("mix_rank") <= MIX_TOP_N)
-        .select("lang", "doc_id", "quality_score", "mix_rank")
+        .select(
+            "lang", "doc_id", "quality_score",
+            F.col("mix_rank").cast("bigint").alias("mix_rank"),
+        )
     )
 
 

@@ -456,7 +456,8 @@ ORACLE: dict[str, str | None] = {
           GROUP BY doc_id, j
         )
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT)
+                 AS simhash
         FROM votes GROUP BY doc_id
     """,
     "dedup_embedding_cosine": f"""

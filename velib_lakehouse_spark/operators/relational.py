@@ -158,7 +158,10 @@ def topn_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.col("rn").cast("bigint").alias("rn"),
+        )
     )
 
 
@@ -177,12 +180,12 @@ def rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_orderstatus",
         year.cast("bigint").alias("order_year"),
-        F.rank().over(w_ties).alias("rnk"),
-        F.dense_rank().over(w_ties).alias("drnk"),
+        F.rank().over(w_ties).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("bigint").alias("drnk"),
         F.round(F.percent_rank().over(w_ties), 6).alias("prnk"),
         F.round(F.cume_dist().over(w_ties), 6).alias("cdist"),
-        F.row_number().over(w_total).alias("rn"),
-        F.ntile(4).over(w_total).alias("quartile"),
+        F.row_number().over(w_total).cast("bigint").alias("rn"),
+        F.ntile(4).over(w_total).cast("bigint").alias("quartile"),
     )
 
 
@@ -217,7 +220,7 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
         F.lag("o_totalprice").over(ws).alias("prev_price"),
-        F.row_number().over(ws).alias("order_seq"),
+        F.row_number().over(ws).cast("bigint").alias("order_seq"),
     )
 
 
@@ -502,10 +505,10 @@ ORACLE: dict[str, str | None] = {
     """,
     "count_if_bands": """
         SELECT o_orderpriority,
-               count_if(o_totalprice < 100000) AS n_small,
-               count_if(o_totalprice >= 100000 AND o_totalprice < 300000)
-                 AS n_mid,
-               count_if(o_totalprice >= 300000) AS n_large,
+               CAST(count_if(o_totalprice < 100000) AS BIGINT) AS n_small,
+               CAST(count_if(o_totalprice >= 100000 AND o_totalprice < 300000)
+                    AS BIGINT) AS n_mid,
+               CAST(count_if(o_totalprice >= 300000) AS BIGINT) AS n_large,
                COUNT(*) AS n_total
         FROM orders
         GROUP BY o_orderpriority
@@ -556,9 +559,9 @@ ORACLE: dict[str, str | None] = {
     """,
     "pivot_status_counts": """
         SELECT o_orderpriority,
-               count_if(o_orderstatus = 'O') AS n_open,
-               count_if(o_orderstatus = 'F') AS n_finished,
-               count_if(o_orderstatus = 'P') AS n_partial
+               CAST(count_if(o_orderstatus = 'O') AS BIGINT) AS n_open,
+               CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+               CAST(count_if(o_orderstatus = 'P') AS BIGINT) AS n_partial
         FROM orders
         GROUP BY o_orderpriority
     """,

@@ -367,7 +367,7 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "c_nationkey")
         .filter(F.col("key_a") < F.col("key_b"))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b").cast("bigint"))
         .filter(F.col("edit_dist") <= 3)
         .select("key_a", "key_b", "name_a", "name_b", "edit_dist")
     )
@@ -520,7 +520,7 @@ ORACLE: dict[str, str | None] = {
                  AS session_idx
           FROM flagged
         )
-        SELECT user_id, session_idx,
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
                count(*) AS n_events,
                min(epoch_ms(ts)) AS session_start_ms,
                max(epoch_ms(ts)) AS session_end_ms,
@@ -653,10 +653,11 @@ ORACLE: dict[str, str | None] = {
         SELECT c_custkey,
                count(*) AS n_rows,
                count(o_orderkey) AS n_orders,
-               count_if(o_orderkey IS NULL) AS n_null_rows,
+               CAST(count_if(o_orderkey IS NULL) AS BIGINT) AS n_null_rows,
                COALESCE(max(o_totalprice), -1.0) AS max_or_default,
                max(NULLIF(o_orderstatus, 'O')) AS max_nonopen_status,
-               count_if(o_orderstatus IS NOT DISTINCT FROM 'O') AS n_open_safe
+               CAST(count_if(o_orderstatus IS NOT DISTINCT FROM 'O') AS BIGINT)
+                 AS n_open_safe
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey
     """,

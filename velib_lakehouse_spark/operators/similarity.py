@@ -78,7 +78,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_vec_id", "vec_id", "label", "cos", "rank")
+        .select(
+            "q_vec_id", "vec_id", "label", "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -149,7 +152,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_vec_id", "vec_id", "cos", "rank")
+        .select(
+            "q_vec_id", "vec_id", "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 
@@ -248,7 +254,10 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
-        .select("q_vec_id", "vec_id", "cos", "rank")
+        .select(
+            "q_vec_id", "vec_id", "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 

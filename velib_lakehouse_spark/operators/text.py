@@ -193,7 +193,8 @@ ORACLE: dict[str, str | None] = {
     """,
     "doc_fingerprint": f"""
         SELECT doc_id,
-               sum(({sql_md5_long('w')} % 1000003) * pos) AS fingerprint,
+               CAST(sum(({sql_md5_long('w')} % 1000003) * pos) AS BIGINT)
+                 AS fingerprint,
                count(*) AS n_words
         FROM (
           SELECT doc_id, unnest({_SQL_WORDS}) AS w,

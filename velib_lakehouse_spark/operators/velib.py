@@ -308,9 +308,10 @@ ORACLE: dict[str, str | None] = {
     """,
     "velib_alert_bands": f"""
         WITH latest AS ({_DEDUP_LATEST_CTE})
-        SELECT count_if(value < {CRITICAL_MAX}) AS critical_count,
-               count_if(value >= {CRITICAL_MAX} AND value < {ALERT_MAX})
-                 AS warning_count,
+        SELECT CAST(count_if(value < {CRITICAL_MAX}) AS BIGINT)
+                 AS critical_count,
+               CAST(count_if(value >= {CRITICAL_MAX} AND value < {ALERT_MAX})
+                    AS BIGINT) AS warning_count,
                count(*) AS total_stations
         FROM latest
     """,

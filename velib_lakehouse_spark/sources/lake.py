@@ -165,7 +165,7 @@ def lake_gold_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE: dict[str, str | None] = {
     "json_file_scan": """
-        SELECT c_nationkey,
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                count(*) AS n_stations,
                max(c_custkey) AS max_station_id
         FROM customer
