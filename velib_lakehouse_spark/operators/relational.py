@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
-from velib_lakehouse_spark.functions.collections import ordered_collect
+from velib_lakehouse_spark.functions.collections import csv_scaled, ordered_collect
 from velib_lakehouse_spark.functions.convert import millis
 from velib_lakehouse_spark.functions.exact import (
     dec_avg,
@@ -260,12 +260,21 @@ def count_if_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def collect_ordered_quantities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered list aggregation (A5: DuckDB LIST(x ORDER BY ...) parity,
-    reference src/api.py:59) — per-order quantities by ship date."""
+    reference src/api.py:59) — per-order quantities by ship date.
+
+    Quantities are integral doubles, serialized to a comma-joined int
+    string (``csv_scaled``) so the driver's pandas canonicalizer can
+    hash the cell; the ordered-array form stays available through
+    ``functions.collections.ordered_collect``.
+    """
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_orderkey").agg(
-        ordered_collect(
-            F.col("l_quantity"), millis("l_shipdate"), F.col("l_linenumber")
-        ).alias("quantities"),
+        csv_scaled(
+            ordered_collect(
+                F.col("l_quantity"), millis("l_shipdate"), F.col("l_linenumber")
+            ),
+            1,
+        ).alias("quantities_csv"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -515,9 +524,12 @@ ORACLE: dict[str, str | None] = {
     """,
     "collect_ordered_quantities": """
         SELECT l_orderkey,
-               list(l_quantity
-                    ORDER BY l_shipdate ASC, l_linenumber ASC, l_quantity ASC)
-                 AS quantities,
+               array_to_string(list_transform(
+                   list(l_quantity
+                        ORDER BY l_shipdate ASC, l_linenumber ASC,
+                                 l_quantity ASC),
+                   x -> CAST(CAST(round(x) AS BIGINT) AS VARCHAR)
+               ), ',') AS quantities_csv,
                COUNT(*) AS n_lines
         FROM lineitem
         GROUP BY l_orderkey

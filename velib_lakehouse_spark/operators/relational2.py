@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.collections import csv_scaled
 from velib_lakehouse_spark.functions.exact import dec_sum
 
 ASOF_USERS = 10
@@ -221,17 +222,22 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             " x -> x.l_quantity)"
         ).alias("qtys")
     )
+    # Array-valued columns are serialized to comma-joined int strings
+    # (quantities are integral) so the driver's pandas canonicalizer can
+    # hash the cells; the array ops themselves still run JVM-side.
     return per_order.select(
         "l_orderkey",
-        "qtys",
+        csv_scaled("qtys", 1).alias("qtys_csv"),
         # distinct preserves engine-specific encounter order; sort for a
         # canonical cross-engine value
-        F.array_sort(F.array_distinct("qtys")).alias("distinct_qtys"),
+        csv_scaled(F.array_sort(F.array_distinct("qtys")), 1).alias(
+            "distinct_qtys_csv"
+        ),
         F.array_max("qtys").alias("max_qty"),
         F.array_min("qtys").alias("min_qty"),
         F.size("qtys").cast("bigint").alias("n_qtys"),
-        F.slice("qtys", 1, 3).alias("first3"),
-        F.reverse("qtys").alias("reversed"),
+        csv_scaled(F.slice("qtys", 1, 3), 1).alias("first3_csv"),
+        csv_scaled(F.reverse("qtys"), 1).alias("reversed_csv"),
         F.array_contains("qtys", 1.0).alias("has_single_unit"),
         F.round(
             F.expr(
@@ -239,7 +245,7 @@ def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             2,
         ).alias("sum_qtys"),
-        F.expr("transform(qtys, x -> x * 2)").alias("doubled"),
+        csv_scaled(F.expr("transform(qtys, x -> x * 2)"), 1).alias("doubled_csv"),
     )
 
 
@@ -436,25 +442,54 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def approx_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for the 100TB path: HyperLogLog distinct counts
-    and approximate percentiles next to their exact counterparts.
+    and approximate percentiles, judged as within-tolerance booleans
+    against the exact values.
 
-    Rows-only check (sketch internals differ across engines by design);
-    tests/test_extensions.py pins the approximation error instead.
+    Sketch internals are engine-specific, so raw sketch outputs cannot
+    be oracle-compared — but the error *bound* is the portable contract:
+    each engine checks its own sketch against its own exact aggregate
+    and emits the verdict, which IS cross-engine comparable (both
+    deterministic, both true).  tests/test_extensions.py additionally
+    pins the numeric error at 5%.
     """
     l = load_table(spark, sf_dir, "lineitem")
+    exact_parts = F.countDistinct("l_partkey")
+    exact_orders = F.countDistinct("l_orderkey")
+    exact_median = F.expr("percentile(l_extendedprice, 0.5)")
     return l.agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 4).alias(
-            "approx_median_price"
-        ),
+        exact_parts.alias("exact_parts"),
+        exact_orders.alias("exact_orders"),
+        (
+            F.abs(F.approx_count_distinct("l_partkey", rsd=0.02) - exact_parts)
+            <= exact_parts * F.lit(0.1)
+        ).alias("parts_hll_ok"),
+        (
+            F.abs(F.approx_count_distinct("l_orderkey", rsd=0.02) - exact_orders)
+            <= exact_orders * F.lit(0.1)
+        ).alias("orders_hll_ok"),
+        (
+            F.abs(F.expr("percentile_approx(l_extendedprice, 0.5)") - exact_median)
+            <= exact_median * F.lit(0.05)
+        ).alias("median_approx_ok"),
     )
 
 
 ORACLE: dict[str, str | None] = {
-    "approx_distinct_stats": None,
+    "approx_distinct_stats": """
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               abs(approx_count_distinct(l_partkey)
+                   - count(DISTINCT l_partkey))
+                 <= 0.1 * count(DISTINCT l_partkey) AS parts_hll_ok,
+               abs(approx_count_distinct(l_orderkey)
+                   - count(DISTINCT l_orderkey))
+                 <= 0.1 * count(DISTINCT l_orderkey) AS orders_hll_ok,
+               abs(approx_quantile(l_extendedprice, 0.5)
+                   - quantile_cont(l_extendedprice, 0.5))
+                 <= 0.05 * quantile_cont(l_extendedprice, 0.5)
+                 AS median_approx_ok
+        FROM lineitem
+    """,
     "skew_salted_agg": """
         SELECT event_type, count(*) AS n_events,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
@@ -586,16 +621,27 @@ ORACLE: dict[str, str | None] = {
                    AS qtys
           FROM lineitem GROUP BY l_orderkey
         )
-        SELECT l_orderkey, qtys,
-               list_sort(list_distinct(qtys)) AS distinct_qtys,
+        SELECT l_orderkey,
+               array_to_string(list_transform(qtys,
+                   x -> CAST(CAST(round(x) AS BIGINT) AS VARCHAR)), ',')
+                 AS qtys_csv,
+               array_to_string(list_transform(list_sort(list_distinct(qtys)),
+                   x -> CAST(CAST(round(x) AS BIGINT) AS VARCHAR)), ',')
+                 AS distinct_qtys_csv,
                list_max(qtys) AS max_qty,
                list_min(qtys) AS min_qty,
                CAST(len(qtys) AS BIGINT) AS n_qtys,
-               qtys[1:3] AS first3,
-               list_reverse(qtys) AS reversed,
+               array_to_string(list_transform(qtys[1:3],
+                   x -> CAST(CAST(round(x) AS BIGINT) AS VARCHAR)), ',')
+                 AS first3_csv,
+               array_to_string(list_transform(list_reverse(qtys),
+                   x -> CAST(CAST(round(x) AS BIGINT) AS VARCHAR)), ',')
+                 AS reversed_csv,
                list_contains(qtys, 1.0) AS has_single_unit,
                ROUND(list_sum(qtys), 2) AS sum_qtys,
-               list_transform(qtys, x -> x * 2) AS doubled
+               array_to_string(list_transform(qtys,
+                   x -> CAST(CAST(round(x * 2) AS BIGINT) AS VARCHAR)), ',')
+                 AS doubled_csv
         FROM per_order
     """,
     "stats_functions": """

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
-from velib_lakehouse_spark.functions.collections import ordered_collect
+from velib_lakehouse_spark.functions.collections import csv_scaled, ordered_collect
 from velib_lakehouse_spark.functions.exact import dec_sum
 from velib_lakehouse_spark.functions.timeseries import (
     latest_per_key,
@@ -145,6 +145,20 @@ def sparkline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value"), F.unix_millis("ts"), F.col("event_id")
         ).alias("sparkline_data"),
         F.max(F.when(F.col("rank") == 1, F.col("value"))).alias("current_bikes"),
+    )
+
+
+def sparkline_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry surface for :func:`sparkline`: identical plan, but the
+    ordered reading list is serialized to a comma-joined centi-unit
+    string so the driver's pandas canonicalizer can hash it (lists are
+    unhashable there).  Serving keeps the array form via
+    :func:`sparkline`; readings are 2-decimal so ``scale=100`` is exact.
+    """
+    return sparkline(spark, sf_dir).select(
+        "station_code",
+        csv_scaled("sparkline_data", 100).alias("sparkline_csv"),
+        "current_bikes",
     )
 
 
@@ -300,7 +314,10 @@ ORACLE: dict[str, str | None] = {
           WHERE e.user_id IN (SELECT user_id FROM targets)
         )
         SELECT user_id AS station_code,
-               list(value ORDER BY ts ASC, event_id ASC) AS sparkline_data,
+               array_to_string(list_transform(
+                   list(value ORDER BY ts ASC, event_id ASC),
+                   x -> CAST(CAST(round(x * 100) AS BIGINT) AS VARCHAR)
+               ), ',') AS sparkline_csv,
                max(CASE WHEN rank = 1 THEN value END) AS current_bikes
         FROM ranked
         WHERE rank <= 5
@@ -351,7 +368,7 @@ QUERIES = {
     "velib_history_enrich": history_enrich,
     "velib_dedup_latest": dedup_latest,
     "velib_alerts": alerts,
-    "velib_sparkline": sparkline,
+    "velib_sparkline": sparkline_export,
     "velib_alert_bands": alert_bands,
     "velib_health": health,
     "velib_zombie_anti": zombie_anti,
