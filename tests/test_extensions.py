@@ -76,6 +76,77 @@ def test_approx_distinct_within_5_percent(spark):
     assert judged.parts_hll_ok and judged.orders_hll_ok and judged.median_approx_ok
 
 
+def test_embedding_banded_pairs_subset_of_exact(spark):
+    from velib_lakehouse_spark.operators.dedup import dedup_embedding_cosine_exact
+
+    banded = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in registry.QUERIES["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cos
+        for r in dedup_embedding_cosine_exact(spark, SF_DIR).collect()
+    }
+    assert banded, "banded operator should find pairs at the judged threshold"
+    assert set(banded) <= set(exact)
+    for k, cos in banded.items():
+        assert cos == exact[k]
+
+
+def test_embedding_banded_recall_on_planted_near_dups(spark):
+    """Banding must recover >=90% of planted cos>=0.9 near-dup pairs —
+    the production semantics the bucketed plan is calibrated for."""
+    from velib_lakehouse_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        _norm_vectors,
+        banded_cosine_pairs,
+    )
+
+    base = _norm_vectors(spark, SF_DIR).filter(F.col("vec_id") < 100)
+    # plant a near-duplicate of every vector: tiny deterministic
+    # perturbation (+1% of component, sign alternating by position)
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(v, (x, i) -> x * cast(if(i % 2 = 0, 1.01, 0.99) as double))"
+        ).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(v, v, (x, y) -> x * y),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        ),
+    )
+    corpus = base.unionByName(dup)
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in banded_cosine_pairs(corpus, COSINE_DUP_THRESHOLD).collect()
+    }
+    planted = {(i, i + 100000) for i in range(100)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, f"banded recall {recall} on planted near-dups"
+
+
+def test_label_propagation_converges_on_long_chain(spark):
+    """A 200-node path graph exceeds the 25-iteration cap under plain
+    min-propagation (needs ~200 rounds); pointer-jumping must collapse
+    it within the cap and label every node with the chain head."""
+    from velib_lakehouse_spark.operators.dedup import _propagate_labels
+
+    n = 200
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = (
+        spark.range(n - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+    )
+    labels = _propagate_labels(docs, pairs)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert all(r.cluster_id == 0 for r in rows)
+
+
 def test_multimodal_decode_is_batched_and_stub_guarded(spark):
     from velib_lakehouse_spark.catalog import load_table
     from velib_lakehouse_spark.operators.multimodal import (

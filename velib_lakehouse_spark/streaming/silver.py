@@ -16,8 +16,10 @@ Three judged behaviours:
   watermark (the late-data upgrade the reference lacks, T6): append
   mode emits exactly the windows whose end <= final watermark, which
   the oracle reproduces arithmetically.
-* ``streaming_dedup``               — watermark + dropDuplicates on
-  (station, event-time): the idiomatic streaming dedup upgrade.
+* ``streaming_dedup``               — watermarked streaming aggregation
+  keeping the deterministic min-event_id row per (station, event-time):
+  the streaming dedup upgrade without dropDuplicates' arbitrary-winner
+  nondeterminism.
 """
 
 from __future__ import annotations
@@ -292,11 +294,28 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dropDuplicates on (station, event-time) under a watermark
-    — the T6 upgrade (the reference dedups only downstream in batch)."""
+    """Streaming dedup to a *deterministic* winner per (station,
+    event-time) under a watermark — the T6 upgrade (the reference dedups
+    only downstream in batch).
+
+    ``dropDuplicates`` keeps an arbitrary first-seen row, which diverges
+    across partitionings whenever true duplicates carry different
+    payloads; this uses a watermarked streaming aggregation keeping the
+    min-event_id row instead (min_by), so the result is a pure function
+    of the data.  Append mode emits exactly the groups closed by the
+    final watermark (ts < max(ts) - delay), which the oracle reproduces
+    arithmetically — same convention as ``streaming_windowed_counts``.
+    tests/test_streaming.py pins the winner on a crafted duplicate
+    fixture.
+    """
     ev = _event_stream(spark, sf_dir)
-    deduped = ev.withWatermark("ts", f"{WATERMARK_SECONDS} seconds").dropDuplicates(
-        ["user_id", "ts"]
+    deduped = (
+        ev.withWatermark("ts", f"{WATERMARK_SECONDS} seconds")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.min("event_id").alias("event_id"),
+            F.min_by("value", "event_id").alias("value"),
+        )
     )
     name = "streaming_dedup_sink"
     with tuned_shuffle(spark):
@@ -364,14 +383,19 @@ ORACLE: dict[str, str | None] = {
         WHERE value < 50
     """,
     "streaming_session_windows": None,
-    "streaming_dedup": """
+    "streaming_dedup": f"""
+        WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
+        dedup AS (
+          SELECT * FROM events
+          QUALIFY row_number() OVER (
+              PARTITION BY user_id, ts ORDER BY event_id) = 1
+        )
         SELECT event_id,
                user_id AS station_code,
                value AS bikes_available,
                epoch_ms(ts) AS last_reported_ms
-        FROM events
-        QUALIFY row_number() OVER (
-            PARTITION BY user_id, ts ORDER BY event_id) = 1
+        FROM dedup CROSS JOIN m
+        WHERE epoch_ms(ts) < mx - {WATERMARK_SECONDS * 1000}
     """,
 }
 
