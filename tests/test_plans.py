@@ -35,6 +35,15 @@ def test_semi_and_anti_join_strategies(spark):
     assert "LeftAnti" in anti
 
 
+def test_sparkline_semi_join_stays_broadcast(spark):
+    """The target-station semi-join side is a distinct-station list —
+    tiny at any data scale — and must stay broadcast, never degrade to a
+    shuffled SortMergeJoin as the events side grows."""
+    plan = _plan(registry.QUERIES["velib_sparkline"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_filter_pushdown_reaches_parquet_scan(spark):
     plan = _formatted(registry.QUERIES["tpch_q1_pricing"](spark, SF_DIR))
     assert "PushedFilters" in plan

@@ -14,6 +14,15 @@ implements the minimal version of the same idea on plain parquet:
 
 This is the K3 upgrade + VACUUM analogue; swap in real Delta by
 replacing these four functions, call sites unchanged.
+
+Delta adoption attempt (recorded for the record): this build has no
+``delta-spark`` / ``delta-core`` / Iceberg runtime jars anywhere on the
+classpath or pip cache, no network access, and installs are disallowed —
+so ``format("delta")`` cannot initialize (the DeltaCatalog class is
+absent).  The manifest path stays; on a cluster with the jars, set
+``spark.sql.extensions=io.delta.sql.DeltaSparkSessionExtension`` and
+``spark.sql.catalog.spark_catalog=org.apache.spark.sql.delta.catalog
+.DeltaCatalog`` and point these writers at ``format("delta")``.
 """
 
 from __future__ import annotations
