@@ -35,6 +35,7 @@ HEADLINE = [
     "collect_ordered_quantities",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "text_stats",
