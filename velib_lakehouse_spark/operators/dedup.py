@@ -128,29 +128,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs by word-3-gram Jaccard similarity.
 
-    distinct shingles per doc -> drop shingles with doc-frequency >
-    SHINGLE_DF_CAP -> self-join on shingle (a < b) -> intersection
+    distinct shingles per doc -> group by shingle -> drop groups with
+    doc-frequency > SHINGLE_DF_CAP -> emit all (a < b) doc pairs
+    *within each rare group* from its collected doc list -> intersection
     counts -> Jaccard against the *full* shingle-set sizes.
+
+    The within-group pair expansion replaces the classic shingle
+    self-join: one groupBy on shingle instead of (df-filter join +
+    shuffle self-join), and the fan-out per shingle is bounded by
+    C(SHINGLE_DF_CAP, 2) by construction.  At 100 TB that removes the
+    two largest shuffles of the pipeline; the collected doc list per
+    shingle is at most SHINGLE_DF_CAP ids.
     """
     d = load_table(spark, sf_dir, "documents")
-    # the shingle table feeds three consumers (sizes, doc-frequency cap,
-    # pair join) — persist it instead of recomputing the explode+distinct
-    # chain per consumer (at scale: materialize it as a table)
+    # the shingle table feeds two consumers (sizes, pair generation) —
+    # persist it instead of recomputing the explode+distinct chain per
+    # consumer (at scale: materialize it as a table)
     sh = _shingles(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
 
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("df"))
+    # doc-frequency cap via a window count sharing the groupBy's
+    # partitioning (one shuffle covers cap + collection), so mega-
+    # frequency stop-word shingles are filtered BEFORE any list is
+    # collected — a groupBy(collect_list)-then-filter would buffer an
+    # unbounded doc list per hot shingle at 100 TB.  (The hot shingle's
+    # window count itself lands on one task; that is a slow-task skew,
+    # not a memory hazard, and dropping it is the whole point.)
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("shingle")
+    groups = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("shingle"),
-        "shingle",
+        .groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
     )
-    a = rare.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = rare.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pair_expr = (
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        groups.select(F.array_sort("docs").alias("ds"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
