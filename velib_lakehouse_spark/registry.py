@@ -118,6 +118,7 @@ def _load() -> None:
         "pandas_ops",
         "rollups",
         "curation",
+        "training",
     ):
         try:
             mod = __import__(
