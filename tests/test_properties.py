@@ -63,6 +63,23 @@ def test_dec_sum_is_partitioning_invariant(spark, rows):
     assert one == many  # exact equality, not approx
 
 
+@given(rows=st.lists(
+    st.integers(min_value=-10**6, max_value=10**6),
+    min_size=0, max_size=30,
+))
+@settings(**SETTINGS)
+def test_csv_scaled_is_lossless_for_centi_grid_values(spark, rows):
+    """csv_scaled(col, 100) must reproduce the exact centi-integers even
+    after the values round-trip through double storage (x/100.0 is the
+    worst case the events fixture exercises)."""
+    from velib_lakehouse_spark.functions.collections import csv_scaled
+
+    data = [[[c / 100.0 for c in rows]]]
+    df = spark.createDataFrame(data, "xs array<double>")
+    got = df.select(csv_scaled("xs", 100).alias("s")).collect()[0]["s"]
+    assert got == ",".join(str(c) for c in rows)
+
+
 @given(rows=rows_strategy)
 @settings(**SETTINGS)
 def test_net_flow_matches_pandas_diff(spark, rows):
