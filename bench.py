@@ -46,6 +46,9 @@ HEADLINE = [
     "hypertable_rollup",
     "scd2_merge",
     "pandas_session_gaps",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "export_shuffled_shards",
     "streaming_silver_availablenow",
 ]
 
