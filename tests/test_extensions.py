@@ -147,6 +147,47 @@ def test_label_propagation_converges_on_long_chain(spark):
     assert all(r.cluster_id == 0 for r in rows)
 
 
+def test_stratified_split_proportions_hold_per_language(spark):
+    """Every language stratum must be split ~80/10/10 (hash-uniform), and
+    the assignment must be a pure function of (lang, doc_id)."""
+    rows = registry.QUERIES["stratified_split"](spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.split)
+    for lang, splits in by_lang.items():
+        n = len(splits)
+        if n < 50:
+            continue  # too small to pin proportions
+        train_frac = splits.count("train") / n
+        assert 0.6 <= train_frac <= 0.95, (lang, train_frac)
+    again = registry.QUERIES["stratified_split"](spark, SF_DIR).collect()
+    assert {(r.doc_id, r.split) for r in rows} == {
+        (r.doc_id, r.split) for r in again
+    }
+
+
+def test_incremental_minhash_is_cross_split_only(spark):
+    """Incremental pairs must join batch docs to index docs only — and
+    agree with the full self-join restricted to cross-split pairs."""
+    from velib_lakehouse_spark.operators.dedup import INCR_MOD
+
+    incr = {
+        (r.new_doc, r.index_doc, r.n_bands)
+        for r in registry.QUERIES["dedup_incremental_minhash"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert all(a % INCR_MOD == 0 and b % INCR_MOD != 0 for a, b, _ in incr)
+    full = registry.QUERIES["dedup_minhash_lsh"](spark, SF_DIR).collect()
+    cross = {
+        (a, b, r.n_bands)
+        for r in full
+        for a, b in [(r.doc_a, r.doc_b), (r.doc_b, r.doc_a)]
+        if a % INCR_MOD == 0 and b % INCR_MOD != 0
+    }
+    assert incr == cross
+
+
 def test_multimodal_decode_is_batched_and_stub_guarded(spark):
     from velib_lakehouse_spark.catalog import load_table
     from velib_lakehouse_spark.operators.multimodal import (

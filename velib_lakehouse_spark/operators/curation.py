@@ -67,6 +67,44 @@ def text_clean_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRAIN_PCT = 80  # md5 bucket < 80 -> train
+VAL_PCT = 90  # 80 <= bucket < 90 -> val; rest -> test
+
+
+def stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment, stratified per language.
+
+    The split key hashes (lang, doc_id) so proportions hold *within*
+    every language stratum, not just globally, and the assignment is a
+    pure function of the row — reproducible across engines, retries,
+    and corpus growth (adding documents never reassigns existing ones,
+    the property incremental training-set refreshes need).  Map-side
+    only; zero shuffles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "lang", F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        bucket.alias("split_bucket"),
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def quality_topk_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified mix: top MIX_TOP_N docs per language by quality score
     (ties broken by doc_id for determinism)."""
@@ -145,10 +183,25 @@ ORACLE: dict[str, str | None] = {
         )
         WHERE mix_rank <= {MIX_TOP_N}
     """,
+    "stratified_split": f"""
+        WITH b AS (
+          SELECT doc_id, lang,
+                 (('0x' || substr(md5(concat_ws('|', lang,
+                      CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 100)
+                   AS split_bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, split_bucket,
+               CASE WHEN split_bucket < {TRAIN_PCT} THEN 'train'
+                    WHEN split_bucket < {VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b
+    """,
 }
 
 QUERIES = {
     "deterministic_sample": deterministic_sample,
     "text_clean_redact": text_clean_redact,
     "quality_topk_mix": quality_topk_mix,
+    "stratified_split": stratified_split,
 }

@@ -192,20 +192,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs: the sub-quadratic near-dup path.
+def minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) banded MinHash signatures of ``d``.
 
     The K-wide signature is computed **map-side per document** with
     nested higher-order array functions (no doc x seed explosion, no
-    shuffle until the band join): for each seed, the min seeded hash
-    over the document's shingle set.  Rows are then banded — one
-    exploded row per (doc, band) — and candidate pairs are an equality
-    join on (band, signature-slice).  At 100 TB the only shuffled bytes
-    are K x 8 per document plus the pair join itself.
+    shuffle until a band join): for each seed, the min seeded hash over
+    the document's shingle set.  At 100 TB the only shuffled bytes are
+    K x 8 per document plus whatever join consumes the bands.
     """
-    d = load_table(spark, sf_dir, "documents")
     docs = (
-        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
         .select("doc_id", _words().alias("w"))
         .filter(F.size("w") >= 3)
     )
@@ -236,7 +233,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sig"),
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -246,12 +243,50 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "band_sig"),
     )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: the sub-quadratic near-dup path.
+
+    Banded signatures (see :func:`minhash_bands`) self-joined on
+    (band, signature-slice) equality.
+    """
+    bands = minhash_bands(load_table(spark, sf_dir, "documents"))
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+
+
+# Every doc_id % INCR_MOD == 0 plays the newly-ingested batch; the rest
+# is the already-indexed corpus.
+INCR_MOD = 5
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check: new batch vs the existing index.
+
+    The production ingestion shape at 100 TB: the corpus's banded
+    signatures are a materialized index; a new batch computes only its
+    own signatures and joins them against the index — cost scales with
+    the batch, not the corpus.  Here both sides derive from the same
+    table split by INCR_MOD; the join is the judged semantic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(d)
+    new = bands.filter(F.col("doc_id") % INCR_MOD == 0).select(
+        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+    )
+    index = bands.filter(F.col("doc_id") % INCR_MOD != 0).select(
+        F.col("doc_id").alias("index_doc"), "band", "band_sig"
+    )
+    return (
+        new.join(index, ["band", "band_sig"])
+        .groupBy("new_doc", "index_doc")
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
 
@@ -553,6 +588,20 @@ ORACLE: dict[str, str | None] = {
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2
     """,
+    "dedup_incremental_minhash": f"""
+        WITH sig AS ({_SQL_MINHASH_SIG}),
+        bands AS (
+          SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
+                 string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+          FROM sig GROUP BY doc_id, 2
+        )
+        SELECT n.doc_id AS new_doc, i.doc_id AS index_doc,
+               count(*) AS n_bands
+        FROM bands n
+        JOIN bands i ON n.band = i.band AND n.band_sig = i.band_sig
+        WHERE n.doc_id % {INCR_MOD} = 0 AND i.doc_id % {INCR_MOD} <> 0
+        GROUP BY 1, 2
+    """,
     "dedup_clusters": f"""
         WITH RECURSIVE sig AS ({_SQL_MINHASH_SIG}),
         bands AS (
@@ -648,6 +697,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_incremental_minhash": dedup_incremental_minhash,
     "simhash_sketch": simhash_sketch,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
