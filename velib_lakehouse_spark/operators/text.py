@@ -113,6 +113,70 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals: distinct-word ratio and the
+    frequency share of the most repeated word and word-bigram.
+
+    High repetition flags boilerplate/spam for corpus filtering (the
+    repetition family of quality rules).  Computed distributed — explode
+    to (doc, gram) counts, then per-doc max/sum — rather than a per-row
+    O(len²) nested-lambda scan, so a pathological 1 GB document costs
+    O(len) like everything else.  The two gram sizes share one shuffle
+    each; partial aggregation keeps shuffled bytes at one row per
+    distinct gram.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("g")).withColumn(
+        "n", F.lit(1)
+    )
+    bigrams = (
+        d.select("doc_id", _words().alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat_ws(' ', ws[i], ws[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .withColumn("n", F.lit(2))
+    )
+    grams = words.unionByName(bigrams)
+    counts = grams.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+        F.max("c").alias("top_count"),
+    )
+    uni = per_doc.filter(F.col("n") == 1)
+    bi = per_doc.filter(F.col("n") == 2).select(
+        "doc_id",
+        F.col("total").alias("bi_total"),
+        F.col("top_count").alias("bi_top"),
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("total").alias("n_words"),
+            F.col("distinct_grams").alias("n_distinct_words"),
+            F.round(F.col("distinct_grams") / F.col("total"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_count") / F.col("total"), 6).alias(
+                "top_word_ratio"
+            ),
+            F.round(
+                F.coalesce(F.col("bi_top") / F.col("bi_total"), F.lit(0.0)), 6
+            ).alias("top_bigram_ratio"),
+        )
+    )
+
+
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional fingerprint: sum((md5_60(word) % 1000003) * position).
 
@@ -203,6 +267,47 @@ ORACLE: dict[str, str | None] = {
         )
         GROUP BY doc_id
     """,
+    "repetition_stats": f"""
+        WITH uni AS (
+          SELECT doc_id, w AS g FROM (
+            SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+          )
+        ),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(ws) - 1),
+                        i -> concat_ws(' ', ws[i], ws[i+1]))) AS g
+          FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+          WHERE len(ws) >= 2
+        ),
+        uc AS (
+          SELECT doc_id, count(*) AS c FROM uni GROUP BY doc_id, g
+        ),
+        ud AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS total,
+                 count(*) AS distinct_grams,
+                 CAST(max(c) AS BIGINT) AS top_count
+          FROM uc GROUP BY doc_id
+        ),
+        bc AS (
+          SELECT doc_id, count(*) AS c FROM bi GROUP BY doc_id, g
+        ),
+        bd AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS bi_total,
+                 CAST(max(c) AS BIGINT) AS bi_top
+          FROM bc GROUP BY doc_id
+        )
+        SELECT ud.doc_id,
+               ud.total AS n_words,
+               ud.distinct_grams AS n_distinct_words,
+               ROUND(CAST(ud.distinct_grams AS DOUBLE) / ud.total, 6)
+                 AS distinct_ratio,
+               ROUND(CAST(ud.top_count AS DOUBLE) / ud.total, 6)
+                 AS top_word_ratio,
+               ROUND(COALESCE(CAST(bd.bi_top AS DOUBLE) / bd.bi_total, 0.0), 6)
+                 AS top_bigram_ratio
+        FROM ud LEFT JOIN bd ON ud.doc_id = bd.doc_id
+    """,
 }
 
 QUERIES = {
@@ -210,4 +315,5 @@ QUERIES = {
     "lang_id_heuristic": lang_id_heuristic,
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
+    "repetition_stats": repetition_stats,
 }
