@@ -122,6 +122,38 @@ def quality_topk_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report: documents / words / chars per
+    (lang, source) with ROLLUP subtotals — the mixture-accounting view a
+    training run reports before export.  One shuffle; rollup rows are
+    computed by Spark's partial-aggregation, not a second scan.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("bigint")
+        .alias("n_words"),
+        F.col("n_chars"),
+    )
+    return (
+        base.rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_words",
+            "total_chars",
+        )
+    )
+
+
 _SQL_QUALITY = """
   SELECT doc_id, lang,
          ROUND(0.4 * stopword_ratio + 0.3 * (1 - punct_ratio)
@@ -183,6 +215,17 @@ ORACLE: dict[str, str | None] = {
         )
         WHERE mix_rank <= {MIX_TOP_N}
     """,
+    "corpus_composition": """
+        SELECT COALESCE(lang, '<all>') AS lang,
+               COALESCE(source, '<all>') AS source,
+               count(*) AS n_docs,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT)
+                 AS total_words,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY ROLLUP (lang, source)
+    """,
     "stratified_split": f"""
         WITH b AS (
           SELECT doc_id, lang,
@@ -204,4 +247,5 @@ QUERIES = {
     "text_clean_redact": text_clean_redact,
     "quality_topk_mix": quality_topk_mix,
     "stratified_split": stratified_split,
+    "corpus_composition": corpus_composition,
 }
