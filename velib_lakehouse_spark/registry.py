@@ -93,6 +93,20 @@ PRIORITY: tuple[str, ...] = (
     "lake_gold_snapshot",
 )
 
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next (new training-pipeline operators, then the
+# relational showcases that were driver-green in round 1).
+SECONDARY: tuple[str, ...] = (
+    "dedup_incremental_minhash",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "export_shuffled_shards",
+    "stratified_split",
+    "repetition_stats",
+    "corpus_composition",
+)
+
 
 def _register(module) -> None:
     overlap = set(module.QUERIES) & set(QUERIES)
@@ -147,11 +161,12 @@ def _load() -> None:
 
 def _reorder() -> None:
     """Re-key QUERIES/ORACLE so PRIORITY names register first (driver
-    window), everything else after in original module order."""
-    missing = [n for n in PRIORITY if n not in QUERIES]
+    window), then SECONDARY, then everything else in module order."""
+    missing = [n for n in (*PRIORITY, *SECONDARY) if n not in QUERIES]
     if missing:  # pragma: no cover - developer error
-        raise ValueError(f"PRIORITY names not registered: {missing}")
-    ordered = list(PRIORITY) + [n for n in QUERIES if n not in set(PRIORITY)]
+        raise ValueError(f"PRIORITY/SECONDARY names not registered: {missing}")
+    head = list(PRIORITY) + list(SECONDARY)
+    ordered = head + [n for n in QUERIES if n not in set(head)]
     for mapping in (QUERIES, ORACLE):
         snapshot = dict(mapping)
         mapping.clear()
