@@ -47,6 +47,8 @@ HEADLINE = [
     "scd2_merge",
     "pandas_session_gaps",
     "decontaminate_ngram",
+    "dedup_incremental_minhash",
+    "repetition_stats",
     "pack_sequences",
     "export_shuffled_shards",
     "streaming_silver_availablenow",
