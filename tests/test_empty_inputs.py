@@ -1,0 +1,71 @@
+"""Empty-input hardening: every core operator must run (not raise) on
+0-row tables with the production schemas.
+
+At 100 TB, empty inputs are routine — a partition-pruned read that
+matches nothing, a fresh date partition, a quiet ingestion tick.  An
+operator that NPEs or divides by zero on an empty frame takes the whole
+pipeline run down; this pins the contract that empty in = empty (or
+well-defined aggregate) out.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from velib_lakehouse_spark import registry
+from tests.conftest import SF_DIR
+
+# empty in -> empty out
+EMPTY_TO_EMPTY = [
+    "velib_silver_parse",
+    "velib_history_enrich",
+    "velib_dedup_latest",
+    "velib_alerts",
+    "velib_sparkline",
+    "velib_enrich_join",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
+    "dedup_embedding_cosine",
+    "simhash_sketch",
+    "text_stats",
+    "token_count",
+    "repetition_stats",
+    "sessionize_events",
+    "pack_sequences",
+    "export_shuffled_shards",
+    "stratified_split",
+    "deterministic_sample",
+    "decontaminate_ngram",
+    "corpus_composition",
+    "tpch_q1_pricing",
+    "topn_orders_per_customer",
+    "collect_ordered_quantities",
+]
+# empty in -> a defined aggregate row (global aggregates)
+EMPTY_TO_AGG = ["velib_alert_bands", "velib_health"]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark):
+    out = tempfile.mkdtemp(prefix="t_empty_sf_")
+    from velib_lakehouse_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", EMPTY_TO_EMPTY)
+def test_empty_input_yields_empty_output(spark, empty_sf_dir, name):
+    assert registry.QUERIES[name](spark, empty_sf_dir).count() == 0
+
+
+@pytest.mark.parametrize("name", EMPTY_TO_AGG)
+def test_empty_input_yields_defined_aggregate(spark, empty_sf_dir, name):
+    rows = registry.QUERIES[name](spark, empty_sf_dir).collect()
+    assert len(rows) == 1
