@@ -10,6 +10,7 @@ claim is enforced before the driver sees it).
 from __future__ import annotations
 
 import math
+import os
 
 import duckdb
 
@@ -19,8 +20,12 @@ from velib_lakehouse_spark.catalog import TABLES
 def run_oracle(sql: str, sf_dir: str):
     con = duckdb.connect()
     for t in TABLES:
+        # The driver's fixtures are single parquet files; test fixtures
+        # written by Spark are directories of part files.  Read either.
+        path = f"{sf_dir}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')"
         )
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]

@@ -1,0 +1,95 @@
+"""Randomized differential parity: the fixed fixtures can only prove
+the operators right on one dataset; these generate adversarial corpora
+(heavy duplication, shared shingles, degenerate docs) and re-run the
+Spark-vs-DuckDB comparison on them.
+
+Also pins that the per-document text operators stay linear: a single
+giant document must process in bounded time (an accidentally quadratic
+nested-lambda would time out the suite).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from velib_lakehouse_spark import registry
+from velib_lakehouse_spark.catalog import TABLES, load_table
+from tests.conftest import SF_DIR
+from tests.oracle_harness import compare
+
+VOCAB = ["alpha", "beta", "gamma", "delta", "x", "y", "row", "scan", "the"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=25,
+)
+
+FUZZED_QUERIES = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "token_count",
+    "repetition_stats",
+    "doc_fingerprint",
+    "stratified_split",
+]
+
+
+@pytest.fixture(scope="module")
+def fuzz_base_dir(spark):
+    """All tables empty; each example overwrites documents.parquet."""
+    out = tempfile.mkdtemp(prefix="t_fuzz_sf_")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+@given(texts=docs_strategy)
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_corpus_matches_oracle(spark, fuzz_base_dir, texts):
+    rows = [
+        (i, t, ["en", "fr"][i % 2], "src%d" % (i % 3), len(t))
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{fuzz_base_dir}/documents.parquet"
+    )
+    for name in FUZZED_QUERIES:
+        problems = compare(
+            registry.QUERIES[name](spark, fuzz_base_dir),
+            registry.ORACLE[name],
+            fuzz_base_dir,
+        )
+        assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_giant_document_stays_linear(spark, fuzz_base_dir):
+    """A 50k-word document through the sketch/stat operators: completes
+    quickly (linear) and produces sane values."""
+    words = " ".join(VOCAB[i % len(VOCAB)] for i in range(50_000))
+    spark.createDataFrame(
+        [(0, words, "en", "src0", len(words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{fuzz_base_dir}/documents.parquet")
+
+    rep = registry.QUERIES["repetition_stats"](spark, fuzz_base_dir).collect()
+    assert rep[0].n_words == 50_000
+    assert rep[0].n_distinct_words == len(VOCAB)
+
+    sim = registry.QUERIES["simhash_sketch"](spark, fuzz_base_dir).collect()
+    assert len(sim) == 1 and sim[0].simhash > 0
+
+    tok = registry.QUERIES["token_count"](spark, fuzz_base_dir).collect()
+    assert tok[0].ws_tokens == 50_000
