@@ -72,6 +72,23 @@ def test_no_oracle_less_query_in_window():
     assert not missing, f"oracle-less queries waste judged slots: {missing}"
 
 
+def test_window_outputs_are_driver_hashable(spark):
+    """Round-1 regression: the driver canonicalizes results with pandas
+    ``sort_values``, which raises ``TypeError: unhashable type`` on
+    array/map cells.  Every judged-window query must therefore emit only
+    scalar columns (arrays are serialized with to_json/concat_ws before
+    they leave the query)."""
+    from tests.conftest import SF_DIR
+
+    bad: list[str] = []
+    for name in WINDOW:
+        df = registry.QUERIES[name](spark, SF_DIR)
+        for col, dtype in df.dtypes:
+            if dtype.startswith(("array", "map", "struct")):
+                bad.append(f"{name}.{col}: {dtype}")
+    assert not bad, "non-scalar columns in driver window: " + "; ".join(bad)
+
+
 def test_every_registered_query_has_oracle_entry_key():
     # ORACLE may be None (rows-only) but the key must exist so the
     # omission is deliberate, not a typo.
