@@ -228,3 +228,94 @@ def test_retention_delete_drops_old_partitions(spark, tmp_path):
     assert all(d.split("=")[1] >= "2024-01-10" for d in after)
     # data for retained partitions still reads cleanly
     assert spark.read.parquet(out).count() > 0
+
+
+def test_gopher_rules_fire_individually(spark, tmp_path):
+    """Crafted docs, one per rule violation, plus one clean pass."""
+    from velib_lakehouse_spark.catalog import TABLES, load_table
+
+    out = str(tmp_path / "sf")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.parquet(f"{out}/{t}.parquet")
+    docs = [
+        (0, "the and is of " + "table scan " * 30, "en"),  # clean: passes
+        (1, "too short", "en"),  # word-count rule
+        (2, " ".join(["supercalifragilistic"] * 30), "en"),  # mean word len
+        (3, "!!! ??? ### " * 20, "en"),  # symbol ratio
+        (4, "table scan query " * 20, "en"),  # long doc, no stopwords
+    ]
+    spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    got = {
+        r.doc_id: r for r in registry.QUERIES["gopher_quality_filter"](
+            spark, out
+        ).collect()
+    }
+    assert got[0].passes_gopher
+    assert not got[1].ok_word_count
+    assert not got[2].ok_mean_word_len
+    assert not got[3].ok_symbol_ratio
+    assert not got[4].ok_stopwords and not got[4].passes_gopher
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    """Within a doc, a corpus-rare term must outscore an equally-frequent
+    corpus-common term (the defining TF-IDF property)."""
+    rows = registry.QUERIES["tfidf_top_terms"](spark, SF_DIR).collect()
+    assert rows, "tfidf returned nothing"
+    for r in rows:
+        assert r.rk <= 3 and r.tf >= 1 and r.df >= 1
+    # score really is tf * ln(N/df)
+    import math
+
+    n_docs = registry.QUERIES["token_count"](spark, SF_DIR).count()
+    for r in rows[:20]:
+        assert r.tfidf == pytest.approx(r.tf * math.log(n_docs / r.df), abs=1e-6)
+
+
+def test_bm25_monotone_in_term_frequency(spark, tmp_path):
+    """More query-term occurrences (same doc length) => higher BM25."""
+    from velib_lakehouse_spark.catalog import TABLES, load_table
+
+    out = str(tmp_path / "sf")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.parquet(f"{out}/{t}.parquet")
+    pad = "filler "
+    docs = [
+        (0, ("table " * 5 + pad * 15).strip(), "en"),
+        (1, ("table " * 2 + pad * 18).strip(), "en"),
+        (2, (pad * 20).strip(), "en"),  # no hits: excluded
+    ]
+    spark.createDataFrame(
+        [(i, t, l, "s", len(t)) for i, t, l in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    got = {r.doc_id: r.bm25 for r in registry.QUERIES["bm25_rank"](spark, out).collect()}
+    assert set(got) == {0, 1}
+    assert got[0] > got[1] > 0
+
+
+def test_vocab_coverage_cumulative_invariants(spark):
+    rows = registry.QUERIES["vocab_coverage"](spark, SF_DIR).collect()
+    assert rows
+    by_rank = sorted(rows, key=lambda r: r.rk)
+    counts = [r.n_occurrences for r in by_rank]
+    assert counts == sorted(counts, reverse=True)
+    shares = [r.cum_share for r in by_rank]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert shares[-1] <= 1.0
+
+
+def test_embedding_centroids_match_numpy(spark):
+    got = registry.QUERIES["embedding_centroids"](spark, SF_DIR).collect()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    labels = np.array(t["label"].to_pylist())
+    for r in got[:50]:
+        member = vecs[labels == r.label][:, r.dim]
+        want = np.floor(np.floor(member * 1e6).sum() / len(member)) / 1e6
+        assert r.n_vectors == len(member)
+        assert r.centroid == pytest.approx(want, abs=2e-6)

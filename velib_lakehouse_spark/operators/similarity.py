@@ -272,6 +272,52 @@ _SQL_BUCKET = (
 )
 
 
+CENTROID_QUANT = 1_000_000.0
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the building block
+    for IVF training, cluster-balance audits, and label-drift checks.
+
+    posexplode -> (label, dim) mean: one shuffle of (n_labels * dim)
+    partial-aggregated rows regardless of corpus size, so at 100 TB the
+    reduce side is a few thousand rows however many vectors feed it.
+
+    Cross-engine determinism: a float mean is order-dependent in the
+    last bits, so components are quantized to integers (floor(x * 1e6))
+    BEFORE summing — integer sums are exact and associative in any
+    partitioning.  The mean is then FLOORED back onto the integer
+    micro-grid rather than ``round``-ed: Spark rounds doubles via
+    decimal HALF_UP while DuckDB rounds the binary value, and the two
+    disagree on half-way points; floor of the identical correctly-
+    rounded double S/N is bit-deterministic in both engines.
+    ``ann_ivf_topk`` deliberately does NOT quantize (its centroids feed
+    argmin cascades); here the centroid IS the output, so a 1e-6 grid
+    is the contract.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("dim", "x"),
+    ).select(
+        "label",
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("x") * F.lit(CENTROID_QUANT)).cast("bigint").alias("q"),
+    )
+    return (
+        pos.groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.floor(F.avg("q")).cast("bigint").alias("centroid_micro"),
+        )
+        .withColumn(
+            "centroid", F.col("centroid_micro") / F.lit(CENTROID_QUANT)
+        )
+    )
+
+
 def _sql_bucket(vcol: str) -> str:
     plane = _SQL_PLANE.format(dim=DIM, v=vcol).replace("', p, '", "', q - 1, '")
     return _SQL_BUCKET.format(np=N_PLANES, plane=plane)
@@ -323,8 +369,26 @@ ORACLE: dict[str, str | None] = {
 
 ORACLE["ann_ivf_topk"] = None  # float centroids: rows-only + recall test
 
+ORACLE["embedding_centroids"] = f"""
+    SELECT label, dim, n_vectors, centroid_micro,
+           centroid_micro / {CENTROID_QUANT} AS centroid
+    FROM (
+      SELECT label, CAST(pos - 1 AS BIGINT) AS dim,
+             count(*) AS n_vectors,
+             CAST(floor(avg(CAST(floor(CAST(x AS DOUBLE) * {CENTROID_QUANT})
+                            AS BIGINT))) AS BIGINT) AS centroid_micro
+      FROM (
+        SELECT label, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+      GROUP BY label, pos
+    )
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "embedding_centroids": embedding_centroids,
 }

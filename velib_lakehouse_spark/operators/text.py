@@ -15,7 +15,7 @@ is the point) — at 100 TB these scale with input bytes and nothing else.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
@@ -193,6 +193,205 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher-style rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", appendix
+# A1.1), loosened for the short synthetic fixtures: real Gopher uses a
+# 50-word minimum; the rule STRUCTURE (each threshold an independent
+# boolean, the filter their conjunction) is what the operator pins.
+GOPHER_MIN_WORDS = 5
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 2.0
+GOPHER_MAX_MEAN_WL = 12.0
+GOPHER_MAX_SYMBOL_RATIO = 0.3
+GOPHER_STOPWORD_MIN_HITS = 2
+GOPHER_STOPWORD_EXEMPT_BELOW = 20
+
+ALL_STOPWORDS = sorted({*STOPWORDS_EN, *STOPWORDS_FR, *STOPWORDS_DE, *STOPWORDS_ES})
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-quality rules as independent boolean columns
+    plus their conjunction.
+
+    Entirely map-side (no shuffle, no UDF): every rule is a per-row
+    expression over the word array, so at 100 TB this scales with input
+    bytes and pipelines into whatever filter consumes ``passes_gopher``.
+    Emitting per-rule booleans (not just the verdict) is deliberate —
+    corpus triage needs rule attribution to tune thresholds.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    df = d.select("doc_id", "text", _words().alias("w"))
+    n_words = F.size("w").cast("bigint")
+    mean_wl = F.round(
+        F.aggregate(
+            F.transform(F.col("w"), lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.size("w"),
+        6,
+    )
+    symbol_ratio = F.round(
+        F.size(F.regexp_extract_all("text", F.lit(PUNCT_PATTERN), 0)).cast("double")
+        / F.length("text"),
+        6,
+    )
+    stop_hits = _stop_hits(F.col("w"), ALL_STOPWORDS).cast("bigint")
+    out = df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+    )
+    ok_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    ok_wl = F.col("mean_word_len").between(GOPHER_MIN_MEAN_WL, GOPHER_MAX_MEAN_WL)
+    ok_sym = F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO
+    ok_stop = (F.col("stop_hits") >= GOPHER_STOPWORD_MIN_HITS) | (
+        F.col("n_words") < GOPHER_STOPWORD_EXEMPT_BELOW
+    )
+    return out.select(
+        "*",
+        ok_words.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_stop).alias("passes_gopher"),
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k TF-IDF terms per document (tf * ln(N/df)).
+
+    Three aggregations, each shuffling one row per distinct (doc, term)
+    or term: explode -> (doc, term) counts -> term doc-frequency -> join
+    back.  N is a broadcast scalar (no driver collect).  Ordering ties
+    break on the rounded score then term text, so the top-k set is
+    deterministic across engines and partitionings.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_words()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+    )
+
+
+BM25_QUERY_TERMS = ["table", "scan", "query"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson-Spärck Jones) relevance ranking for a fixed term
+    query; top-k documents by score.
+
+    The per-term tf is a map-side array count; df and the average doc
+    length are one tiny global aggregate broadcast back, so the whole
+    ranking is scan -> broadcast join -> per-row arithmetic -> top-k.
+    At 100 TB there is exactly one full pass over the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select("doc_id", _words().alias("w")).withColumn(
+        "dl", F.size("w").cast("bigint")
+    )
+    for t in BM25_QUERY_TERMS:
+        base = base.withColumn(
+            f"tf_{t}",
+            F.size(F.filter(F.col("w"), lambda x: x == F.lit(t))).cast("bigint"),
+        )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("bigint")).alias(f"df_{t}")
+            for t in BM25_QUERY_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for t in BM25_QUERY_TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5))
+            / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * tf * F.lit(BM25_K1 + 1.0) / denom
+    return (
+        scored.withColumn("bm25", F.round(score, 6))
+        .filter(F.col("bm25") > 0.0)
+        .select("doc_id", "dl", "bm25")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+VOCAB_TOP_K = 50
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-k words by frequency with cumulative
+    coverage share (the tokenizer-design primitive: how much of the
+    corpus do the k most frequent words cover?).
+
+    Word counts shuffle one row per distinct word; the total is a
+    broadcast scalar.  The cumulative window runs over the post-
+    aggregation vocabulary (orders of magnitude smaller than the corpus)
+    — a single-task sort of ~1e6 rows, not a corpus-wide sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    total = counts.agg(F.sum("n_occurrences").alias("total_words"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    cum = Window.orderBy(F.desc("n_occurrences"), F.asc("word")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= VOCAB_TOP_K)
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("n_occurrences").over(cum).cast("double")
+                / F.col("total_words"),
+                6,
+            ),
+        )
+        .select("word", "n_occurrences", "rk", "cum_share")
+    )
+
+
 def _sql_stop_hits(words_expr: str, stoplist: list[str]) -> str:
     lit = "[" + ", ".join(f"'{s}'" for s in stoplist) + "]"
     return f"len(list_filter({words_expr}, x -> list_contains({lit}, x)))"
@@ -308,6 +507,119 @@ ORACLE: dict[str, str | None] = {
                  AS top_bigram_ratio
         FROM ud LEFT JOIN bd ON ud.doc_id = bd.doc_id
     """,
+    "gopher_quality_filter": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS n_words,
+                 ROUND(CAST(list_sum(list_transform(w, x ->
+                        CAST(length(x) AS BIGINT))) AS DOUBLE) / len(w), 6)
+                   AS mean_word_len,
+                 ROUND(CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+                        AS DOUBLE) / length(text), 6) AS symbol_ratio,
+                 CAST({_sql_stop_hits('w', ALL_STOPWORDS)} AS BIGINT)
+                   AS stop_hits
+          FROM (SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents)
+        ),
+        r AS (
+          SELECT *,
+                 n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                   AS ok_word_count,
+                 mean_word_len BETWEEN {GOPHER_MIN_MEAN_WL}
+                   AND {GOPHER_MAX_MEAN_WL} AS ok_mean_word_len,
+                 symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS ok_symbol_ratio,
+                 stop_hits >= {GOPHER_STOPWORD_MIN_HITS}
+                   OR n_words < {GOPHER_STOPWORD_EXEMPT_BELOW} AS ok_stopwords
+          FROM m
+        )
+        SELECT *,
+               ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                 AND ok_stopwords AS passes_gopher
+        FROM r
+    """,
+    "tfidf_top_terms": f"""
+        WITH tf AS (
+          SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents)
+          GROUP BY doc_id, w
+        ),
+        dfq AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                 ROUND(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfq.df), 6)
+                   AS tfidf
+          FROM tf JOIN dfq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+          SELECT *,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY tfidf DESC, term) AS BIGINT) AS rk
+          FROM scored
+        )
+        SELECT doc_id, term, tf, df, tfidf, rk
+        FROM ranked WHERE rk <= {TFIDF_TOP_K}
+    """,
+    "bm25_rank": f"""
+        WITH base AS (
+          SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+                 {", ".join(
+                     f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT)"
+                     f" AS tf_{t}"
+                     for t in BM25_QUERY_TERMS
+                 )}
+          FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                 {", ".join(
+                     f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)"
+                     f" AS BIGINT) AS df_{t}"
+                     for t in BM25_QUERY_TERMS
+                 )}
+          FROM base
+        )
+        SELECT doc_id, dl,
+               ROUND({" + ".join(
+                   f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+                   f" * CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0}"
+                   f" / (CAST(tf_{t} AS DOUBLE)"
+                   f"    + {BM25_K1} * ({1.0 - BM25_B}"
+                   f"       + {BM25_B} * dl / avgdl))"
+                   for t in BM25_QUERY_TERMS
+               )}, 6) AS bm25
+        FROM base CROSS JOIN stats
+        WHERE ROUND({" + ".join(
+            f"ln(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))"
+            f" * CAST(tf_{t} AS DOUBLE) * {BM25_K1 + 1.0}"
+            f" / (CAST(tf_{t} AS DOUBLE)"
+            f"    + {BM25_K1} * ({1.0 - BM25_B}"
+            f"       + {BM25_B} * dl / avgdl))"
+            for t in BM25_QUERY_TERMS
+        )}, 6) > 0.0
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOP_K}
+    """,
+    "vocab_coverage": f"""
+        WITH counts AS (
+          SELECT w AS word, CAST(count(*) AS BIGINT) AS n_occurrences
+          FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)
+          GROUP BY w
+        ),
+        ranked AS (
+          SELECT word, n_occurrences,
+                 CAST(row_number() OVER (ORDER BY n_occurrences DESC, word)
+                      AS BIGINT) AS rk,
+                 sum(n_occurrences) OVER (ORDER BY n_occurrences DESC, word
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(n_occurrences) OVER () AS total
+          FROM counts
+        )
+        SELECT word, n_occurrences, rk,
+               ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+        FROM ranked WHERE rk <= {VOCAB_TOP_K}
+    """,
 }
 
 QUERIES = {
@@ -316,4 +628,8 @@ QUERIES = {
     "token_count": token_count,
     "doc_fingerprint": doc_fingerprint,
     "repetition_stats": repetition_stats,
+    "gopher_quality_filter": gopher_quality_filter,
+    "tfidf_top_terms": tfidf_top_terms,
+    "bm25_rank": bm25_rank,
+    "vocab_coverage": vocab_coverage,
 }

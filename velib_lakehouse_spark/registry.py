@@ -105,6 +105,11 @@ SECONDARY: tuple[str, ...] = (
     "stratified_split",
     "repetition_stats",
     "corpus_composition",
+    "gopher_quality_filter",
+    "tfidf_top_terms",
+    "bm25_rank",
+    "vocab_coverage",
+    "embedding_centroids",
 )
 
 
