@@ -51,6 +51,11 @@ HEADLINE = [
     "repetition_stats",
     "pack_sequences",
     "export_shuffled_shards",
+    "gopher_quality_filter",
+    "tfidf_top_terms",
+    "bm25_rank",
+    "vocab_coverage",
+    "embedding_centroids",
     "streaming_silver_availablenow",
 ]
 
