@@ -10,6 +10,9 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
+
+from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.streaming.silver import run_silver_stream
 from tests.conftest import SF_DIR
@@ -109,3 +112,46 @@ def test_streaming_dedup_deterministic_winner_on_crafted_duplicates(spark):
     # every emitted event_id is an original (winner = min event_id)
     assert all(r.event_id < 10_000_000 for r in got.collect())
     assert all(r.bikes_available < 1000.0 for r in got.collect())
+
+
+def test_stateful_enumerate_state_carries_across_batches(spark):
+    """Split events into two time-ordered files and force one file per
+    micro-batch: ordinals must keep counting and the first gap of batch
+    two must be measured against batch one's last event (state), so the
+    multi-batch output equals the single-batch/window semantics."""
+    from velib_lakehouse_spark.catalog import load_table
+    from velib_lakehouse_spark.streaming.silver import (
+        streaming_stateful_enumerate,
+    )
+
+    e = load_table(spark, SF_DIR, "events").select("event_id", "ts", "user_id")
+    cut = e.agg(F.expr("percentile(unix_millis(ts), 0.5)")).first()[0]
+    crafted_dir = tempfile.mkdtemp(prefix="t_state_events_")
+    for suffix, part in (
+        ("", e.filter(F.unix_millis("ts") <= cut)),
+        ("_late", e.filter(F.unix_millis("ts") > cut)),
+    ):
+        tmp = f"{crafted_dir}/stage{suffix}"
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        one = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(f"{tmp}/{one}", f"{crafted_dir}/events{suffix}.parquet")
+    now = time.time()
+    os.utime(f"{crafted_dir}/events.parquet", (now - 60, now - 60))
+    os.utime(f"{crafted_dir}/events_late.parquet", (now, now))
+
+    got = streaming_stateful_enumerate(spark, crafted_dir, max_files_per_trigger=1)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = e.select(
+        F.col("user_id").alias("station_code"),
+        "event_id",
+        F.row_number().over(w).cast("bigint").alias("ordinal"),
+        ((F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000)
+        .cast("bigint")
+        .alias("gap_s"),
+        (F.unix_micros("ts") / 1000).cast("bigint").alias("ts_ms"),
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

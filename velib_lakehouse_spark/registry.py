@@ -110,6 +110,7 @@ SECONDARY: tuple[str, ...] = (
     "bm25_rank",
     "vocab_coverage",
     "embedding_centroids",
+    "streaming_stateful_enumerate",
 )
 
 

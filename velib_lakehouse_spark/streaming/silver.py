@@ -67,20 +67,25 @@ def _drain_memory_sink(spark: SparkSession, stream_df: DataFrame, name: str):
     return out
 
 
-def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _event_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source streaming scan of the events table (Kafka stand-in).
 
     The schema is taken from the batch reader (streaming requires an
     explicit schema — the reference makes the same point, silver.py:16),
     and the nanosecond epoch is normalized exactly as the catalog does.
+    ``max_files_per_trigger`` caps files per micro-batch (tests use it to
+    force multi-batch runs and exercise state carry-over).
     """
     apply_safe_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(raw_schema).option(
+        "pathGlobFilter", "events*.parquet"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(sf_dir)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream
@@ -336,7 +341,80 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stateful_enumerate(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): per-station
+    event enumeration with gap-to-previous-event, state = (events seen,
+    last event-time) carried across micro-batches.
+
+    This is the escape hatch the built-in operators don't cover —
+    arbitrary per-key sequential logic with explicit state — expressed
+    the Spark way: keys are hash-distributed, each executor runs the
+    Python function over Arrow batches for its keys only, and state
+    lives in the state store (RocksDB on a cluster), so 100 TB of
+    events costs one shuffle by key plus O(1) state per station.
+
+    Within a batch the function sorts its key's rows by (ts, event_id),
+    making the output a pure function of the data; the batch-window
+    oracle (row_number + lag) is the exact semantic mirror, which is
+    the point: custom stateful code should reduce to declarative
+    semantics wherever the two overlap, or it can't be tested.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _event_stream(spark, sf_dir, max_files_per_trigger).select(
+        "event_id", "ts", "user_id"
+    )
+
+    def enumerate_events(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        n_seen, last_us = state.get if state.exists else (0, None)
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows["ts_us"] = rows["ts"].astype("int64") // (
+            1 if rows["ts"].dtype == "datetime64[us]" else 1000
+        )
+        rows = rows.sort_values(["ts_us", "event_id"], ignore_index=True)
+        prev_us = rows["ts_us"].shift(1)
+        if last_us is not None:
+            prev_us.iloc[0] = last_us
+        gap = ((rows["ts_us"] - prev_us) // 1_000_000).astype("Int64")
+        out = pd.DataFrame(
+            {
+                "station_code": user_id,
+                "event_id": rows["event_id"],
+                "ordinal": rows.index.to_series() + n_seen + 1,
+                "gap_s": gap,
+                "ts_ms": rows["ts_us"] // 1000,
+            }
+        )
+        state.update((n_seen + len(rows), int(rows["ts_us"].iloc[-1])))
+        yield out
+
+    enumerated = ev.groupBy("user_id").applyInPandasWithState(
+        enumerate_events,
+        outputStructType=(
+            "station_code bigint, event_id bigint, ordinal bigint,"
+            " gap_s bigint, ts_ms bigint"
+        ),
+        stateStructType="n_seen bigint, last_ts_us bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _drain_memory_sink(spark, enumerated, "stateful_enumerate_sink")
+
+
 ORACLE: dict[str, str | None] = {
+    "streaming_stateful_enumerate": """
+        SELECT user_id AS station_code,
+               event_id,
+               CAST(row_number() OVER w AS BIGINT) AS ordinal,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER w) // 1000000 AS gap_s,
+               epoch_us(ts) // 1000 AS ts_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "streaming_silver_availablenow": """
         SELECT event_id,
                user_id AS station_code,
@@ -407,4 +485,5 @@ QUERIES = {
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_session_windows": streaming_session_windows,
     "streaming_dedup": streaming_dedup,
+    "streaming_stateful_enumerate": streaming_stateful_enumerate,
 }
