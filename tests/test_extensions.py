@@ -319,3 +319,25 @@ def test_embedding_centroids_match_numpy(spark):
         want = np.floor(np.floor(member * 1e6).sum() / len(member)) / 1e6
         assert r.n_vectors == len(member)
         assert r.centroid == pytest.approx(want, abs=2e-6)
+
+
+def test_unigram_logprob_matches_numpy(spark):
+    import math
+    from collections import Counter
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    texts = {i: [w for w in s.split(" ") if w] for i, s in
+             zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    counts = Counter(w for ws in texts.values() for w in ws)
+    total = sum(counts.values())
+    cost = {w: math.floor(-math.log(c / total) * 1e6) for w, c in counts.items()}
+
+    got = {r.doc_id: r for r in
+           registry.QUERIES["unigram_logprob_score"](spark, SF_DIR).collect()}
+    assert set(got) == {i for i, ws in texts.items() if ws}
+    for i, ws in list(texts.items())[:50]:
+        if not ws:
+            continue
+        s = sum(cost[w] for w in ws)
+        assert got[i].sum_cost_micro == s
+        assert got[i].nll_per_word == math.floor(s / len(ws)) / 1e6

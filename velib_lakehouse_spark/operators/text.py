@@ -392,6 +392,55 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_QUANT = 1_000_000.0
+
+
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality score: per-document mean negative log-prob of
+    its words under the corpus's own unigram distribution (the
+    CCNet/KenLM-style perplexity proxy, one n-gram order down).
+
+    Model "training" is the word-count aggregate itself; scoring joins
+    each word to its probability.  The join is left to AQE: a broadcast
+    when the vocabulary fits (almost always — vocab grows ~log of corpus
+    size), sort-merge otherwise, with no code change at 100 TB.
+
+    Determinism: per-word costs -ln(p) are floor-quantized to an integer
+    micro-grid BEFORE the per-doc sum (integer sums are exact in any
+    partitioning; double sums are not), and the mean is floored back
+    onto the grid — same convention as ``embedding_centroids``.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(_words()).alias("w"))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("total_words"))
+    model = counts.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.floor(
+            -F.log(F.col("c").cast("double") / F.col("total_words"))
+            * F.lit(LM_QUANT)
+        )
+        .cast("bigint")
+        .alias("cost_micro"),
+    )
+    per_doc = (
+        words.join(model, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("cost_micro").alias("sum_cost_micro"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "sum_cost_micro",
+        (F.floor(F.col("sum_cost_micro") / F.col("n_words")) / F.lit(LM_QUANT)).alias(
+            "nll_per_word"
+        ),
+    )
+
+
 def _sql_stop_hits(words_expr: str, stoplist: list[str]) -> str:
     lit = "[" + ", ".join(f"'{s}'" for s in stoplist) + "]"
     return f"len(list_filter({words_expr}, x -> list_contains({lit}, x)))"
@@ -620,6 +669,29 @@ ORACLE: dict[str, str | None] = {
                ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_share
         FROM ranked WHERE rk <= {VOCAB_TOP_K}
     """,
+    "unigram_logprob_score": f"""
+        WITH words AS (
+          SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+        ),
+        counts AS (SELECT w, count(*) AS c FROM words GROUP BY w),
+        total AS (SELECT sum(c) AS total_words FROM counts),
+        model AS (
+          SELECT w,
+                 CAST(floor(-ln(CAST(c AS DOUBLE) / total_words)
+                            * {LM_QUANT}) AS BIGINT) AS cost_micro
+          FROM counts CROSS JOIN total
+        ),
+        per_doc AS (
+          SELECT doc_id, count(*) AS n_words,
+                 CAST(sum(cost_micro) AS BIGINT) AS sum_cost_micro
+          FROM words JOIN model USING (w)
+          GROUP BY doc_id
+        )
+        SELECT doc_id, n_words, sum_cost_micro,
+               floor(CAST(sum_cost_micro AS DOUBLE) / n_words) / {LM_QUANT}
+                 AS nll_per_word
+        FROM per_doc
+    """,
 }
 
 QUERIES = {
@@ -632,4 +704,5 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "bm25_rank": bm25_rank,
     "vocab_coverage": vocab_coverage,
+    "unigram_logprob_score": unigram_logprob_score,
 }

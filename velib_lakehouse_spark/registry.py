@@ -111,6 +111,7 @@ SECONDARY: tuple[str, ...] = (
     "vocab_coverage",
     "embedding_centroids",
     "streaming_stateful_enumerate",
+    "unigram_logprob_score",
 )
 
 
