@@ -78,3 +78,51 @@ def test_generic_reader_dispatch(spark, tmp_path):
     back_csv = read_any(spark, csv, "csv", header=True, inferSchema=True)
     assert back_csv.count() == 50
     assert dict(back_csv.dtypes)["o_orderkey"] in ("int", "bigint")
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout: every file's footer min/max must cover a small
+    range of BOTH dimensions (that is what makes two-dimensional
+    data skipping work); a single-dim sort would leave the other
+    column's per-file span ~= the global span."""
+    import glob
+
+    import pyarrow.parquet as papq
+    from pyspark.sql import functions as F
+
+    from velib_lakehouse_spark.catalog import load_table
+    from velib_lakehouse_spark.sources.lake import write_zorder_clustered
+    from tests.conftest import SF_DIR
+
+    # Scale both dims to comparable bit widths before interleaving (the
+    # zorder_key contract: callers bucket/offset into the key space) —
+    # otherwise the narrow dimension contributes no high bits and the
+    # layout degenerates to a single-column sort.
+    ev = load_table(spark, SF_DIR, "events").select(
+        (F.col("user_id") * 17).alias("x"),
+        (F.floor("value").cast("bigint") * 2).alias("y"),
+    )
+    gx_min, gx_max, gy_min, gy_max = ev.agg(
+        F.min("x"), F.max("x"), F.min("y"), F.max("y")
+    ).first()
+    out = str(tmp_path / "zorder")
+    write_zorder_clustered(ev, out, "x", "y", n_files=8)
+
+    spans = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = papq.read_metadata(f)
+        mins = {"x": None, "y": None}
+        maxs = {"x": None, "y": None}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    s = col.statistics
+                    mins[name] = s.min if mins[name] is None else min(mins[name], s.min)
+                    maxs[name] = s.max if maxs[name] is None else max(maxs[name], s.max)
+        spans.append((maxs["x"] - mins["x"], maxs["y"] - mins["y"]))
+    assert len(spans) >= 4
+    avg_x = sum(s[0] for s in spans) / len(spans)
+    avg_y = sum(s[1] for s in spans) / len(spans)
+    assert avg_x < (gx_max - gx_min) * 0.75
+    assert avg_y < (gy_max - gy_min) * 0.75

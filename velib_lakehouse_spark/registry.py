@@ -112,6 +112,7 @@ SECONDARY: tuple[str, ...] = (
     "embedding_centroids",
     "streaming_stateful_enumerate",
     "unigram_logprob_score",
+    "lake_zorder_layout",
 )
 
 

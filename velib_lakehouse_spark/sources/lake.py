@@ -163,7 +163,93 @@ def lake_gold_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out)
 
 
+ZORDER_BITS = 16
+ZORDER_BUCKET_SHIFT = 26  # 2^32 key space -> 64 layout buckets
+
+
+def _morton_sql(x: str, y: str) -> str:
+    """Bit-interleaved (Morton / Z-order) key of two 16-bit values, as a
+    SQL expression valid in BOTH Spark SQL and DuckDB (only `&`, `|`,
+    `>>`, `<<` on BIGINT — constant-folded into codegen on the Spark
+    side, so the 32 terms cost nothing per row)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_key(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Attach a Z-order key over two already-integer columns (caller
+    buckets/offsets them into [0, 2^16) first)."""
+    return df.withColumn("zkey", F.expr(_morton_sql(x_col, y_col)))
+
+
+def write_zorder_clustered(
+    df: DataFrame, path: str, x_col: str, y_col: str, n_files: int = 8
+) -> None:
+    """Z-order-clustered parquet layout: range-partition by the Morton
+    key and sort within partitions, so every file covers a small square
+    of the (x, y) space and BOTH columns' min/max footer stats become
+    selective — the Delta/Iceberg OPTIMIZE ZORDER effect with stock
+    Spark.  A single-column sort would make only that column skippable;
+    at 100 TB the z-layout lets either-dimension predicates skip ~all
+    files."""
+    keyed = zorder_key(df, x_col, y_col)
+    (
+        keyed.repartitionByRange(n_files, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def lake_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout audit for the Z-order key on events (station × bikes
+    level): per layout bucket, row count and the min/max of both source
+    dimensions.  Tight per-bucket ranges in BOTH columns are exactly the
+    property that makes footer-stat skipping work in two dimensions; the
+    oracle recomputes the identical integer arithmetic."""
+    mask = F.lit((1 << ZORDER_BITS) - 1).cast("bigint")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").bitwiseAND(mask).alias("x"),
+        F.floor(F.col("value")).cast("bigint").bitwiseAND(mask).alias("y"),
+    )
+    keyed = zorder_key(ev, "x", "y")
+    return (
+        keyed.withColumn(
+            "bucket", F.expr(f"zkey >> {ZORDER_BUCKET_SHIFT}")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("min_station"),
+            F.max("x").alias("max_station"),
+            F.min("y").alias("min_bikes"),
+            F.max("y").alias("max_bikes"),
+        )
+    )
+
+
 ORACLE: dict[str, str | None] = {
+    "lake_zorder_layout": f"""
+        WITH base AS (
+          SELECT (user_id & {(1 << ZORDER_BITS) - 1}) AS x,
+                 (CAST(floor(value) AS BIGINT) & {(1 << ZORDER_BITS) - 1})
+                   AS y
+          FROM events
+        ),
+        keyed AS (
+          SELECT x, y, {_morton_sql('x', 'y')} AS zkey FROM base
+        )
+        SELECT zkey >> {ZORDER_BUCKET_SHIFT} AS bucket,
+               count(*) AS n_rows,
+               min(x) AS min_station, max(x) AS max_station,
+               min(y) AS min_bikes, max(y) AS max_bikes
+        FROM keyed
+        GROUP BY 1
+    """,
     "json_file_scan": """
         SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
                count(*) AS n_stations,
@@ -195,6 +281,7 @@ def _load_oracle() -> None:
 _load_oracle()
 
 QUERIES = {
+    "lake_zorder_layout": lake_zorder_layout,
     "json_file_scan": json_file_scan,
     "lake_partition_pruned": lake_partition_pruned,
     "lake_gold_snapshot": lake_gold_snapshot,
