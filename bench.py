@@ -56,6 +56,9 @@ HEADLINE = [
     "bm25_rank",
     "vocab_coverage",
     "embedding_centroids",
+    "unigram_logprob_score",
+    "lake_zorder_layout",
+    "streaming_stateful_enumerate",
     "streaming_silver_availablenow",
 ]
 
