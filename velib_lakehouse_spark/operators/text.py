@@ -441,6 +441,35 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-document corpus QA dashboard: the Gopher rule
+    verdicts, repetition signals, unigram-LM NLL, and BPE-ish token
+    count joined on doc_id — the single table a curation run actually
+    filters on.
+
+    Composed from the standalone operators (and their oracles compose
+    the same way), so one judged query exercises four operator
+    families' semantics.  All four inputs aggregate/score per doc_id,
+    so the joins co-partition after the first shuffle; empty documents
+    carry no words and drop out of every input identically (inner
+    joins are a no-op on coverage).
+    """
+    g = gopher_quality_filter(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "stop_hits",
+        "passes_gopher",
+    )
+    r = repetition_stats(spark, sf_dir).select(
+        "doc_id", "n_distinct_words", "distinct_ratio", "top_word_ratio"
+    )
+    u = unigram_logprob_score(spark, sf_dir).select("doc_id", "nll_per_word")
+    t = token_count(spark, sf_dir).select("doc_id", "bpe_ish_tokens")
+    return g.join(r, "doc_id").join(u, "doc_id").join(t, "doc_id")
+
+
 def _sql_stop_hits(words_expr: str, stoplist: list[str]) -> str:
     lit = "[" + ", ".join(f"'{s}'" for s in stoplist) + "]"
     return f"len(list_filter({words_expr}, x -> list_contains({lit}, x)))"
@@ -706,3 +735,17 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "unigram_logprob_score": unigram_logprob_score,
 }
+
+# The report's oracle composes the standalone oracles verbatim — one
+# source of truth per operator, cross-checked jointly.
+ORACLE["corpus_quality_report"] = f"""
+    SELECT g.doc_id, g.n_words, g.mean_word_len, g.symbol_ratio,
+           g.stop_hits, g.passes_gopher,
+           r.n_distinct_words, r.distinct_ratio, r.top_word_ratio,
+           u.nll_per_word, t.bpe_ish_tokens
+    FROM ({ORACLE["gopher_quality_filter"]}) g
+    JOIN ({ORACLE["repetition_stats"]}) r USING (doc_id)
+    JOIN ({ORACLE["unigram_logprob_score"]}) u USING (doc_id)
+    JOIN ({ORACLE["token_count"]}) t USING (doc_id)
+"""
+QUERIES["corpus_quality_report"] = corpus_quality_report

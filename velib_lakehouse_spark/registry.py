@@ -51,7 +51,7 @@ PRIORITY: tuple[str, ...] = (
     "topn_orders_per_customer",
     "collect_ordered_quantities",
     "array_functions_showcase",
-    "explode_words",
+    "corpus_quality_report",
     "skew_salted_agg",
     "approx_distinct_stats",
     "asof_join_latest_state",
@@ -98,6 +98,7 @@ PRIORITY: tuple[str, ...] = (
 # ones it should reach next (new training-pipeline operators, then the
 # relational showcases that were driver-green in round 1).
 SECONDARY: tuple[str, ...] = (
+    "explode_words",
     "dedup_incremental_minhash",
     "decontaminate_ngram",
     "pack_sequences",
