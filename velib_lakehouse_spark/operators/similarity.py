@@ -85,39 +85,43 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_weights() -> list[list[float]]:
-    """The 16x64 hyperplane weight matrix.
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _plane_weights(n_planes: int = N_PLANES) -> tuple[tuple[float, ...], ...]:
+    """The n_planes x 64 hyperplane weight matrix.
 
     Weight(p, c) = (md5_60bit('plane:p:c') % 2000001 - 1000000) / 1e6 —
     the identical formula the DuckDB oracle evaluates in SQL, computed
     once on the driver (hashlib md5 == engine md5), so the runtime plan
     multiplies by *literals* instead of doing 1024 md5 calls per vector.
+    The count is a parameter because LSH collision rates must be tuned
+    to corpus size (see dedup.banded_cosine_pairs).
     """
     import hashlib
 
     out = []
-    for p in range(N_PLANES):
+    for p in range(n_planes):
         row = []
         for c in range(DIM):
             h = int(hashlib.md5(f"plane:{p}:{c}".encode()).hexdigest()[:15], 16)
             row.append((h % 2000001 - 1000000) / 1000000.0)
-        out.append(row)
-    return out
+        out.append(tuple(row))
+    return tuple(out)
 
 
-_WEIGHTS = _plane_weights()
-
-
-def _bucket_expr(vcol: str) -> str:
-    """16-bit LSH bucket: sign bits of the fixed random hyperplanes.
+def _bucket_expr(vcol: str, n_planes: int = N_PLANES) -> str:
+    """n_planes-bit LSH bucket: sign bits of the fixed random hyperplanes.
 
     Each plane's projection is a left-fold dot product against the
     literal weight array — pure arithmetic inside codegen, no hashing in
     the hot path.
     """
+    all_weights = _plane_weights(n_planes)
     planes = []
-    for p in range(N_PLANES):
-        weights = ",".join(f"cast({w!r} as double)" for w in _WEIGHTS[p])
+    for p in range(n_planes):
+        weights = ",".join(f"cast({w!r} as double)" for w in all_weights[p])
         dot = (
             f"aggregate(zip_with({vcol}, array({weights}), (x, y) -> x * y),"
             " cast(0.0 as double), (acc, x) -> acc + x)"
