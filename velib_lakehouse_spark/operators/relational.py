@@ -231,10 +231,12 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         millis("o_orderdate").alias("order_date_ms"),
         "o_totalprice",
-        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .over(ws.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("double")
-        .alias("running_spend"),
+        (
+            F.sum(cents("o_totalprice"))
+            .over(ws.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / F.lit(100.0)
+        ).alias("running_spend"),
         F.lag("o_totalprice").over(ws).alias("prev_price"),
         F.row_number().over(ws).cast("bigint").alias("order_seq"),
     )
@@ -508,11 +510,11 @@ ORACLE: dict[str, str | None] = {
         SELECT o_custkey, o_orderkey,
                epoch_ms(o_orderdate) AS order_date_ms,
                o_totalprice,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                       PARTITION BY o_custkey
                       ORDER BY o_orderdate ASC, o_orderkey ASC
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS DOUBLE) AS running_spend,
+                    AS DOUBLE) / 100.0 AS running_spend,
                lag(o_totalprice) OVER (
                  PARTITION BY o_custkey
                  ORDER BY o_orderdate ASC, o_orderkey ASC) AS prev_price,
