@@ -36,6 +36,11 @@ FUZZED_QUERIES = [
     "repetition_stats",
     "doc_fingerprint",
     "stratified_split",
+    "gopher_quality_filter",
+    "tfidf_top_terms",
+    "vocab_coverage",
+    "unigram_logprob_score",
+    "corpus_quality_report",
 ]
 
 

@@ -42,7 +42,11 @@ def _stop_hits(words, stoplist: list[str]):
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals (the length/punct/stopword trio)."""
     d = load_table(spark, sf_dir, "documents")
-    df = d.select("doc_id", "lang", F.col("text"), _words().alias("w"))
+    # zero-word docs are excluded: no defined ratios, and ANSI mode
+    # raises on the divisions (mirrored in the oracle's WHERE)
+    df = d.select("doc_id", "lang", F.col("text"), _words().alias("w")).filter(
+        F.size("w") > 0
+    )
     n_words = F.size("w")
     n_chars = F.length("text")
     punct = F.size(F.regexp_extract_all("text", F.lit(PUNCT_PATTERN), 0))
@@ -220,7 +224,13 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus triage needs rule attribution to tune thresholds.
     """
     d = load_table(spark, sf_dir, "documents")
-    df = d.select("doc_id", "text", _words().alias("w"))
+    # Zero-word documents have no defined mean word length (and fail
+    # Gopher trivially); excluding them also keeps the ratio arithmetic
+    # ANSI-safe (Spark 4 raises on division by zero).  Mirrored in the
+    # oracle's WHERE.
+    df = d.select("doc_id", "text", _words().alias("w")).filter(
+        F.size("w") > 0
+    )
     n_words = F.size("w").cast("bigint")
     mean_wl = F.round(
         F.aggregate(
@@ -314,9 +324,12 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB there is exactly one full pass over the corpus.
     """
     d = load_table(spark, sf_dir, "documents")
+    # dl > 0: zero-word docs score 0 by definition and an all-empty
+    # corpus would zero avgdl (ANSI division error); mirrored in the
+    # oracle's WHERE
     base = d.select("doc_id", _words().alias("w")).withColumn(
         "dl", F.size("w").cast("bigint")
-    )
+    ).filter(F.col("dl") > 0)
     for t in BM25_QUERY_TERMS:
         base = base.withColumn(
             f"tf_{t}",
@@ -481,6 +494,7 @@ ORACLE: dict[str, str | None] = {
     "text_stats": f"""
         WITH base AS (
           SELECT doc_id, lang, text, {_SQL_WORDS} AS w FROM documents
+          WHERE len({_SQL_WORDS}) > 0
         ),
         m AS (
           SELECT doc_id, lang,
@@ -597,6 +611,7 @@ ORACLE: dict[str, str | None] = {
                  CAST({_sql_stop_hits('w', ALL_STOPWORDS)} AS BIGINT)
                    AS stop_hits
           FROM (SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents)
+          WHERE len(w) > 0
         ),
         r AS (
           SELECT *,
@@ -648,6 +663,7 @@ ORACLE: dict[str, str | None] = {
                      for t in BM25_QUERY_TERMS
                  )}
           FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+          WHERE len(w) > 0
         ),
         stats AS (
           SELECT count(*) AS n_docs, avg(dl) AS avgdl,
