@@ -41,6 +41,11 @@ FUZZED_QUERIES = [
     "vocab_coverage",
     "unigram_logprob_score",
     "corpus_quality_report",
+    "bm25_rank",
+    "lang_id_heuristic",
+    "simhash_sketch",
+    "dedup_minhash_lsh",
+    "text_stats",
 ]
 
 

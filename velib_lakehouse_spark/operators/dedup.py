@@ -382,6 +382,9 @@ def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
+    # a zero-token document has no bits to vote on — drop it, matching
+    # the oracle (whose unnest produces no rows for it)
+    d = d.filter(F.size(_words()) > 0)
     md5h = "cast(conv(substr(md5(x), 1, 15), 16, 10) as bigint)"
     return d.select(
         "doc_id",
