@@ -46,6 +46,13 @@ FUZZED_QUERIES = [
     "simhash_sketch",
     "dedup_minhash_lsh",
     "text_stats",
+    "text_clean_redact",
+    "quality_topk_mix",
+    "decontaminate_ngram",
+    "pack_sequences",
+    "export_shuffled_shards",
+    "corpus_composition",
+    "dedup_clusters",
 ]
 
 

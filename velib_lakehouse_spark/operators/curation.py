@@ -172,6 +172,7 @@ _SQL_QUALITY = """
              list_filter(string_split(text, ' '), x -> x <> '') AS w
       FROM documents
     )
+    WHERE len(w) > 0
   )
 """
 
