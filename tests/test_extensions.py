@@ -386,3 +386,31 @@ def test_wide_band_profile_recall_and_selectivity(spark):
     n_default = banded_cosine_pairs(random_corpus, -1.0).count()
     n_wide = banded_cosine_pairs(random_corpus, -1.0, bands=8, band_bits=8).count()
     assert n_wide < n_default / 3, (n_wide, n_default)
+
+
+def test_source_drift_matches_numpy(spark):
+    from collections import Counter
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    rows = list(zip(t["source"].to_pylist(), t["n_chars"].to_pylist()))
+    bucket = lambda n: min(n // 100, 19)
+    by_src = {}
+    for s, n in rows:
+        by_src.setdefault(s, Counter())[bucket(n)] += 1
+    glob = Counter()
+    for s, c in by_src.items():
+        glob.update(c)
+    tot_g = sum(glob.values())
+    got = {r.source: r for r in
+           registry.QUERIES["source_drift_ks"](spark, SF_DIR).collect()}
+    assert set(got) == set(by_src)
+    for s, c in by_src.items():
+        tot_s = sum(c.values())
+        cum_s = cum_g = 0
+        ks = 0.0
+        for b in range(20):
+            cum_s += c.get(b, 0)
+            cum_g += glob.get(b, 0)
+            ks = max(ks, abs(cum_s / tot_s - cum_g / tot_g))
+        assert got[s].n_docs == tot_s
+        assert got[s].ks_stat == pytest.approx(round(ks, 6), abs=1e-9)

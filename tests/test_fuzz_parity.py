@@ -53,6 +53,7 @@ FUZZED_QUERIES = [
     "export_shuffled_shards",
     "corpus_composition",
     "dedup_clusters",
+    "source_drift_ks",
 ]
 
 

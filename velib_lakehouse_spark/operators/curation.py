@@ -154,6 +154,82 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DRIFT_BUCKETS = 20
+DRIFT_BUCKET_WIDTH = 100  # n_chars per bucket
+
+
+def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: per source, a KS-style statistic — the
+    max gap between the source's document-length CDF and the corpus-wide
+    CDF over fixed n_chars buckets.
+
+    The shape a crawl-monitoring pipeline needs: when one source's
+    length profile diverges (truncation bug, boilerplate flood), its
+    ks_stat jumps.  Cost at 100 TB: one (source, bucket) count shuffle
+    — at most n_sources * DRIFT_BUCKETS rows reduce-side — then window
+    cumsums over that tiny grid.  All counts are integers, each CDF is
+    one exact-int division, and max() is order-invariant, so the
+    statistic is partitioning- and engine-deterministic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / DRIFT_BUCKET_WIDTH),
+        F.lit(DRIFT_BUCKETS - 1),
+    ).cast("bigint")
+    counts = (
+        d.select(F.col("source"), bucket.alias("bucket"))
+        .groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # dense (source x bucket) grid so the cumulative sums align even
+    # when a source skips buckets
+    grid = (
+        counts.select("source")
+        .distinct()
+        .crossJoin(
+            spark.range(DRIFT_BUCKETS).select(F.col("id").alias("bucket"))
+        )
+    )
+    dense = grid.join(counts, ["source", "bucket"], "left").fillna(0, ["c"])
+    w_s = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_source = dense.withColumn("cum_s", F.sum("c").over(w_s))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot_s"))
+
+    g_counts = (
+        d.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("gc"))
+    )
+    g_grid = spark.range(DRIFT_BUCKETS).select(F.col("id").alias("bucket"))
+    g_dense = g_grid.join(g_counts, "bucket", "left").fillna(0, ["gc"])
+    w_g = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g_cum = g_dense.withColumn("cum_g", F.sum("gc").over(w_g))
+    g_tot = d.agg(F.count(F.lit(1)).alias("tot_g"))
+
+    joined = (
+        per_source.join(F.broadcast(g_cum.select("bucket", "cum_g")), "bucket")
+        .join(totals, "source")
+        .crossJoin(F.broadcast(g_tot))
+    )
+    gap = F.abs(
+        F.col("cum_s").cast("double") / F.col("tot_s")
+        - F.col("cum_g").cast("double") / F.col("tot_g")
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.round(F.max(gap), 6).alias("ks_stat"),
+            F.max("tot_s").alias("n_docs"),
+        )
+    )
+
+
 _SQL_QUALITY = """
   SELECT doc_id, lang,
          ROUND(0.4 * stopword_ratio + 0.3 * (1 - punct_ratio)
@@ -216,6 +292,56 @@ ORACLE: dict[str, str | None] = {
         )
         WHERE mix_rank <= {MIX_TOP_N}
     """,
+    "source_drift_ks": f"""
+        WITH b AS (
+          SELECT source,
+                 least(CAST(floor(n_chars / {DRIFT_BUCKET_WIDTH}) AS BIGINT),
+                       {DRIFT_BUCKETS - 1}) AS bucket
+          FROM documents
+        ),
+        counts AS (
+          SELECT source, bucket, count(*) AS c FROM b GROUP BY source, bucket
+        ),
+        grid AS (
+          SELECT s.source, g.bucket
+          FROM (SELECT DISTINCT source FROM counts) s
+          CROSS JOIN (SELECT unnest(generate_series(0,
+                        {DRIFT_BUCKETS - 1}))::BIGINT AS bucket) g
+        ),
+        dense AS (
+          SELECT grid.source, grid.bucket, COALESCE(counts.c, 0) AS c
+          FROM grid LEFT JOIN counts USING (source, bucket)
+        ),
+        per_source AS (
+          SELECT source, bucket,
+                 sum(c) OVER (PARTITION BY source ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum_s
+          FROM dense
+        ),
+        totals AS (SELECT source, sum(c) AS tot_s FROM counts GROUP BY source),
+        g_dense AS (
+          SELECT g.bucket, COALESCE(gc.gc, 0) AS gc
+          FROM (SELECT unnest(generate_series(0,
+                  {DRIFT_BUCKETS - 1}))::BIGINT AS bucket) g
+          LEFT JOIN (SELECT bucket, count(*) AS gc FROM b GROUP BY bucket) gc
+            USING (bucket)
+        ),
+        g_cum AS (
+          SELECT bucket, sum(gc) OVER (ORDER BY bucket
+                   ROWS UNBOUNDED PRECEDING) AS cum_g
+          FROM g_dense
+        ),
+        g_tot AS (SELECT count(*) AS tot_g FROM documents)
+        SELECT source,
+               ROUND(max(abs(CAST(cum_s AS DOUBLE) / tot_s
+                             - CAST(cum_g AS DOUBLE) / tot_g)), 6) AS ks_stat,
+               CAST(max(tot_s) AS BIGINT) AS n_docs
+        FROM per_source
+        JOIN g_cum USING (bucket)
+        JOIN totals USING (source)
+        CROSS JOIN g_tot
+        GROUP BY source
+    """,
     "corpus_composition": """
         SELECT COALESCE(lang, '<all>') AS lang,
                COALESCE(source, '<all>') AS source,
@@ -249,4 +375,5 @@ QUERIES = {
     "quality_topk_mix": quality_topk_mix,
     "stratified_split": stratified_split,
     "corpus_composition": corpus_composition,
+    "source_drift_ks": source_drift_ks,
 }

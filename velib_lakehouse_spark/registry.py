@@ -114,6 +114,7 @@ SECONDARY: tuple[str, ...] = (
     "streaming_stateful_enumerate",
     "unigram_logprob_score",
     "lake_zorder_layout",
+    "source_drift_ks",
 )
 
 
