@@ -58,6 +58,8 @@ HEADLINE = [
     "embedding_centroids",
     "unigram_logprob_score",
     "lake_zorder_layout",
+    "corpus_quality_report",
+    "source_drift_ks",
     "streaming_stateful_enumerate",
     "streaming_silver_availablenow",
 ]
