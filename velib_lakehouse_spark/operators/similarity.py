@@ -322,6 +322,57 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANT_BITS = 127  # int8 symmetric range
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the export
+    step that shrinks a serving index 4x (float32 -> int8).
+
+    Per-vector scale = max(|x|)/127; q_i = round-half-up(x_i / scale).
+    Map-side only (one pass, no shuffle).  Rounding is emulated as
+    floor(x + 0.5) in BOTH engines — Spark's round() uses decimal
+    HALF_UP while DuckDB rounds the binary double, and the two disagree
+    on values like 16.5 that the scale grid makes common; floor of the
+    identical double is deterministic.  Output serializes the int8
+    vector as a comma-joined string (driver-hashable) plus max
+    dequantization error, which must stay under scale/2 + 1e-9.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("v"),
+    ).withColumn(
+        "scale",
+        F.expr(
+            "aggregate(v, cast(0.0 as double),"
+            " (acc, x) -> greatest(acc, abs(x)))"
+        )
+        / F.lit(float(QUANT_BITS)),
+    )
+    q = F.expr("transform(v, x -> cast(floor(x / scale + 0.5d) as bigint))")
+    dq_err = (
+        "aggregate(zip_with(v, q, (x, qi) -> abs(x - qi * scale)),"
+        " cast(0.0 as double), (acc, x) -> greatest(acc, x))"
+    )
+    return (
+        v.filter(F.col("scale") > 0)
+        .withColumn("q", q)
+        .select(
+            "vec_id",
+            "label",
+            F.round("scale", 9).alias("scale_r9"),
+            F.concat_ws(",", F.expr("transform(q, x -> cast(x as string))")).alias(
+                "q_csv"
+            ),
+            (F.expr(dq_err) <= F.col("scale") / 2 + F.lit(1e-9)).alias(
+                "within_half_step"
+            ),
+        )
+    )
+
+
 def _sql_bucket(vcol: str) -> str:
     plane = _SQL_PLANE.format(dim=DIM, v=vcol).replace("', p, '", "', q - 1, '")
     return _SQL_BUCKET.format(np=N_PLANES, plane=plane)
@@ -390,9 +441,32 @@ ORACLE["embedding_centroids"] = f"""
     )
 """
 
+ORACLE["embedding_quantize_int8"] = f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)),
+                            'max') / {float(QUANT_BITS)} AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, label, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+               AS qv
+      FROM v WHERE scale > 0
+    )
+    SELECT vec_id, label,
+           ROUND(scale, 9) AS scale_r9,
+           array_to_string(qv, ',') AS q_csv,
+           list_max(list_transform(generate_series(1, len(v)),
+                    i -> abs(v[i] - qv[i] * scale)))
+             <= scale / 2 + 1e-9 AS within_half_step
+    FROM q
+"""
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_centroids": embedding_centroids,
+    "embedding_quantize_int8": embedding_quantize_int8,
 }

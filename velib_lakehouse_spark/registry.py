@@ -115,6 +115,7 @@ SECONDARY: tuple[str, ...] = (
     "unigram_logprob_score",
     "lake_zorder_layout",
     "source_drift_ks",
+    "embedding_quantize_int8",
 )
 
 
