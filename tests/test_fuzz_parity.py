@@ -54,6 +54,7 @@ FUZZED_QUERIES = [
     "corpus_composition",
     "dedup_clusters",
     "source_drift_ks",
+    "dedup_containment",
 ]
 
 

@@ -192,6 +192,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: shingle containment
+    max(|A∩B|/|A|, |A∩B|/|B|) = n_common / min(|A|, |B|).
+
+    Catches what Jaccard structurally misses — a short document embedded
+    in a much longer one (quotes, truncated re-crawls, boilerplate
+    wrappers) has tiny Jaccard but containment ~1.  Same rare-shingle
+    candidate machinery as :func:`dedup_ngram_jaccard` (one groupBy,
+    fan-out bounded by the doc-frequency cap), different final metric.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    from pyspark.sql import Window
+
+    df_w = Window.partitionBy("shingle")
+    groups = (
+        sh.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("docs"))
+    )
+    pair_expr = (
+        "flatten(transform(ds, (x, i) ->"
+        " transform(slice(ds, i + 2, size(ds)), y -> struct(x AS a, y AS b))))"
+    )
+    inter = (
+        groups.select(F.array_sort("docs").alias("ds"))
+        .select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("sb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("n_common") / F.least("sa", "sb").cast("double"), 6
+            ),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "sa", "sb", "containment")
+    )
+
+
 def minhash_bands(d: DataFrame) -> DataFrame:
     """(doc_id, band, band_sig) banded MinHash signatures of ``d``.
 
@@ -595,6 +648,31 @@ ORACLE: dict[str, str | None] = {
         WHERE ROUND(n_common / CAST(sa.n_shingles + sb.n_shingles - n_common
                                     AS DOUBLE), 6) >= {JACCARD_THRESHOLD}
     """,
+    "dedup_containment": f"""
+        WITH sh AS ({_SQL_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        rare AS (
+          SELECT sh.* FROM sh
+          WHERE shingle IN (
+            SELECT shingle FROM sh GROUP BY shingle
+            HAVING count(DISTINCT doc_id) <= {SHINGLE_DF_CAP})
+        ),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+          FROM rare a JOIN rare b ON a.shingle = b.shingle
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_common,
+               sa.n_shingles AS sa, sb.n_shingles AS sb,
+               ROUND(n_common / CAST(least(sa.n_shingles, sb.n_shingles)
+                                     AS DOUBLE), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON inter.doc_a = sa.doc_id
+        JOIN sizes sb ON inter.doc_b = sb.doc_id
+        WHERE ROUND(n_common / CAST(least(sa.n_shingles, sb.n_shingles)
+                                    AS DOUBLE), 6) >= {CONTAINMENT_THRESHOLD}
+    """,
     "dedup_minhash_lsh": f"""
         WITH sig AS ({_SQL_MINHASH_SIG}),
         bands AS (
@@ -719,5 +797,6 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_incremental_minhash": dedup_incremental_minhash,
     "simhash_sketch": simhash_sketch,
+    "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }

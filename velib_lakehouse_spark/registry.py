@@ -116,6 +116,7 @@ SECONDARY: tuple[str, ...] = (
     "lake_zorder_layout",
     "source_drift_ks",
     "embedding_quantize_int8",
+    "dedup_containment",
 )
 
 
