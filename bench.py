@@ -60,6 +60,8 @@ HEADLINE = [
     "lake_zorder_layout",
     "corpus_quality_report",
     "source_drift_ks",
+    "embedding_quantize_int8",
+    "dedup_containment",
     "streaming_stateful_enumerate",
     "streaming_silver_availablenow",
 ]
