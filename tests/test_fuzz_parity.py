@@ -55,6 +55,7 @@ FUZZED_QUERIES = [
     "dedup_clusters",
     "source_drift_ks",
     "dedup_containment",
+    "lang_consistency_audit",
 ]
 
 

@@ -454,6 +454,31 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lang_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-vs-heuristic agreement per labeled language: how often the
+    stopword language-ID disagrees with the stored ``lang`` label.
+
+    The label-quality audit a multilingual corpus runs before trusting
+    its metadata for mixing/splitting: a stratum whose mismatch share
+    spikes has mislabeled or code-switched documents.  One aggregation
+    over the map-side scores; mismatch share is an exact integer ratio.
+    """
+    scored = lang_id_heuristic(spark, sf_dir)
+    return (
+        scored.groupBy(F.col("labeled_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.col("predicted_lang") != F.col("labeled_lang")).cast("bigint")
+            ).alias("n_mismatch"),
+        )
+        .withColumn(
+            "mismatch_share",
+            F.round(F.col("n_mismatch").cast("double") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def corpus_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-row-per-document corpus QA dashboard: the Gopher rule
     verdicts, repetition signals, unigram-LM NLL, and BPE-ish token
@@ -765,3 +790,16 @@ ORACLE["corpus_quality_report"] = f"""
     JOIN ({ORACLE["token_count"]}) t USING (doc_id)
 """
 QUERIES["corpus_quality_report"] = corpus_quality_report
+
+ORACLE["lang_consistency_audit"] = f"""
+    SELECT labeled_lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN predicted_lang <> labeled_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           ROUND(CAST(sum(CASE WHEN predicted_lang <> labeled_lang
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS mismatch_share
+    FROM ({ORACLE["lang_id_heuristic"]})
+    GROUP BY labeled_lang
+"""
+QUERIES["lang_consistency_audit"] = lang_consistency_audit

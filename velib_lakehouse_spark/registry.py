@@ -117,6 +117,7 @@ SECONDARY: tuple[str, ...] = (
     "source_drift_ks",
     "embedding_quantize_int8",
     "dedup_containment",
+    "lang_consistency_audit",
 )
 
 
