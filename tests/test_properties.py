@@ -99,3 +99,51 @@ def test_net_flow_matches_pandas_diff(spark, rows):
             assert r.nf is None
         else:
             assert r.nf == e
+
+
+@given(rows=st.lists(
+    st.integers(min_value=0, max_value=2 * 10**8),  # 2-decimal cents
+    min_size=1, max_size=40,
+))
+@settings(**SETTINGS)
+def test_micro_sum_2dp_matches_python_half_up(spark, rows):
+    """The fixed-point fast path, its wide (decimal-accumulator) twin,
+    and pure-Python integer arithmetic must all agree — and the 2dp
+    half-up step must be exact in integer math (ADVICE r2: the earlier
+    floor((s+50)/100.0) double division breaks past 2^53)."""
+    from velib_lakehouse_spark.functions.exact import (
+        micro_sum_2dp,
+        micro_sum_2dp_wide,
+    )
+
+    micros = [c * 100 for c in rows]  # scale-4 units of 2-decimal values
+    df = spark.createDataFrame([(m,) for m in micros], "m long")
+    fast = df.repartition(5).agg(micro_sum_2dp(F.col("m"), "s")).collect()[0]["s"]
+    wide = df.repartition(3).agg(
+        micro_sum_2dp_wide(F.col("m"), "s")
+    ).collect()[0]["s"]
+    expected = float((sum(micros) + 50) // 100) / 100.0
+    assert fast == expected
+    assert wide == expected
+
+
+def test_micro_sum_2dp_exact_past_2pow53(spark):
+    """Sums beyond 2^53 keep exact cents (the double-division bug this
+    guards against loses the low bits silently)."""
+    from velib_lakehouse_spark.functions.exact import (
+        micro_sum_2dp,
+        micro_sum_2dp_wide,
+    )
+
+    # 1e9-unit rows x 10_000_019 would be slow; instead use few huge
+    # legal long values whose sum is > 2^53 and NOT a multiple of 2^k,
+    # so double division would visibly round.
+    micros = [9_007_199_254_740_993, 9_007_199_254_740_991, 123_457]
+    s = sum(micros)
+    assert s > 2**53
+    df = spark.createDataFrame([(m,) for m in micros], "m long")
+    expected = float((s + 50) // 100) / 100.0
+    got = df.agg(micro_sum_2dp(F.col("m"), "s")).collect()[0]["s"]
+    wide = df.agg(micro_sum_2dp_wide(F.col("m"), "s")).collect()[0]["s"]
+    assert got == expected
+    assert wide == expected

@@ -85,8 +85,23 @@ def sql_dec_product(a: str, b: str) -> str:
 # whole-stage-codegen fast.  round(x*100) is safe because a 2-decimal
 # double is within 1 ULP of its scaled integer — never near a .5
 # boundary.  NONNEGATIVE inputs only (the final half-up rounding is
-# emulated with floor((s+50)/100)); signed columns (acctbal) stay on
-# the decimal path.
+# emulated in exact integer arithmetic); signed columns (acctbal) stay
+# on the decimal path.
+#
+# SCALE BOUND (explicit, because "exact" has a domain): the long
+# accumulator holds ~9.2e18.  Scale-4 products of TPC-H money columns
+# are ~1e9 micro-units per row, so SUM overflows int64 at ~9.2e9 rows
+# *per aggregation group* — ~TPC-H sf6000 (≈6 TB) for Q1's 4 groups.
+# Under ANSI mode that is a loud error, not a wrong answer.  Past that
+# scale use ``micro_sum_2dp_wide`` (identical value, decimal(38,0)
+# accumulator — exact to 1e38, off the codegen fast path) — or keep the
+# fast path by pre-aggregating finer groups first.  The final
+# half-up-to-2dp step avoids double division entirely (an earlier
+# version used floor((s+50)/100.0), which silently loses integer
+# exactness once s > 2^53 ≈ 9e15, i.e. ~sf60): it subtracts the
+# remainder in long math and performs one exact decimal division, so
+# the cents value is exact for any in-range sum; the one double cast at
+# the end is a single correctly-rounded conversion in both engines.
 
 CENTS = 100
 MICRO = 10_000
@@ -103,13 +118,37 @@ def cents_product(a: Column | str, b: Column | str) -> Column:
     return cents(a) * cents(b)
 
 
+def _half_up_2dp(s: Column, alias: str) -> Column:
+    """(s + 50) div 100 in exact arithmetic, surfaced as double cents/100.
+
+    ``s % 100`` and the subtraction stay in long math; the division is
+    decimal-exact because the dividend is a multiple of 100 (decimal
+    division's scale-adjustment rounding is the identity on an integral
+    quotient).  No double op touches the sum until the final cast.
+    """
+    shifted = s + F.lit(50)
+    whole = (shifted - shifted % F.lit(100)).cast("decimal(38,0)")
+    cents2 = (whole / F.lit(100)).cast("decimal(38,0)")
+    return (cents2.cast("double") / F.lit(100.0)).alias(alias)
+
+
 def micro_sum_2dp(micro_col: Column, alias: str) -> Column:
     """SUM of scale-4 micro-units, rounded half-up to 2 decimals and
     surfaced as double — same value as ``dec_sum`` on the unscaled
-    column (nonnegative inputs)."""
-    return (
-        F.floor((F.sum(micro_col) + F.lit(50)) / F.lit(100)) / F.lit(100.0)
-    ).alias(alias)
+    column (nonnegative inputs).  Long accumulator: valid to ~9.2e9
+    rows/group of ~1e9-unit products (see SCALE BOUND above); past that
+    use ``micro_sum_2dp_wide``."""
+    return _half_up_2dp(F.sum(micro_col), alias)
+
+
+def micro_sum_2dp_wide(micro_col: Column, alias: str) -> Column:
+    """``micro_sum_2dp`` with a decimal(38,0) accumulator: same value,
+    no int64 bound (exact to 1e38 micro-units), for aggregation groups
+    past ~9.2e9 rows.  Off the codegen long fast path — pay it only at
+    the scale that needs it."""
+    return _half_up_2dp(
+        F.sum(micro_col.cast("decimal(38,0)")).cast("decimal(38,0)"), alias
+    )
 
 
 def micro_avg_6dp(micro_col: Column, count_col: Column | str, alias: str) -> Column:
@@ -130,7 +169,12 @@ def sql_cents_product(a: str, b: str) -> str:
 
 
 def sql_micro_sum_2dp(micro_expr: str, alias: str) -> str:
-    return f"floor((SUM({micro_expr}) + 50) / 100) / 100.0 AS {alias}"
+    # BIGINT // is exact integer division — mirrors the long/decimal
+    # exact route on the Spark side (no double touches the sum).
+    return (
+        f"CAST((SUM({micro_expr}) + 50) // 100 AS DOUBLE) / 100.0"
+        f" AS {alias}"
+    )
 
 
 def sql_micro_avg_6dp(micro_expr: str, count_expr: str, alias: str) -> str:

@@ -178,14 +178,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the training loop distributes.  Queries then probe only their
     NPROBE nearest cells' inverted lists.
 
-    Rows-only correctness (float centroid means are not reproducible
-    across engines by design); tests pin recall against the exact
-    operator instead.
+    Cross-engine exactness: every centroid (init and each Lloyd update)
+    is quantized onto the 1e-6 micro-grid — components become
+    floor(avg(floor(x*1e6)))/1e6, where the inner integer sum is exact
+    and associative in any partitioning and the outer floor of the
+    identical double is bit-deterministic (the ``embedding_centroids``
+    trick).  Distances against grid centroids are then the same
+    sequential double fold in both engines, so argmin assignments,
+    probe sets, and final top-k are reproducible; the DuckDB oracle
+    unrolls the IVF_ITERS Lloyd iterations as CTEs.  Recall vs the
+    exact operator is additionally pinned in tests.
     """
     v = _vectors(spark, sf_dir).persist()
 
     centroids = v.filter(F.col("vec_id") < NLIST).select(
-        F.col("vec_id").cast("int").alias("cid"), F.col("v").alias("cv")
+        F.col("vec_id").cast("int").alias("cid"),
+        F.expr("transform(v, x -> floor(x * 1e6) / 1e6)").alias("cv"),
     )
     dist2 = (
         "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
@@ -204,13 +212,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centroids = (
             assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .withColumn("q", F.floor(F.col("x") * F.lit(1e6)).cast("bigint"))
             .groupBy("cid", "pos")
-            .agg(F.avg("x").alias("mx"))
+            .agg(F.floor(F.avg("q")).cast("bigint").alias("mq"))
             .groupBy("cid")
             .agg(
                 F.expr(
-                    "transform(array_sort(collect_list(struct(pos, mx))),"
-                    " s -> s.mx)"
+                    "transform(array_sort(collect_list(struct(pos, mq))),"
+                    " s -> s.mq / 1e6)"
                 ).alias("cv")
             )
         )
@@ -295,9 +304,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal HALF_UP while DuckDB rounds the binary value, and the two
     disagree on half-way points; floor of the identical correctly-
     rounded double S/N is bit-deterministic in both engines.
-    ``ann_ivf_topk`` deliberately does NOT quantize (its centroids feed
-    argmin cascades); here the centroid IS the output, so a 1e-6 grid
-    is the contract.
+    ``ann_ivf_topk`` reuses exactly this grid for its Lloyd centroids,
+    which is what makes the IVF pipeline oracle-checkable end to end.
     """
     e = load_table(spark, sf_dir, "embeddings")
     pos = e.select(
@@ -334,9 +342,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor(x + 0.5) in BOTH engines — Spark's round() uses decimal
     HALF_UP while DuckDB rounds the binary double, and the two disagree
     on values like 16.5 that the scale grid makes common; floor of the
-    identical double is deterministic.  Output serializes the int8
-    vector as a comma-joined string (driver-hashable) plus max
-    dequantization error, which must stay under scale/2 + 1e-9.
+    identical double is deterministic.  The reported scale itself is
+    rounded the same way (floor(scale*1e9 + 0.5)/1e9), NOT via
+    round(scale, 9), for the same half-way-point reason.  Output
+    serializes the int8 vector as a comma-joined string
+    (driver-hashable) plus max dequantization error, which must stay
+    under scale/2 + 1e-9.
     """
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(
@@ -362,7 +373,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round("scale", 9).alias("scale_r9"),
+            (F.expr("floor(scale * 1e9 + 0.5d)") / F.lit(1e9)).alias("scale_r9"),
             F.concat_ws(",", F.expr("transform(q, x -> cast(x as string))")).alias(
                 "q_csv"
             ),
@@ -422,7 +433,84 @@ ORACLE: dict[str, str | None] = {
     """,
 }
 
-ORACLE["ann_ivf_topk"] = None  # float centroids: rows-only + recall test
+def _ivf_oracle_sql() -> str:
+    """Unrolled-Lloyd DuckDB mirror of ``ann_ivf_topk``.
+
+    Each iteration is two CTEs: an argmin assignment against the
+    previous centroids (same sequential-fold d2, same (d2, cid) tie
+    order) and a micro-grid centroid update (floor(avg(floor(x*1e6)))/
+    1e6 — integer-exact in both engines).  IVF_ITERS updates, then a
+    final assignment, NPROBE probing, and per-query top-k.
+    """
+    d2 = (
+        "list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])))"
+    ).format(dim=DIM)
+    parts = [
+        f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm
+          FROM embeddings
+        ),
+        c0 AS (
+          SELECT CAST(vec_id AS INT) AS cid,
+                 list_transform(v, x -> floor(x * 1e6) / 1e6) AS cv
+          FROM v WHERE vec_id < {NLIST}
+        )"""
+    ]
+    for it in range(1, IVF_ITERS + 2):
+        parts.append(f"""
+        , a{it} AS (
+          SELECT vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {d2} ASC, c.cid ASC) AS rn
+            FROM v CROSS JOIN c{it - 1} c
+          ) WHERE rn = 1
+        )""")
+        if it <= IVF_ITERS:
+            parts.append(f"""
+        , c{it} AS (
+          SELECT cid, list(mq / 1e6 ORDER BY pos) AS cv FROM (
+            SELECT cid, pos, CAST(floor(avg(q)) AS BIGINT) AS mq FROM (
+              SELECT a.cid, generate_subscripts(v.v, 1) AS pos,
+                     CAST(floor(unnest(v.v) * 1e6) AS BIGINT) AS q
+              FROM a{it} a JOIN v ON v.vec_id = a.vec_id
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    final_assign = f"a{IVF_ITERS + 1}"
+    parts.append(f"""
+        , probe AS (
+          SELECT vec_id AS q_vec_id, cid FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {d2} ASC, c.cid ASC) AS rn
+            FROM v CROSS JOIN c{IVF_ITERS} c
+            WHERE v.vec_id < {N_QUERIES}
+          ) WHERE rn <= {NPROBE}
+        ),
+        scored AS (
+          SELECT p.q_vec_id, a.vec_id,
+                 ROUND(list_dot_product(qv.v, cv.v) / (qv.norm * cv.norm), 6)
+                   AS cos
+          FROM probe p
+          JOIN {final_assign} a ON a.cid = p.cid AND a.vec_id <> p.q_vec_id
+          JOIN v qv ON qv.vec_id = p.q_vec_id
+          JOIN v cv ON cv.vec_id = a.vec_id
+        )
+        SELECT q_vec_id, vec_id, cos, rank FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY q_vec_id ORDER BY cos DESC, vec_id ASC) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+    """)
+    return "".join(parts)
+
+
+ORACLE["ann_ivf_topk"] = _ivf_oracle_sql()
 
 ORACLE["embedding_centroids"] = f"""
     SELECT label, dim, n_vectors, centroid_micro,
@@ -455,7 +543,7 @@ ORACLE["embedding_quantize_int8"] = f"""
       FROM v WHERE scale > 0
     )
     SELECT vec_id, label,
-           ROUND(scale, 9) AS scale_r9,
+           floor(scale * 1e9 + 0.5) / 1e9 AS scale_r9,
            array_to_string(qv, ',') AS q_csv,
            list_max(list_transform(generate_series(1, len(v)),
                     i -> abs(v[i] - qv[i] * scale)))

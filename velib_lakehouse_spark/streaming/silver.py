@@ -360,6 +360,18 @@ def streaming_stateful_enumerate(
     oracle (row_number + lag) is the exact semantic mirror, which is
     the point: custom stateful code should reduce to declarative
     semantics wherever the two overlap, or it can't be tested.
+
+    Arrival-order contract (explicit): there is no watermark here, so
+    the row_number/lag oracle is matched only when micro-batches arrive
+    in global event-time order per key — true for the single-file
+    fixture and for ``maxFilesPerTrigger`` splits of a time-sorted
+    file, which is what the multi-batch test feeds it.  A later batch
+    containing *earlier* timestamps is late data by this operator's
+    definition; the state guard below keeps ``last_ts_us`` monotone
+    (max) so one late batch yields locally-negative gaps but cannot
+    corrupt the gap of every subsequent in-order batch.  Late-tolerant
+    enumeration belongs to the watermarked operators
+    (``streaming_windowed_counts``/``streaming_dedup``), not here.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -389,7 +401,10 @@ def streaming_stateful_enumerate(
                 "ts_ms": rows["ts_us"] // 1000,
             }
         )
-        state.update((n_seen + len(rows), int(rows["ts_us"].iloc[-1])))
+        batch_max_us = int(rows["ts_us"].iloc[-1])
+        if last_us is not None:
+            batch_max_us = max(batch_max_us, last_us)
+        state.update((n_seen + len(rows), batch_max_us))
         yield out
 
     enumerated = ev.groupBy("user_id").applyInPandasWithState(
