@@ -15,38 +15,63 @@ from velib_lakehouse_spark import registry
 
 WINDOW = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
 
-# At least one judged-window query per operator family.
+# At least one judged-window query per operator family.  Round-3
+# rotation: the round-2 training-pipeline operators (never driver-
+# checked before) hold window slots; demoted two-rounds-green showcases
+# are listed in registry.SECONDARY.  Window/top-n/ordered-agg semantics
+# stay covered through the velib queries (velib_sparkline = top-n +
+# ordered collect, velib_dedup_latest = dedup-to-latest window).
 FAMILY_REPRESENTATIVES = {
     "velib": ["velib_silver_parse", "velib_sparkline", "velib_alerts"],
-    "relational": ["tpch_q1_pricing", "join_broadcast_chain"],
-    "windows": ["topn_orders_per_customer", "collect_ordered_quantities"],
+    "relational": ["tpch_q1_pricing", "join_shuffle_revenue"],
+    "windows": ["velib_sparkline", "hypertable_rollup"],
     "asof_range_session": [
         "asof_join_latest_state",
         "range_join_periods",
-        "sessionize_events",
+        "pandas_session_gaps",
     ],
     "dedup": [
         "dedup_exact",
-        "dedup_ngram_jaccard",
         "dedup_clusters",
         "dedup_minhash_lsh",
-        "simhash_sketch",
         "dedup_embedding_cosine",
+        "dedup_incremental_minhash",
+        "dedup_containment",
     ],
-    "similarity": ["ann_cosine_topk", "ann_lsh_topk"],
-    "text": ["text_stats", "lang_id_heuristic", "token_count", "doc_fingerprint"],
-    "curation": ["deterministic_sample", "text_clean_redact", "quality_topk_mix"],
+    "decontamination": ["decontaminate_ngram"],
+    "similarity": [
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_centroids",
+        "embedding_quantize_int8",
+    ],
+    "text": [
+        "repetition_stats",
+        "gopher_quality_filter",
+        "tfidf_top_terms",
+        "bm25_rank",
+        "vocab_coverage",
+        "unigram_logprob_score",
+        "lang_consistency_audit",
+        "corpus_quality_report",
+    ],
+    "curation": ["stratified_split", "corpus_composition", "source_drift_ks"],
+    "training": ["pack_sequences", "export_shuffled_shards"],
     "pandas": ["pandas_text_features", "pandas_session_gaps"],
-    "multimodal": ["multimodal_decode_meta", "multimodal_frame_sample"],
+    "multimodal": ["multimodal_frame_sample"],
     "rollups": ["hypertable_rollup", "scd2_merge"],
     "streaming": [
-        "kafka_shaped_roundtrip",
         "streaming_silver_availablenow",
-        "streaming_gold_foreachbatch",
         "streaming_windowed_counts",
         "streaming_dedup",
+        "streaming_stateful_enumerate",
     ],
-    "lake": ["json_file_scan", "lake_partition_pruned", "lake_gold_snapshot"],
+    "lake": [
+        "json_file_scan",
+        "lake_partition_pruned",
+        "lake_gold_snapshot",
+        "lake_zorder_layout",
+    ],
 }
 
 

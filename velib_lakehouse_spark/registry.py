@@ -31,6 +31,14 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
+# ROUND-3 ROTATION (VERDICT r2 next-round #1): the 19 round-2
+# training-pipeline operators had never received a driver CORRECTNESS
+# row (they sat past the window), while many round-1 showcases had two
+# rounds of green rows.  The window now carries every never-checked
+# operator plus the newly oracle-ized ann_ivf_topk; demoted showcases
+# (two green rows each) moved to the head of SECONDARY.  Every §2
+# family keeps at least one in-window representative — the velib core
+# keeps all nine.
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core
     "velib_silver_parse",
@@ -42,30 +50,75 @@ PRIORITY: tuple[str, ...] = (
     "velib_health",
     "velib_zombie_anti",
     "velib_enrich_join",
-    # relational representatives: one per join/window/agg family (semi/
-    # anti/count-if families are already covered inside the velib
-    # queries above, so their standalone showcases sit past the window)
+    # relational representatives (semi/anti/count-if/top-n/ordered-agg
+    # families are covered inside the velib queries above; their
+    # standalone two-rounds-green showcases yielded their slots)
     "tpch_q1_pricing",
-    "join_broadcast_chain",
     "join_shuffle_revenue",
-    "topn_orders_per_customer",
-    "collect_ordered_quantities",
-    "array_functions_showcase",
-    "corpus_quality_report",
-    "skew_salted_agg",
-    "approx_distinct_stats",
     "asof_join_latest_state",
     "range_join_periods",
-    "sessionize_events",
-    # LLM-pipeline: dedup / similarity / text / curation
+    "corpus_quality_report",
+    # LLM-pipeline: dedup
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_clusters",
     "dedup_minhash_lsh",
-    "simhash_sketch",
     "dedup_embedding_cosine",
-    "ann_cosine_topk",
+    "dedup_incremental_minhash",
+    "dedup_containment",
+    "decontaminate_ngram",
+    # similarity / embeddings
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    # text analysis
+    "repetition_stats",
+    "gopher_quality_filter",
+    "tfidf_top_terms",
+    "bm25_rank",
+    "vocab_coverage",
+    "unigram_logprob_score",
+    "lang_consistency_audit",
+    # curation
+    "stratified_split",
+    "corpus_composition",
+    "source_drift_ks",
+    # training export
+    "pack_sequences",
+    "export_shuffled_shards",
+    # Arrow boundary + multimodal plumbing
+    "pandas_text_features",
+    "pandas_session_gaps",
+    "multimodal_frame_sample",
+    # rollups / SCD2
+    "hypertable_rollup",
+    "scd2_merge",
+    # streaming
+    "streaming_silver_availablenow",
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    "streaming_stateful_enumerate",
+    # lake layout
+    "json_file_scan",
+    "lake_partition_pruned",
+    "lake_gold_snapshot",
+    "lake_zorder_layout",
+)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.  All of these have green driver rows from
+# rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
+# whose batch-mirror oracle landed in round 3.
+SECONDARY: tuple[str, ...] = (
+    "streaming_session_windows",
+    "ann_cosine_topk",
+    "simhash_sketch",
+    "dedup_ngram_jaccard",
+    "sessionize_events",
+    "join_broadcast_chain",
+    "topn_orders_per_customer",
+    "collect_ordered_quantities",
     "text_stats",
     "lang_id_heuristic",
     "token_count",
@@ -73,51 +126,13 @@ PRIORITY: tuple[str, ...] = (
     "deterministic_sample",
     "text_clean_redact",
     "quality_topk_mix",
-    # Arrow boundary + multimodal plumbing
-    "pandas_text_features",
-    "pandas_session_gaps",
     "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    # rollups / SCD2
-    "hypertable_rollup",
-    "scd2_merge",
-    # streaming
     "kafka_shaped_roundtrip",
-    "streaming_silver_availablenow",
     "streaming_gold_foreachbatch",
-    "streaming_windowed_counts",
-    "streaming_dedup",
-    # lake layout
-    "json_file_scan",
-    "lake_partition_pruned",
-    "lake_gold_snapshot",
-)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next (new training-pipeline operators, then the
-# relational showcases that were driver-green in round 1).
-SECONDARY: tuple[str, ...] = (
     "explode_words",
-    "dedup_incremental_minhash",
-    "decontaminate_ngram",
-    "pack_sequences",
-    "export_shuffled_shards",
-    "stratified_split",
-    "repetition_stats",
-    "corpus_composition",
-    "gopher_quality_filter",
-    "tfidf_top_terms",
-    "bm25_rank",
-    "vocab_coverage",
-    "embedding_centroids",
-    "streaming_stateful_enumerate",
-    "unigram_logprob_score",
-    "lake_zorder_layout",
-    "source_drift_ks",
-    "embedding_quantize_int8",
-    "dedup_containment",
-    "lang_consistency_audit",
+    "array_functions_showcase",
+    "skew_salted_agg",
+    "approx_distinct_stats",
 )
 
 
