@@ -289,9 +289,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful session windows in-stream: per-station sessions with a
     30-minute inactivity gap, emitted as the watermark closes them.
 
-    Rows-only correctness entry (which sessions are closed at drain time
-    depends on watermark internals); tests/test_streaming.py checks the
-    emitted sessions agree with the batch sessionization operator.
+    Oracle-checked (round 3): append mode emits exactly the sessions
+    whose end (last event + gap) <= the final watermark (max(ts) -
+    delay), and session boundaries are gap-based islands (a new session
+    starts when ts - prev >= gap, since Spark's per-event window
+    [ts, ts+gap) is end-exclusive) — both reproduced arithmetically in
+    the DuckDB mirror at microsecond precision, the same convention
+    ``streaming_windowed_counts`` pinned.  tests/test_streaming.py
+    additionally checks agreement with the batch sessionization
+    operator.
     """
     ev = _event_stream(spark, sf_dir)
     agg = (
@@ -476,7 +482,37 @@ ORACLE: dict[str, str | None] = {
         FROM events
         WHERE value < 50
     """,
-    "streaming_session_windows": None,
+    "streaming_session_windows": f"""
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS us FROM events
+        ),
+        marks AS (
+          SELECT user_id, us,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w >= {1800 * 1_000_000}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY us)
+        ),
+        sess AS (
+          SELECT user_id, us,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marks
+        ),
+        agg AS (
+          SELECT user_id AS station_code,
+                 min(us) // 1000 AS session_start_ms,
+                 (max(us) + {1800 * 1_000_000}) // 1000 AS session_end_ms,
+                 max(us) + {1800 * 1_000_000} AS session_end_us,
+                 count(*) AS n_events
+          FROM sess GROUP BY user_id, sid
+        )
+        SELECT station_code, session_start_ms, session_end_ms, n_events
+        FROM agg
+        CROSS JOIN (SELECT max(epoch_us(ts)) AS mx FROM events) m
+        WHERE session_end_us <= m.mx - {WATERMARK_SECONDS * 1_000_000}
+    """,
     "streaming_dedup": f"""
         WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
         dedup AS (
