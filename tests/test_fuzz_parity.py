@@ -113,3 +113,89 @@ def test_giant_document_stays_linear(spark, fuzz_base_dir):
 
     tok = registry.QUERIES["token_count"](spark, fuzz_base_dir).collect()
     assert tok[0].ws_tokens == 50_000
+
+
+# ---- streaming surface fuzz (VERDICT r2 next-round #6) ---------------------
+#
+# Randomized event sets (duplicate (user, ts) pairs, bursty/sparse gaps,
+# ties at window edges) are streamed through the watermarked operators
+# and diffed against the same DuckDB oracles the driver uses.  The
+# streaming source needs a single FILE named events.parquet (the glob
+# contract), so each example writes one and shares a dir of empty
+# sibling tables.
+
+STREAMING_FUZZED = [
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    "streaming_session_windows",
+    "streaming_stateful_enumerate",
+]
+
+_BASE_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user_id
+        st.integers(min_value=0, max_value=7_200),  # ts offset (s)
+        st.integers(min_value=0, max_value=100),    # value
+    ),
+    min_size=2,
+    max_size=60,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_fuzz_dir(spark):
+    out = tempfile.mkdtemp(prefix="t_fuzz_stream_")
+    for t in TABLES:
+        if t == "events":
+            continue
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+@given(events=events_strategy)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_event_stream_matches_oracle(spark, stream_fuzz_dir, events):
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            i,
+            _BASE_US + off * 1_000_000,
+            uid,
+            ["move", "check"][i % 2],
+            float(val),
+            "{}",
+        )
+        for i, (uid, off, val) in enumerate(events)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts_us long, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    tmp = f"{stream_fuzz_dir}/_one"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(f"{tmp}/{part}", f"{stream_fuzz_dir}/events.parquet")
+
+    for name in STREAMING_FUZZED:
+        problems = compare(
+            registry.QUERIES[name](spark, stream_fuzz_dir),
+            registry.ORACLE[name],
+            stream_fuzz_dir,
+        )
+        assert not problems, f"{name}: " + "; ".join(problems)
