@@ -64,3 +64,35 @@ def test_ingest_field_selection_and_keyed_messages():
     p1 = partition_for_key(b"101", 8)
     assert all(partition_for_key(b"101", 8) == p1 for _ in range(5))
     assert 0 <= p1 < 8
+
+
+def test_http_facade_serves_reference_routes(spark):
+    """The stdlib HTTP façade must emit byte-identical JSON to the
+    payload functions on both reference routes, and 404 elsewhere."""
+    import json
+    import urllib.error
+    import urllib.request
+
+    from velib_lakehouse_spark.serving import serve
+
+    server = serve(spark, SF_DIR)
+    try:
+        port = server.server_address[1]
+        for route, fn in (
+            ("/alerts/critical", critical_alerts_payload),
+            ("/health/pipeline", pipeline_health_payload),
+        ):
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}{route}", timeout=60
+            ) as resp:
+                assert resp.status == 200
+                assert resp.headers["Content-Type"] == "application/json"
+                got = json.load(resp)
+            assert got == json.loads(json.dumps(fn(spark, SF_DIR)))
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope", timeout=60)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()

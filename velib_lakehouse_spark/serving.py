@@ -53,6 +53,58 @@ def pipeline_health_payload(spark: SparkSession, sf_dir: str) -> dict:
     }
 
 
+ROUTES = {
+    "/alerts/critical": critical_alerts_payload,
+    "/health/pipeline": pipeline_health_payload,
+}
+
+
+def serve(spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0):
+    """Serve the two reference endpoints over HTTP with the stdlib only.
+
+    FastAPI is not installable in this build (no network, no pip — see
+    DELTA_ATTEMPT.md for the sandbox egress probes), so the drop-in
+    proof uses ``http.server``: same paths as reference src/api.py,
+    same JSON payloads the FastAPI wiring would emit.  Returns a
+    started ``ThreadingHTTPServer`` (daemon thread); callers own
+    ``shutdown()``.  ``port=0`` binds an ephemeral port, exposed as
+    ``server.server_address[1]``.
+
+    The Spark driver stays the single query engine — handlers run the
+    same collect-at-the-edge payload functions the tests pin, which is
+    also the reference's shape (a per-request engine query feeding a
+    serializer, src/api.py:37-142).
+    """
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 - http.server contract
+            fn = ROUTES.get(self.path)
+            if fn is None:
+                self.send_error(404, "unknown route")
+                return
+            try:
+                body = json.dumps(fn(spark, sf_dir)).encode()
+            except Exception as exc:  # pragma: no cover - engine failure
+                self.send_error(500, str(exc)[:200])
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet test output
+            pass
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
+
+
 def build_app(spark: SparkSession, sf_dir: str):
     """Mount the endpoints on FastAPI when available (reference
     src/api.py routes, same paths)."""
