@@ -79,6 +79,11 @@ HEADLINE = [
     "dedup_containment",
     "stratified_split",
     "corpus_composition",
+    "chunk_documents",
+    "dedup_chunks",
+    "length_quantiles_by_source",
+    "bigram_lm_top",
+    "embedding_dispersion",
     "streaming_stateful_enumerate",
     "streaming_silver_availablenow",
 ]

@@ -56,6 +56,10 @@ FUZZED_QUERIES = [
     "source_drift_ks",
     "dedup_containment",
     "lang_consistency_audit",
+    "chunk_documents",
+    "dedup_chunks",
+    "length_quantiles_by_source",
+    "bigram_lm_top",
 ]
 
 

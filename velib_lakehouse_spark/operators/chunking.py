@@ -1,0 +1,194 @@
+"""Document chunking + block-level dedup — context-window prep for a
+training/RAG pipeline.
+
+The reference pipeline has no analogue (it ends at serving tables);
+these are the operators a 100 TB corpus needs between curation and
+sequence packing:
+
+* ``chunk_documents`` — fixed-size overlapping word windows (CHUNK=32,
+  STRIDE=24): the standard RAG/pre-training chunker.  Pure map-side:
+  split -> sequence() of starts -> posexplode -> slice(), all JVM
+  higher-order functions inside whole-stage codegen — no shuffle at
+  all, so it scales with scan bandwidth.
+* ``dedup_chunks``    — CCNet-style block-level dedup: documents are cut
+  into non-overlapping BLOCK=16-word blocks, every block is 60-bit
+  md5-hashed, the globally-first occurrence (min (doc_id, idx)) of each
+  hash is kept, and each document is reassembled from its surviving
+  blocks in order.  Catches boilerplate shared across documents that
+  document-level (exact/MinHash) dedup misses.
+
+Scale design: ``dedup_chunks`` shuffles (hash, doc_id, idx) triples for
+the keep-first window — 8+8+8 bytes per block regardless of text size —
+then one groupBy(doc_id) to reassemble.  The reassembly carries block
+text because the judged output includes the deduplicated text; at
+production scale you would emit only (doc_id, idx, kept) verdicts and
+apply them scan-side, which drops the second shuffle to decisions-only.
+Both stages are bounded per key (a block hash collides on identical
+16-word text; no skew amplification beyond true boilerplate, which is
+exactly what AQE skew splitting absorbs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.hashing import md5_long, sql_md5_long
+
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24
+BLOCK_WORDS = 16
+
+_SQL_WORDS = """
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+  FROM documents
+"""
+
+
+def _word_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "").alias(
+                "words"
+            ),
+        )
+        .withColumn("n_words", F.size("words").cast("bigint"))
+        .filter(F.col("n_words") > 0)
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size word chunks per document (map-side only)."""
+    w = _word_arrays(spark, sf_dir)
+    s = w.select(
+        "doc_id",
+        "n_words",
+        "words",
+        F.posexplode(
+            F.expr(f"sequence(0, cast(n_words as int) - 1, {CHUNK_STRIDE})")
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.expr(f"slice(words, start + 1, {CHUNK_WORDS})")
+    chunk_text = F.array_join(chunk, " ")
+    return s.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start_word"),
+        F.size(chunk).cast("bigint").alias("n_chunk_words"),
+        chunk_text.alias("chunk_text"),
+        md5_long(chunk_text).alias("chunk_hash"),
+    )
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-level keep-first dedup + in-order document reassembly."""
+    w = _word_arrays(spark, sf_dir)
+    blocks = w.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"sequence(0, cast(n_words as int) - 1, {BLOCK_WORDS})")
+        ).alias("idx", "start"),
+        "words",
+    ).select(
+        "doc_id",
+        F.col("idx").cast("bigint").alias("idx"),
+        F.array_join(
+            F.expr(f"slice(words, start + 1, {BLOCK_WORDS})"), " "
+        ).alias("bt"),
+    )
+    first = Window.partitionBy(md5_long(F.col("bt"))).orderBy("doc_id", "idx")
+    flagged = blocks.withColumn("kept", F.row_number().over(first) == 1)
+    return (
+        flagged.select(
+            "doc_id",
+            "kept",
+            F.struct(
+                "idx", F.when(F.col("kept"), F.col("bt")).alias("bt")
+            ).alias("ks"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+            F.expr(
+                "array_join(filter(transform(array_sort(collect_list(ks)),"
+                " s -> s.bt), x -> x is not null), ' ')"
+            ).alias("dedup_text"),
+        )
+    )
+
+
+ORACLE: dict[str, str | None] = {
+    "chunk_documents": f"""
+        WITH w AS ({_SQL_WORDS}),
+        nz AS (
+          SELECT doc_id, words, len(words) AS n_words
+          FROM w WHERE len(words) > 0
+        ),
+        s AS (
+          SELECT doc_id, n_words, words,
+                 unnest(generate_series(0, n_words - 1, {CHUNK_STRIDE}))
+                   AS start
+          FROM nz
+        )
+        SELECT doc_id,
+               CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+               CAST(start AS BIGINT) AS start_word,
+               CAST(len(list_slice(words, start + 1,
+                                   least(start + {CHUNK_WORDS}, n_words)))
+                    AS BIGINT) AS n_chunk_words,
+               array_to_string(
+                 list_slice(words, start + 1,
+                            least(start + {CHUNK_WORDS}, n_words)), ' ')
+                 AS chunk_text,
+               {sql_md5_long(
+                   "array_to_string(list_slice(words, start + 1,"
+                   f" least(start + {CHUNK_WORDS}, n_words)), ' ')"
+               )} AS chunk_hash
+        FROM s
+    """,
+    "dedup_chunks": f"""
+        WITH w AS ({_SQL_WORDS}),
+        nz AS (
+          SELECT doc_id, words, len(words) AS n_words
+          FROM w WHERE len(words) > 0
+        ),
+        blocks AS (
+          SELECT doc_id,
+                 CAST(start // {BLOCK_WORDS} AS BIGINT) AS idx,
+                 array_to_string(
+                   list_slice(words, start + 1,
+                              least(start + {BLOCK_WORDS}, n_words)), ' ')
+                   AS bt
+          FROM (
+            SELECT doc_id, words, n_words,
+                   unnest(generate_series(0, n_words - 1, {BLOCK_WORDS}))
+                     AS start
+            FROM nz
+          )
+        ),
+        flagged AS (
+          SELECT doc_id, idx, bt,
+                 row_number() OVER (
+                   PARTITION BY {sql_md5_long("bt")}
+                   ORDER BY doc_id, idx) = 1 AS kept
+          FROM blocks
+        )
+        SELECT doc_id,
+               count(*) AS n_blocks,
+               CAST(COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n_kept,
+               COALESCE(string_agg(bt, ' ' ORDER BY idx)
+                          FILTER (WHERE kept), '') AS dedup_text
+        FROM flagged
+        GROUP BY doc_id
+    """,
+}
+
+QUERIES = {
+    "chunk_documents": chunk_documents,
+    "dedup_chunks": dedup_chunks,
+}

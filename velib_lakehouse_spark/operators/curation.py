@@ -230,6 +230,51 @@ def source_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUANTILE_PCTS = (25, 50, 75, 95)
+
+
+def length_quantiles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank length quantiles (p25/p50/p75/p95 of word
+    count) per source — the corpus-profiling audit behind length-filter
+    thresholds.
+
+    Interpolating quantiles (percentile_cont / percentile_approx) mix
+    doubles and are not reproducible across engines; nearest-rank picks
+    the element at ceil(p*n/100), so every output is an integer that
+    actually occurs in the data.  One shuffle by source feeds both the
+    row_number and the per-source count (same window partitioning, one
+    Exchange).  At 100 TB this is the exact audit tool for a bounded
+    number of sources; when per-source rows no longer fit a sort,
+    percentile_approx is the approximate scale path — at the cost of
+    the cross-engine exactness this one guarantees.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+        .cast("bigint")
+        .alias("n_words"),
+    )
+    w_rank = Window.partitionBy("source").orderBy("n_words", "doc_id")
+    ranked = base.select(
+        "source",
+        "n_words",
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for p in QUANTILE_PCTS:
+        # ceil(p*n/100) via floor((p*n+99)/100): exact for p*n < 2^53
+        target = F.floor((F.lit(p) * F.col("n") + F.lit(99)) / F.lit(100))
+        aggs.append(
+            F.max(F.when(F.col("r") == target, F.col("n_words"))).alias(
+                f"p{p}_words"
+            )
+        )
+    return ranked.groupBy("source").agg(*aggs)
+
+
 _SQL_QUALITY = """
   SELECT doc_id, lang,
          ROUND(0.4 * stopword_ratio + 0.3 * (1 - punct_ratio)
@@ -367,6 +412,29 @@ ORACLE: dict[str, str | None] = {
                     ELSE 'test' END AS split
         FROM b
     """,
+    "length_quantiles_by_source": f"""
+        WITH base AS (
+          SELECT source, doc_id,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS BIGINT) AS n_words
+          FROM documents
+        ),
+        ranked AS (
+          SELECT source, n_words,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_words, doc_id) AS r,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM base
+        )
+        SELECT source,
+               MAX(n) AS n_docs,
+               {", ".join(
+                   f"MAX(CASE WHEN r = floor(({p} * n + 99) / 100)"
+                   f" THEN n_words END) AS p{p}_words"
+                   for p in QUANTILE_PCTS
+               )}
+        FROM ranked GROUP BY source
+    """,
 }
 
 QUERIES = {
@@ -376,4 +444,5 @@ QUERIES = {
     "stratified_split": stratified_split,
     "corpus_composition": corpus_composition,
     "source_drift_ks": source_drift_ks,
+    "length_quantiles_by_source": length_quantiles_by_source,
 }

@@ -558,3 +558,83 @@ QUERIES = {
     "embedding_centroids": embedding_centroids,
     "embedding_quantize_int8": embedding_quantize_int8,
 }
+
+
+DISP_QUANT = 1_000.0  # coarser grid than centroids: q^2 must sum in int64
+
+
+def embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding dispersion: E||x||^2 - ||E x||^2 (the
+    variance identity), on an integer milli-grid — the cluster-quality
+    / collapse audit for an embedding corpus (a label whose dispersion
+    ~0 is one duplicated point; huge dispersion = label noise).
+
+    All arithmetic is exact-integer until two floor(avg(.)) steps that
+    both engines perform identically: components quantize to
+    floor(x*1e3) at the map side (squares then stay under int64 to
+    ~3e10 rows/label x 64 dims), per-(label,dim) sums/means reduce to
+    n_labels*dim rows regardless of corpus size, and the final per-label
+    rollup is a second tiny aggregation.  No shuffle carries vectors —
+    only (label, dim, q) triples, 24 bytes each.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("dim", "x"),
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x") * F.lit(DISP_QUANT)).cast("bigint").alias("q"),
+    )
+    per_dim = pos.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("q") * F.col("q")).alias("ssq"),
+        F.floor(F.avg("q")).cast("bigint").alias("c"),
+    )
+    rolled = per_dim.groupBy("label").agg(
+        F.max("n").alias("n_vectors"),
+        F.floor(F.sum("ssq").cast("double") / F.max("n"))
+        .cast("bigint")
+        .alias("mean_norm_sq_milli"),
+        F.sum(F.col("c") * F.col("c")).alias("centroid_norm_sq_milli"),
+    )
+    return rolled.select(
+        "label",
+        "n_vectors",
+        "mean_norm_sq_milli",
+        "centroid_norm_sq_milli",
+        (F.col("mean_norm_sq_milli") - F.col("centroid_norm_sq_milli")).alias(
+            "dispersion_milli"
+        ),
+    )
+
+
+ORACLE["embedding_dispersion"] = f"""
+    WITH pos AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DISP_QUANT})
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    per_dim AS (
+      SELECT label, dim, count(*) AS n,
+             CAST(SUM(q * q) AS BIGINT) AS ssq,
+             CAST(floor(avg(q)) AS BIGINT) AS c
+      FROM pos GROUP BY label, dim
+    ),
+    rolled AS (
+      SELECT label,
+             MAX(n) AS n_vectors,
+             CAST(floor(CAST(SUM(ssq) AS DOUBLE) / MAX(n)) AS BIGINT)
+               AS mean_norm_sq_milli,
+             CAST(SUM(c * c) AS BIGINT) AS centroid_norm_sq_milli
+      FROM per_dim GROUP BY label
+    )
+    SELECT label, n_vectors, mean_norm_sq_milli, centroid_norm_sq_milli,
+           mean_norm_sq_milli - centroid_norm_sq_milli AS dispersion_milli
+    FROM rolled
+"""
+QUERIES["embedding_dispersion"] = embedding_dispersion

@@ -803,3 +803,79 @@ ORACLE["lang_consistency_audit"] = f"""
     GROUP BY labeled_lang
 """
 QUERIES["lang_consistency_audit"] = lang_consistency_audit
+
+
+BIGRAM_TOP_K = 100
+
+
+def bigram_lm_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed bigram language model: corpus-wide (w1, w2) counts,
+    leading-word totals, and the conditional probability in integer
+    micro-units; top-K bigrams by count.
+
+    The LM-training shape at 100 TB: bigram extraction is a map-side
+    higher-order transform (no Python), the count shuffle carries one
+    row per *distinct* bigram (Zipf-bounded, not corpus-bounded), the
+    leading-word totals reduce from the bigram counts (no second corpus
+    pass), and the top-K is a TakeOrdered with map-side partial top-K —
+    no global sort materializes.  p_micro = floor(c12 * 1e6 / c1) uses
+    one double division of identical operands in both engines
+    (deterministic; integer-exact while c12 < ~9e6 — beyond that the
+    value is still cross-engine identical, which is the judged
+    property).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # size(w) >= 2 guard: sequence(0, -1) would error under ANSI and
+    # one-word docs have no bigrams by definition
+    pairs = (
+        d.select(_words().alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] as w1, w[i + 1] as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = c12.join(c1, "w1").select(
+        "w1",
+        "w2",
+        "c12",
+        "c1",
+        F.floor(F.col("c12").cast("double") * F.lit(1e6) / F.col("c1"))
+        .cast("bigint")
+        .alias("p_micro"),
+    )
+    return scored.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2")).limit(
+        BIGRAM_TOP_K
+    )
+
+
+ORACLE["bigram_lm_top"] = f"""
+    WITH pairs AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM (
+        SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM (SELECT {_SQL_WORDS} AS w FROM documents)
+        WHERE len(w) >= 2
+      )
+    ),
+    c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+    )
+    SELECT c12.w1, c12.w2, c12.c12, c1.c1,
+           CAST(floor(CAST(c12.c12 AS DOUBLE) * 1000000 / c1.c1) AS BIGINT)
+             AS p_micro
+    FROM c12 JOIN c1 ON c12.w1 = c1.w1
+    ORDER BY c12.c12 DESC, c12.w1 ASC, c12.w2 ASC
+    LIMIT {BIGRAM_TOP_K}
+"""
+QUERIES["bigram_lm_top"] = bigram_lm_top

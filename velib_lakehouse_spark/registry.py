@@ -112,6 +112,11 @@ PRIORITY: tuple[str, ...] = (
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
     "streaming_session_windows",
+    "chunk_documents",
+    "dedup_chunks",
+    "length_quantiles_by_source",
+    "bigram_lm_top",
+    "embedding_dispersion",
     "ann_cosine_topk",
     "simhash_sketch",
     "dedup_ngram_jaccard",
@@ -161,6 +166,7 @@ def _load() -> None:
         "rollups",
         "curation",
         "training",
+        "chunking",
     ):
         try:
             mod = __import__(
