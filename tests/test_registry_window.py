@@ -16,13 +16,16 @@ from velib_lakehouse_spark import registry
 WINDOW = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
 
 # At least one judged-window query per operator family.  Round-3
-# rotation: the round-2 training-pipeline operators (never driver-
-# checked before) hold window slots; demoted two-rounds-green showcases
-# are listed in registry.SECONDARY.  Window/top-n/ordered-agg semantics
-# stay covered through the velib queries (velib_sparkline = top-n +
-# ordered collect, velib_dedup_latest = dedup-to-latest window).
+# rotation: operators that never had a driver row (round-2 training
+# pipeline, round-3 chunking/LM/quantiles/dispersion/session-windows)
+# hold window slots; demoted two-rounds-green showcases are listed in
+# registry.SECONDARY.  Window/top-n/ordered-agg semantics stay covered
+# through velib_sparkline (top-n + ordered collect + semi join);
+# dedup-to-latest (velib_dedup_latest) and the remaining velib
+# showcases rely on their byte-identical r1+r2 green rows.
 FAMILY_REPRESENTATIVES = {
-    "velib": ["velib_silver_parse", "velib_sparkline", "velib_alerts"],
+    "velib": ["velib_silver_parse", "velib_sparkline", "velib_health"],
+    "chunking": ["chunk_documents", "dedup_chunks"],
     "relational": ["tpch_q1_pricing", "join_shuffle_revenue"],
     "windows": ["velib_sparkline", "hypertable_rollup"],
     "asof_range_session": [
@@ -55,7 +58,12 @@ FAMILY_REPRESENTATIVES = {
         "lang_consistency_audit",
         "corpus_quality_report",
     ],
-    "curation": ["stratified_split", "corpus_composition", "source_drift_ks"],
+    "curation": [
+        "stratified_split",
+        "corpus_composition",
+        "source_drift_ks",
+        "length_quantiles_by_source",
+    ],
     "training": ["pack_sequences", "export_shuffled_shards"],
     "pandas": ["pandas_text_features", "pandas_session_gaps"],
     "multimodal": ["multimodal_frame_sample"],
@@ -65,6 +73,7 @@ FAMILY_REPRESENTATIVES = {
         "streaming_windowed_counts",
         "streaming_dedup",
         "streaming_stateful_enumerate",
+        "streaming_session_windows",
     ],
     "lake": [
         "json_file_scan",

@@ -37,19 +37,26 @@ DRIVER_WINDOW = 50
 # rounds of green rows.  The window now carries every never-checked
 # operator plus the newly oracle-ized ann_ivf_topk; demoted showcases
 # (two green rows each) moved to the head of SECONDARY.  Every §2
-# family keeps at least one in-window representative — the velib core
-# keeps all nine.
+# family keeps at least one in-window representative.
+# SECOND ROTATION (same round): the six operators built in round 3
+# (chunking, block dedup, bigram LM, exact quantiles, embedding
+# dispersion, streaming session windows) take the slots of six velib
+# showcases that are byte-unchanged since their r1+r2 green rows; the
+# velib core stays represented by velib_silver_parse (P1-P3 parse),
+# velib_sparkline (Q1 top-n + ordered agg + semi join) and
+# velib_health (Q2 scalar-agg CTEs + cross join).
 PRIORITY: tuple[str, ...] = (
-    # reference (velib) semantics — the §2 core
+    # reference (velib) semantics — the §2 core representatives
     "velib_silver_parse",
-    "velib_history_enrich",
-    "velib_dedup_latest",
-    "velib_alerts",
     "velib_sparkline",
-    "velib_alert_bands",
     "velib_health",
-    "velib_zombie_anti",
-    "velib_enrich_join",
+    # round-3 operators (first driver check)
+    "chunk_documents",
+    "dedup_chunks",
+    "length_quantiles_by_source",
+    "bigram_lm_top",
+    "embedding_dispersion",
+    "streaming_session_windows",
     # relational representatives (semi/anti/count-if/top-n/ordered-agg
     # families are covered inside the velib queries above; their
     # standalone two-rounds-green showcases yielded their slots)
@@ -111,12 +118,14 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
-    "streaming_session_windows",
-    "chunk_documents",
-    "dedup_chunks",
-    "length_quantiles_by_source",
-    "bigram_lm_top",
-    "embedding_dispersion",
+    # velib showcases demoted by the round-3 second rotation: each has
+    # identical code to its r1+r2 green driver rows
+    "velib_history_enrich",
+    "velib_dedup_latest",
+    "velib_alerts",
+    "velib_alert_bands",
+    "velib_zombie_anti",
+    "velib_enrich_join",
     "ann_cosine_topk",
     "simhash_sketch",
     "dedup_ngram_jaccard",
