@@ -168,15 +168,50 @@ NPROBE = 2  # cells searched per query
 IVF_ITERS = 3
 
 
+def _centroid_array_expr(cents: dict[int, list[int]]) -> str:
+    """SQL literal ``array<struct<cid:int, cv:array<double>>>`` from the
+    driver-held micro-grid centroids.  Components stay integer (``L``
+    literals) inside the expression and are divided by 1e6 there, so the
+    doubles are bit-identical to the distributed ``s.mq / 1e6`` the
+    all-DataFrame formulation produced."""
+    items = ", ".join(
+        "named_struct('cid', {cid}, 'cv',"
+        " transform(array({qs}), q -> q / 1e6))".format(
+            cid=cid, qs=", ".join(f"{q}L" for q in cents[cid])
+        )
+        for cid in sorted(cents)
+    )
+    return f"array({items})"
+
+
+def _argmin_cell_expr(cent_expr: str) -> str:
+    """Map-side nearest-cell argmin over inlined centroids.  The min of
+    struct(d2, cid) is lexicographic — nearest cell, ties to the lowest
+    cid — exactly the former row_number-over-(d2 asc, cid asc) == 1."""
+    return (
+        f"array_min(transform({cent_expr}, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, x) -> acc + x) AS d2,"
+        " c.cid AS cid)))"
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the clustered scale path.
 
     Coarse quantizer: NLIST centroids refined by a few Lloyd iterations
-    (deterministic init: the first NLIST vectors), assignments computed
-    by broadcast distance argmin, centroid update via posexplode ->
-    per-(cell, component) mean -> rebuild — every step a DataFrame op,
-    so the training loop distributes.  Queries then probe only their
-    NPROBE nearest cells' inverted lists.
+    (deterministic init: the first NLIST vectors).  The centroid table
+    is NLIST x DIM integers — driver-sized by construction at any
+    corpus scale — so, as in Spark MLlib's own k-means, each iteration
+    collects it and inlines it into the next assignment as a literal:
+    assignment becomes a pure map-side argmin (no crossJoin, no
+    per-iteration window shuffle) and the only shuffle per iteration is
+    the NLIST x DIM-row centroid-update aggregation.  Collecting also
+    cuts the lineage per iteration, so the final plan does not re-run
+    the whole training chain (the previous all-DataFrame loop compiled
+    to 46 exchanges; this shape compiles to 5).  Queries then probe
+    only their NPROBE nearest cells' inverted lists via a broadcast
+    join on cell id.
 
     Cross-engine exactness: every centroid (init and each Lloyd update)
     is quantized onto the 1e-6 micro-grid — components become
@@ -191,68 +226,56 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     v = _vectors(spark, sf_dir).persist()
 
-    centroids = v.filter(F.col("vec_id") < NLIST).select(
+    init = v.filter(F.col("vec_id") < NLIST).select(
         F.col("vec_id").cast("int").alias("cid"),
-        F.expr("transform(v, x -> floor(x * 1e6) / 1e6)").alias("cv"),
+        F.expr("transform(v, x -> cast(floor(x * 1e6) as bigint))").alias(
+            "mq"
+        ),
     )
-    dist2 = (
-        "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)),"
-        " cast(0.0 as double), (acc, x) -> acc + x)"
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
-    )
+    cents: dict[int, list[int]] = {
+        r["cid"]: list(r["mq"]) for r in init.collect()
+    }
+
     for _ in range(IVF_ITERS):
-        assigned = (
-            v.crossJoin(F.broadcast(centroids))
-            .withColumn("d2", F.expr(dist2))
-            .withColumn("rn", F.row_number().over(w_assign))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "v")
-        )
-        centroids = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+        cell = F.expr(_argmin_cell_expr(_centroid_array_expr(cents)) + ".cid")
+        updated = (
+            v.select(cell.alias("cid"), F.posexplode("v").alias("pos", "x"))
             .withColumn("q", F.floor(F.col("x") * F.lit(1e6)).cast("bigint"))
             .groupBy("cid", "pos")
             .agg(F.floor(F.avg("q")).cast("bigint").alias("mq"))
-            .groupBy("cid")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, mq))),"
-                    " s -> s.mq / 1e6)"
-                ).alias("cv")
-            )
+            .collect()
         )
-    assigned = (
-        v.crossJoin(F.broadcast(centroids))
-        .withColumn("d2", F.expr(dist2))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "v", "norm")
+        nxt: dict[int, dict[int, int]] = {}
+        for r in updated:
+            nxt.setdefault(r["cid"], {})[r["pos"]] = r["mq"]
+        cents = {
+            cid: [by_pos[p] for p in sorted(by_pos)]
+            for cid, by_pos in nxt.items()
+        }
+
+    cent_expr = _centroid_array_expr(cents)
+    assigned = v.select(
+        "vec_id",
+        F.expr(_argmin_cell_expr(cent_expr) + ".cid").alias("cid"),
+        "v",
+        "norm",
     )
 
-    q = assigned.filter(F.col("vec_id") < N_QUERIES)
-    q_probe = (
-        q.select("vec_id", "v", "norm")
-        .crossJoin(F.broadcast(centroids))
-        .withColumn("d2", F.expr(dist2))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.col("d2").asc(), F.col("cid").asc()
-                )
-            ),
-        )
-        .filter(F.col("rn") <= NPROBE)
-        .select(
-            F.col("vec_id").alias("q_vec_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qnorm"),
-            "cid",
-        )
+    # NPROBE nearest cells per query: sort the same (d2, cid) structs and
+    # slice — map-side, ordered exactly like the former rn <= NPROBE
+    probe_expr = (
+        f"slice(array_sort(transform({cent_expr}, c -> struct("
+        "aggregate(zip_with(v, c.cv, (x, y) -> (x - y) * (x - y)),"
+        " cast(0.0 as double), (acc, x) -> acc + x) AS d2,"
+        f" c.cid AS cid))), 1, {NPROBE})"
     )
-    cand = assigned.join(q_probe, "cid").filter(
+    q_probe = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.explode(F.expr(probe_expr + ".cid")).alias("cid"),
+    )
+    cand = assigned.join(F.broadcast(q_probe), "cid").filter(
         F.col("vec_id") != F.col("q_vec_id")
     )
     scored = cand.withColumn(
