@@ -39,10 +39,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table from ``{sf_dir}/{name}.parquet`` with a normalized schema."""
     apply_safe_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns epoch long -> microsecond timestamp (integer division floors,
-        # matching DuckDB's ns->us truncation).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns epoch long -> microsecond timestamp (integer division
+            # floors, matching DuckDB's ns->us truncation).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # Session handed to us before the NTZ-inference conf applied:
+            # naive us-timestamp + UTC session -> identical instants.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

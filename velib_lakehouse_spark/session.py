@@ -21,10 +21,14 @@ from pyspark.sql import SparkSession
 SAFE_RUNTIME_CONFS: dict[str, str] = {
     # Oracle comparisons (DuckDB) use naive/UTC timestamps.
     "spark.sql.session.timeZone": "UTC",
-    # The events table is written with parquet TIMESTAMP(NANOS,...) which
-    # Spark has no native type for; read it as nanosecond longs and let
-    # the catalog convert to TimestampType (microseconds).
+    # The events table has been generated both as parquet TIMESTAMP(NANOS)
+    # (no native Spark type; read as nanosecond longs and converted by the
+    # catalog) and as naive microsecond timestamps (which Spark 4 would
+    # otherwise infer as TIMESTAMP_NTZ — a type unix_millis & friends
+    # reject).  Reading naive us-timestamps as plain TimestampType under
+    # the UTC session gives the same instants DuckDB sees.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
