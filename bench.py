@@ -86,6 +86,10 @@ HEADLINE = [
     "embedding_dispersion",
     "streaming_stateful_enumerate",
     "streaming_silver_availablenow",
+    "hybrid_rank_fusion",
+    "dedup_canonicalize",
+    "corpus_mix_temperature",
+    "streaming_join_click_purchase",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -26,11 +26,10 @@ WINDOW = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
 FAMILY_REPRESENTATIVES = {
     "velib": ["velib_silver_parse", "velib_sparkline", "velib_health"],
     "chunking": ["chunk_documents", "dedup_chunks"],
-    "relational": ["tpch_q1_pricing", "join_shuffle_revenue"],
+    "relational": ["tpch_q1_pricing", "asof_join_latest_state"],
     "windows": ["velib_sparkline", "hypertable_rollup"],
     "asof_range_session": [
         "asof_join_latest_state",
-        "range_join_periods",
         "pandas_session_gaps",
     ],
     "dedup": [
@@ -40,6 +39,7 @@ FAMILY_REPRESENTATIVES = {
         "dedup_embedding_cosine",
         "dedup_incremental_minhash",
         "dedup_containment",
+        "dedup_canonicalize",
     ],
     "decontamination": ["decontaminate_ngram"],
     "similarity": [
@@ -48,6 +48,7 @@ FAMILY_REPRESENTATIVES = {
         "embedding_centroids",
         "embedding_quantize_int8",
     ],
+    "retrieval": ["hybrid_rank_fusion"],
     "text": [
         "repetition_stats",
         "gopher_quality_filter",
@@ -61,19 +62,21 @@ FAMILY_REPRESENTATIVES = {
     "curation": [
         "stratified_split",
         "corpus_composition",
+        "corpus_mix_temperature",
         "source_drift_ks",
         "length_quantiles_by_source",
     ],
     "training": ["pack_sequences", "export_shuffled_shards"],
-    "pandas": ["pandas_text_features", "pandas_session_gaps"],
+    "pandas": ["pandas_session_gaps"],
     "multimodal": ["multimodal_frame_sample"],
-    "rollups": ["hypertable_rollup", "scd2_merge"],
+    "rollups": ["hypertable_rollup"],
     "streaming": [
         "streaming_silver_availablenow",
         "streaming_windowed_counts",
         "streaming_dedup",
         "streaming_stateful_enumerate",
         "streaming_session_windows",
+        "streaming_join_click_purchase",
     ],
     "lake": [
         "json_file_scan",

@@ -154,6 +154,57 @@ def corpus_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA_IS_SQRT = True  # temperature T=2 -> exponent 1/T = 0.5
+MIX_BUDGET_DOCS = 100_000  # target corpus size the weights are scaled to
+_MIX_QUANT = 1_000_000_000  # nano-grid for cross-engine-exact weight sums
+
+
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing weights (the multilingual
+    up/down-sampling rule of XLM/mT5-style pipelines): sampling weight
+    w_i proportional to p_i^(1/T) with T=2, i.e. sqrt of the language's
+    corpus share, renormalized.  Low-resource languages get boost > 1,
+    the head language gets boost < 1.
+
+    Output per language: document count, raw share p, normalized
+    temperature weight, the resulting up/down-sampling boost (w/p), and
+    the expected document count when drawing MIX_BUDGET_DOCS samples.
+
+    Scale: one count-per-language aggregate (rows = n_languages) and a
+    broadcast total — everything after the first shuffle operates on a
+    frame the size of the language inventory.  The exponent is fixed at
+    0.5 so both engines evaluate it as IEEE sqrt (correctly rounded,
+    bit-identical); raw weights are floor-quantized onto an integer
+    nano-grid BEFORE the normalizing sum so the denominator is an exact
+    integer in any partitioning/order (double sums are order-sensitive;
+    integer sums are not — the ``embedding_centroids`` convention).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # The corpus is scanned exactly once (the groupBy above); both
+    # normalizing totals are *global windows over the language
+    # inventory* — a deliberate single-partition window over rows =
+    # n_languages, not over the corpus — so no broadcast-agg re-scan.
+    inv = Window.partitionBy()
+    p = F.col("n_docs").cast("double") / F.col("total_docs")
+    base = (
+        counts.withColumn("total_docs", F.sum("n_docs").over(inv))
+        .withColumn("wq", F.floor(F.sqrt(p) * _MIX_QUANT).cast("bigint"))
+        .withColumn("wq_total", F.sum("wq").over(inv))
+    )
+    weight = F.col("wq").cast("double") / F.col("wq_total")
+    return base.select(
+        "lang",
+        "n_docs",
+        F.round(p, 6).alias("p_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / p, 6).alias("boost"),
+        F.floor(weight * MIX_BUDGET_DOCS + F.lit(0.5))
+        .cast("bigint")
+        .alias("expected_docs"),
+    )
+
+
 DRIFT_BUCKETS = 20
 DRIFT_BUCKET_WIDTH = 100  # n_chars per bucket
 
@@ -398,6 +449,28 @@ ORACLE: dict[str, str | None] = {
         FROM documents
         GROUP BY ROLLUP (lang, source)
     """,
+    "corpus_mix_temperature": f"""
+        WITH counts AS (
+          SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM counts),
+        base AS (
+          SELECT lang, n_docs,
+                 CAST(n_docs AS DOUBLE) / total_docs AS p,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total_docs)
+                            * {_MIX_QUANT}) AS BIGINT) AS wq
+          FROM counts CROSS JOIN total
+        ),
+        wsum AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_total FROM base)
+        SELECT lang, n_docs,
+               ROUND(p, 6) AS p_share,
+               ROUND(CAST(wq AS DOUBLE) / wq_total, 6) AS weight,
+               ROUND(CAST(wq AS DOUBLE) / wq_total / p, 6) AS boost,
+               CAST(floor(CAST(wq AS DOUBLE) / wq_total
+                          * {MIX_BUDGET_DOCS} + 0.5) AS BIGINT)
+                 AS expected_docs
+        FROM base CROSS JOIN wsum
+    """,
     "stratified_split": f"""
         WITH b AS (
           SELECT doc_id, lang,
@@ -441,6 +514,7 @@ QUERIES = {
     "deterministic_sample": deterministic_sample,
     "text_clean_redact": text_clean_redact,
     "quality_topk_mix": quality_topk_mix,
+    "corpus_mix_temperature": corpus_mix_temperature,
     "stratified_split": stratified_split,
     "corpus_composition": corpus_composition,
     "source_drift_ks": source_drift_ks,

@@ -38,7 +38,7 @@ Scale design (the point of each shape at 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
@@ -424,6 +424,43 @@ def _propagate_labels(d, pairs):
     return labels
 
 
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election per duplicate cluster: the step that
+    turns cluster labels into a keep/drop verdict.
+
+    Policy: the cluster's longest document wins (max n_chars, ties to
+    the smallest doc_id) — the standard "keep the most complete copy"
+    rule.  Emits one row per document with its cluster label, the
+    elected canonical_id, and is_canonical; downstream, the kept corpus
+    is ``filter(is_canonical)`` and the mapping is the redirect table.
+
+    Scale: one broadcast-sized join of labels to (doc_id, n_chars) —
+    n_chars rides along from the scan, no text shuffled — and one
+    window per cluster.  Cluster cardinality is bounded by true
+    duplication (the same bound the label propagation already carries),
+    so the window partitions are shallow; everything else is the
+    already-audited ``dedup_clusters`` cost.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    labels = dedup_clusters(spark, sf_dir)
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        labels.join(d, "doc_id")
+        .withColumn("canonical_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )
+
+
 def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash per document (majority vote over token-hash bits).
 
@@ -790,8 +827,29 @@ def _emb_cosine_oracle() -> str:
 
 ORACLE["dedup_embedding_cosine"] = _emb_cosine_oracle()
 
+# Canonicalization reuses the full cluster oracle as a subquery (DuckDB
+# scopes the recursive CTE inside the parenthesized derived table).
+ORACLE["dedup_canonicalize"] = f"""
+    WITH clusters AS (
+      SELECT * FROM ({ORACLE["dedup_clusters"]})
+    )
+    SELECT c.doc_id, c.cluster_id, d.n_chars,
+           first_value(c.doc_id) OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.n_chars DESC, c.doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS canonical_id,
+           c.doc_id = first_value(c.doc_id) OVER (
+             PARTITION BY c.cluster_id
+             ORDER BY d.n_chars DESC, c.doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS is_canonical
+    FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+"""
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_canonicalize": dedup_canonicalize,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,

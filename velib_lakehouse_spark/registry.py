@@ -45,6 +45,13 @@ DRIVER_WINDOW = 50
 # velib core stays represented by velib_silver_parse (P1-P3 parse),
 # velib_sparkline (Q1 top-n + ordered agg + semi join) and
 # velib_health (Q2 scalar-agg CTEs + cross join).
+# THIRD ROTATION (same round): four more new operators — hybrid
+# RRF retrieval, duplicate-cluster canonicalization, temperature
+# corpus mixing, and the watermarked stream-stream join — take the
+# slots of four two-rounds-green showcases (join_shuffle_revenue,
+# range_join_periods, scd2_merge, pandas_text_features); each family
+# keeps an in-window representative (joins: tpch_q1 + asof; rollups:
+# hypertable_rollup; pandas/Arrow: pandas_session_gaps).
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core representatives
     "velib_silver_parse",
@@ -61,9 +68,7 @@ PRIORITY: tuple[str, ...] = (
     # families are covered inside the velib queries above; their
     # standalone two-rounds-green showcases yielded their slots)
     "tpch_q1_pricing",
-    "join_shuffle_revenue",
     "asof_join_latest_state",
-    "range_join_periods",
     "corpus_quality_report",
     # LLM-pipeline: dedup
     "dedup_exact",
@@ -72,8 +77,10 @@ PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_incremental_minhash",
     "dedup_containment",
+    "dedup_canonicalize",
     "decontaminate_ngram",
-    # similarity / embeddings
+    # similarity / embeddings / retrieval
+    "hybrid_rank_fusion",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_centroids",
@@ -89,22 +96,22 @@ PRIORITY: tuple[str, ...] = (
     # curation
     "stratified_split",
     "corpus_composition",
+    "corpus_mix_temperature",
     "source_drift_ks",
     # training export
     "pack_sequences",
     "export_shuffled_shards",
     # Arrow boundary + multimodal plumbing
-    "pandas_text_features",
     "pandas_session_gaps",
     "multimodal_frame_sample",
     # rollups / SCD2
     "hypertable_rollup",
-    "scd2_merge",
     # streaming
     "streaming_silver_availablenow",
     "streaming_windowed_counts",
     "streaming_dedup",
     "streaming_stateful_enumerate",
+    "streaming_join_click_purchase",
     # lake layout
     "json_file_scan",
     "lake_partition_pruned",
@@ -118,6 +125,12 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
+    # showcases demoted by the round-3 third rotation (two green rows
+    # each, code unchanged)
+    "join_shuffle_revenue",
+    "range_join_periods",
+    "scd2_merge",
+    "pandas_text_features",
     # velib showcases demoted by the round-3 second rotation: each has
     # identical code to its r1+r2 green driver rows
     "velib_history_enrich",
@@ -176,6 +189,7 @@ def _load() -> None:
         "curation",
         "training",
         "chunking",
+        "retrieval",
     ):
         try:
             mod = __import__(

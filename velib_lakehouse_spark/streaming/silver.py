@@ -318,6 +318,65 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JOIN_WINDOW_SECONDS = 3600
+
+
+def streaming_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to the
+    clicks the same station/user emitted in the preceding hour —
+    the attribution-join family, previously missing from the streaming
+    surface (T6's join sibling).
+
+    Both sides carry a watermark and the join condition carries the
+    event-time range bound; together they let the engine expire join
+    state (a click older than the range + watermark can never match
+    again), which is what makes the operator runnable unbounded — state
+    is O(events per watermark horizon), not O(stream so far).  An inner
+    join emits each match in the micro-batch that completes it, so the
+    drained AvailableNow run (single batch — one source file) emits
+    exactly the batch range-join, which the oracle computes directly.
+    """
+    ev = _event_stream(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{WATERMARK_SECONDS} seconds")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("amount"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{WATERMARK_SECONDS} seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND purchase_ts >= click_ts AND "
+            f"purchase_ts <= click_ts + interval {JOIN_WINDOW_SECONDS} seconds"
+        ),
+        "inner",
+    )
+    return _drain_memory_sink(
+        spark, joined, "stream_stream_join_sink"
+    ).select(
+        F.col("p_user").alias("station_code"),
+        "purchase_id",
+        "click_id",
+        "amount",
+        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias(
+            "click_to_purchase_ms"
+        ),
+    )
+
+
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup to a *deterministic* winner per (station,
     event-time) under a watermark — the T6 upgrade (the reference dedups
@@ -516,6 +575,19 @@ ORACLE: dict[str, str | None] = {
         CROSS JOIN (SELECT max(epoch_us(ts)) AS mx FROM events) m
         WHERE session_end_us <= m.mx - {WATERMARK_SECONDS * 1_000_000}
     """,
+    "streaming_join_click_purchase": f"""
+        SELECT p.user_id AS station_code,
+               p.event_id AS purchase_id,
+               c.event_id AS click_id,
+               p.value AS amount,
+               epoch_ms(p.ts) - epoch_ms(c.ts) AS click_to_purchase_ms
+        FROM events p
+        JOIN events c
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL {JOIN_WINDOW_SECONDS} SECOND
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
     "streaming_dedup": f"""
         WITH m AS (SELECT max(epoch_ms(ts)) AS mx FROM events),
         dedup AS (
@@ -538,6 +610,7 @@ QUERIES = {
     "streaming_gold_foreachbatch": streaming_gold_foreachbatch,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_session_windows": streaming_session_windows,
+    "streaming_join_click_purchase": streaming_join_click_purchase,
     "streaming_dedup": streaming_dedup,
     "streaming_stateful_enumerate": streaming_stateful_enumerate,
 }
