@@ -90,6 +90,11 @@ HEADLINE = [
     "dedup_canonicalize",
     "corpus_mix_temperature",
     "streaming_join_click_purchase",
+    "dsir_importance_weights",
+    "inverted_index",
+    "ngram_novelty",
+    "corpus_mix_apply",
+    "embedding_outliers",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -33,13 +33,12 @@ FAMILY_REPRESENTATIVES = {
         "pandas_session_gaps",
     ],
     "dedup": [
-        "dedup_exact",
         "dedup_clusters",
-        "dedup_minhash_lsh",
         "dedup_embedding_cosine",
         "dedup_incremental_minhash",
         "dedup_containment",
         "dedup_canonicalize",
+        "ngram_novelty",
     ],
     "decontamination": ["decontaminate_ngram"],
     "similarity": [
@@ -47,8 +46,9 @@ FAMILY_REPRESENTATIVES = {
         "ann_ivf_topk",
         "embedding_centroids",
         "embedding_quantize_int8",
+        "embedding_outliers",
     ],
-    "retrieval": ["hybrid_rank_fusion"],
+    "retrieval": ["hybrid_rank_fusion", "inverted_index"],
     "text": [
         "repetition_stats",
         "gopher_quality_filter",
@@ -63,25 +63,27 @@ FAMILY_REPRESENTATIVES = {
         "stratified_split",
         "corpus_composition",
         "corpus_mix_temperature",
+        "corpus_mix_apply",
         "source_drift_ks",
         "length_quantiles_by_source",
     ],
-    "training": ["pack_sequences", "export_shuffled_shards"],
+    "training": [
+        "pack_sequences",
+        "export_shuffled_shards",
+        "dsir_importance_weights",
+    ],
     "pandas": ["pandas_session_gaps"],
     "multimodal": ["multimodal_frame_sample"],
     "rollups": ["hypertable_rollup"],
     "streaming": [
         "streaming_silver_availablenow",
-        "streaming_windowed_counts",
         "streaming_dedup",
         "streaming_stateful_enumerate",
         "streaming_session_windows",
         "streaming_join_click_purchase",
     ],
     "lake": [
-        "json_file_scan",
         "lake_partition_pruned",
-        "lake_gold_snapshot",
         "lake_zorder_layout",
     ],
 }

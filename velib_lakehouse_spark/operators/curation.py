@@ -205,6 +205,85 @@ def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature mix: per-document keep/drop verdict
+    drawing ~MIX_BUDGET_DOCS documents with the ``corpus_mix_temperature``
+    language weights — the sampling pass that turns mixing *weights*
+    into an actual training corpus.
+
+    Each language's acceptance rate (in ppm) is its temperature weight
+    scaled to the budget and divided by its document count, capped at
+    100%; a document is kept when its md5 bucket falls under the rate —
+    the ``stratified_split`` coin, so the draw is reproducible across
+    engines, retries, and cluster sizes, and a document's verdict never
+    changes when other documents are added (the property an incremental
+    100 TB ingest needs).
+
+    Scale: the rate table is one count-per-language aggregate
+    (language-inventory-sized, broadcast back); the verdict itself is
+    map-side.  The rate arithmetic performs the identical double-op
+    sequence in both engines on identical integers, then floors to ppm.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    inv = Window.partitionBy()
+    rates = (
+        counts.withColumn(
+            "wq",
+            F.floor(
+                F.sqrt(
+                    F.col("n_docs").cast("double")
+                    / F.sum("n_docs").over(inv)
+                )
+                * _MIX_QUANT
+            ).cast("bigint"),
+        )
+        .withColumn("wq_total", F.sum("wq").over(inv))
+        .select(
+            "lang",
+            F.col("n_docs").alias("lang_docs"),
+            F.least(
+                F.lit(1_000_000),
+                F.floor(
+                    F.col("wq").cast("double")
+                    / F.col("wq_total")
+                    * MIX_BUDGET_DOCS
+                    / F.col("lang_docs")
+                    * 1_000_000
+                ).cast("bigint"),
+            ).alias("rate_ppm"),
+        )
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit("mix"), "lang", F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1_000_000
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("bucket_ppm", bucket)
+        .join(F.broadcast(rates), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "bucket_ppm",
+            "rate_ppm",
+            (F.col("bucket_ppm") < F.col("rate_ppm")).alias("keep"),
+        )
+    )
+
+
 DRIFT_BUCKETS = 20
 DRIFT_BUCKET_WIDTH = 100  # n_chars per bucket
 
@@ -471,6 +550,36 @@ ORACLE: dict[str, str | None] = {
                  AS expected_docs
         FROM base CROSS JOIN wsum
     """,
+    "corpus_mix_apply": f"""
+        WITH counts AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY lang
+        ),
+        total AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM counts),
+        base AS (
+          SELECT lang, n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / total_docs)
+                            * {_MIX_QUANT}) AS BIGINT) AS wq
+          FROM counts CROSS JOIN total
+        ),
+        wsum AS (SELECT CAST(SUM(wq) AS BIGINT) AS wq_total FROM base),
+        rates AS (
+          SELECT lang, n_docs AS lang_docs,
+                 LEAST(1000000, CAST(floor(
+                   CAST(wq AS DOUBLE) / wq_total * {MIX_BUDGET_DOCS}
+                   / n_docs * 1000000) AS BIGINT)) AS rate_ppm
+          FROM base CROSS JOIN wsum
+        )
+        SELECT d.doc_id, d.lang,
+               (('0x' || substr(md5(concat_ws('|', 'mix', d.lang,
+                  CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000)
+                 AS bucket_ppm,
+               r.rate_ppm,
+               (('0x' || substr(md5(concat_ws('|', 'mix', d.lang,
+                  CAST(d.doc_id AS VARCHAR))), 1, 15))::BIGINT % 1000000)
+                 < r.rate_ppm AS keep
+        FROM documents d JOIN rates r ON d.lang = r.lang
+    """,
     "stratified_split": f"""
         WITH b AS (
           SELECT doc_id, lang,
@@ -515,6 +624,7 @@ QUERIES = {
     "text_clean_redact": text_clean_redact,
     "quality_topk_mix": quality_topk_mix,
     "corpus_mix_temperature": corpus_mix_temperature,
+    "corpus_mix_apply": corpus_mix_apply,
     "stratified_split": stratified_split,
     "corpus_composition": corpus_composition,
     "source_drift_ks": source_drift_ks,

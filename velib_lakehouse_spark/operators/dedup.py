@@ -847,8 +847,71 @@ ORACLE["dedup_canonicalize"] = f"""
     FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
 """
 
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's distinct
+    word-3-grams that appear in NO other document — the memorization /
+    cross-document-duplication audit (a low-novelty doc is mostly
+    boilerplate already seen elsewhere, even when no single pair
+    crosses a near-dup threshold).
+
+    Scale: shingle document-frequencies are one partial-aggregated
+    shuffle with one reduce row per distinct shingle (vocabulary-sized,
+    not corpus-sized); scoring joins the shingle stream back to its df
+    on the shingle key — AQE picks broadcast vs sort-merge by actual
+    vocab size — then reduces to one row per doc.  No pair generation
+    anywhere, so unlike the near-dup operators this is immune to
+    duplication skew.
+
+    Determinism: the ratio is computed in pure integer arithmetic
+    ((n - shared) * 1e6 div n, both engines' integer division), so no
+    double rounding convention is even involved.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (
+            F.expr("((n_shingles - n_shared) * 1000000) div n_shingles")
+            / F.lit(1_000_000.0)
+        ).alias("novelty"),
+    )
+
+
+ORACLE["ngram_novelty"] = f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    dfreq AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df
+      FROM sh GROUP BY shingle
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared
+      FROM sh JOIN dfreq USING (shingle)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           (((n_shingles - n_shared) * 1000000) // n_shingles) / 1000000.0
+             AS novelty
+    FROM per_doc
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "ngram_novelty": ngram_novelty,
     "dedup_canonicalize": dedup_canonicalize,
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,

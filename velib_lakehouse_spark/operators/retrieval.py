@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from velib_lakehouse_spark.catalog import load_table
 from velib_lakehouse_spark.operators.similarity import _vectors
 from velib_lakehouse_spark.operators.text import ORACLE as _TEXT_ORACLE
 from velib_lakehouse_spark.operators.text import bm25_rank
@@ -97,7 +98,104 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "rank_lex", "rank_dense", "rrf", "fused_rank")
 
 
+POSTING_CAP = 10  # serialized postings per term (lowest doc_ids)
+POSTING_SALT = 16  # first-stage salt buckets for the min-K window
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: one row per term with document
+    frequency, total term frequency, and the first POSTING_CAP postings
+    (lowest doc_ids) serialized as ``doc:tf`` — the build step of the
+    lexical half of the retrieval stack (BM25 serves from exactly this
+    structure).
+
+    Scale: term/doc counts partial-aggregate map-side.  The capped
+    posting sample is the interesting part — a naive
+    ``row_number() OVER (PARTITION BY term ORDER BY doc_id)`` sorts a
+    corpus-sized partition for every stopword-grade term, so the min-K
+    is SALTED: stage 1 ranks within (term, doc_id % POSTING_SALT) and
+    keeps K per bucket (partitions shrink by the salt factor and
+    parallelize across executors), stage 2 ranks the surviving
+    <= SALT*K rows per term.  The global K smallest doc_ids are always
+    among the per-bucket K smallest, so the result is identical to the
+    unsalted window — which is what the oracle runs.  Full (uncapped)
+    posting lists at 100 TB should stay relational (one row per
+    posting, sorted-bucketed by term) rather than serialized strings.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_doc_words()).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w1 = Window.partitionBy(
+        "term", (F.col("doc_id") % POSTING_SALT)
+    ).orderBy("doc_id")
+    w2 = Window.partitionBy("term").orderBy("doc_id")
+    sample = (
+        tf.withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= POSTING_CAP)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= POSTING_CAP)
+        .select(
+            "term",
+            "doc_id",
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.col("tf").cast("string")
+            ).alias("entry"),
+        )
+    )
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    postings = sample.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s["entry"],
+            ),
+        ).alias("postings")
+    )
+    return stats.join(postings, "term").select(
+        "term", "df", "total_tf", "postings",
+        (F.col("df") > POSTING_CAP).alias("truncated"),
+    )
+
+
+def _doc_words():
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
 ORACLE: dict[str, str | None] = {
+    "inverted_index": f"""
+        WITH tf AS (
+          SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS term
+            FROM documents
+          )
+          GROUP BY term, doc_id
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY term
+                                       ORDER BY doc_id) AS rk
+          FROM tf
+        )
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS df,
+               CAST(sum(tf) AS BIGINT) AS total_tf,
+               string_agg(
+                 CASE WHEN rk <= {POSTING_CAP}
+                      THEN concat(CAST(doc_id AS VARCHAR), ':',
+                                  CAST(tf AS VARCHAR)) END,
+                 ',' ORDER BY doc_id) AS postings,
+               count(*) > {POSTING_CAP} AS truncated
+        FROM ranked
+        GROUP BY term
+    """,
     "hybrid_rank_fusion": f"""
         WITH lex AS (
           SELECT doc_id,
@@ -140,4 +238,5 @@ ORACLE: dict[str, str | None] = {
 
 QUERIES = {
     "hybrid_rank_fusion": hybrid_rank_fusion,
+    "inverted_index": inverted_index,
 }

@@ -661,3 +661,91 @@ ORACLE["embedding_dispersion"] = f"""
     FROM rolled
 """
 QUERIES["embedding_dispersion"] = embedding_dispersion
+
+
+OUTLIER_FACTOR = 4  # dist^2 > factor * label mean dist^2 -> outlier
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector outlier flag: squared distance to the label centroid
+    vs the label's mean squared distance — the mislabeled-point /
+    junk-embedding audit that runs before centroid-based ops (IVF
+    training, semantic dedup) trust the labels.
+
+    Scale: the centroid frame is n_labels x dim rows — broadcast — so
+    scoring is one map-side pass over (vec_id, label, dim, q) triples
+    plus a per-vector aggregation; the label statistics reduce to
+    n_labels rows.  All comparisons are exact-integer on the milli
+    grid: distances are sums of squared quantized diffs (int64-safe to
+    dim x (2e4)^2), means are floor(avg) — the ``embedding_dispersion``
+    convention — and the outlier test multiplies integers, so no double
+    ever decides a flag.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x") * F.lit(DISP_QUANT)).cast("bigint").alias("q"),
+    )
+    cent = pos.groupBy("label", "dim").agg(
+        F.floor(F.avg("q")).cast("bigint").alias("c")
+    )
+    dist = (
+        pos.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "dist2_milli"
+            )
+        )
+    )
+    stats = dist.groupBy("label").agg(
+        F.floor(F.avg("dist2_milli")).cast("bigint").alias("mean_dist2_milli")
+    )
+    return dist.join(F.broadcast(stats), "label").select(
+        "vec_id",
+        "label",
+        "dist2_milli",
+        "mean_dist2_milli",
+        (
+            F.col("dist2_milli")
+            > F.lit(OUTLIER_FACTOR) * F.col("mean_dist2_milli")
+        ).alias("is_outlier"),
+    )
+
+
+ORACLE["embedding_outliers"] = f"""
+    WITH pos AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {DISP_QUANT})
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, dim, CAST(floor(avg(q)) AS BIGINT) AS c
+      FROM pos GROUP BY label, dim
+    ),
+    dist AS (
+      SELECT vec_id, pos.label,
+             CAST(SUM((q - c) * (q - c)) AS BIGINT) AS dist2_milli
+      FROM pos JOIN cent ON pos.label = cent.label AND pos.dim = cent.dim
+      GROUP BY vec_id, pos.label
+    ),
+    stats AS (
+      SELECT label, CAST(floor(avg(dist2_milli)) AS BIGINT)
+               AS mean_dist2_milli
+      FROM dist GROUP BY label
+    )
+    SELECT vec_id, dist.label, dist2_milli, mean_dist2_milli,
+           dist2_milli > {OUTLIER_FACTOR} * mean_dist2_milli AS is_outlier
+    FROM dist JOIN stats ON dist.label = stats.label
+"""
+QUERIES["embedding_outliers"] = embedding_outliers

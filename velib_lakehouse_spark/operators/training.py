@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from velib_lakehouse_spark.catalog import load_table
 from velib_lakehouse_spark.functions.hashing import md5_long, sql_md5_long
 from velib_lakehouse_spark.operators.dedup import _SQL_SHINGLES, _shingles
+from velib_lakehouse_spark.operators.text import _words
 
 # Every doc_id % EVAL_MOD == 0 plays the held-out benchmark document.
 EVAL_MOD = 11
@@ -137,6 +138,105 @@ def export_shuffled_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_BUCKETS = 256  # hashed-bigram feature space
+DSIR_QUANT = 1_000_000  # micro-grid for log-ratio quantization
+DSIR_TARGET_SOURCE = "src0"  # the "high-quality domain" being matched
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every candidate
+    document by how much more likely its hashed-bigram features are
+    under a target domain than under the raw pool.
+
+    Features are word bigrams hashed into DSIR_BUCKETS buckets; the
+    target distribution is estimated from the DSIR_TARGET_SOURCE slice,
+    the raw distribution from everything else, both with add-one
+    smoothing.  A document's log importance weight is
+    sum_f n_f * (ln p_target(f) - ln p_raw(f)); resampling keeps the
+    high-weight tail.
+
+    Scale: the feature space is a CONSTANT 256 buckets, so both
+    distribution estimates reduce to 256-row frames however large the
+    corpus — that compression is DSIR's entire point, and it makes the
+    scoring join a guaranteed broadcast.  Per-document scoring is one
+    groupBy(doc_id, bucket) partial-aggregated shuffle.
+
+    Determinism: per-bucket log-ratios are floor-quantized to an
+    integer micro-grid BEFORE the per-doc sum (integer sums are exact
+    in any partitioning — the ``unigram_logprob_score`` convention);
+    the smoothed probabilities divide identical bigints, so both
+    engines feed identical doubles to ln.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", "source", _words().alias("w")).filter(
+        F.size("w") >= 2
+    )
+    grams = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2),"
+                " i -> concat_ws(' ', w[i], w[i+1]))"
+            )
+        ).alias("g"),
+    )
+    bucketed = grams.select(
+        "doc_id",
+        "source",
+        (md5_long(F.col("g")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    is_target = F.col("source") == DSIR_TARGET_SOURCE
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.sum(is_target.cast("bigint")).alias("t_c"),
+        F.sum((~is_target).cast("bigint")).alias("r_c"),
+    )
+    totals = per_bucket.agg(
+        F.sum("t_c").alias("t_total"), F.sum("r_c").alias("r_total")
+    )
+    lr = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log(
+                    (F.col("t_c") + 1).cast("double")
+                    / (F.col("t_total") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("r_c") + 1).cast("double")
+                    / (F.col("r_total") + DSIR_BUCKETS)
+                )
+            )
+            * F.lit(DSIR_QUANT)
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    doc_feats = (
+        bucketed.filter(~is_target)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_f"))
+    )
+    scored = (
+        doc_feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_f").alias("n_grams"),
+            F.sum(F.col("n_f") * F.col("lr_micro")).alias("logw_micro"),
+        )
+    )
+    pool = d.filter(~is_target).select("doc_id")
+    return pool.join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("logw_micro", F.lit(0)).alias("logw_micro"),
+        (F.coalesce("logw_micro", F.lit(0)) / F.lit(float(DSIR_QUANT))).alias(
+            "logw"
+        ),
+    )
+
+
 def write_jsonl_shards(df: DataFrame, out_dir: str) -> None:
     """Materialize the shuffled export as shard=N/ JSONL directories —
     the sink side of ``export_shuffled_shards`` (tested in
@@ -202,10 +302,70 @@ ORACLE: dict[str, str | None] = {
                  ORDER BY order_key, doc_id) - 1 AS BIGINT) AS pos
         FROM keyed
     """,
+    "dsir_importance_weights": f"""
+        WITH wd AS (
+          SELECT doc_id, source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, source,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> concat_ws(' ', w[i], w[i+1]))) AS g
+          FROM wd WHERE len(w) >= 2
+        ),
+        bucketed AS (
+          SELECT doc_id, source,
+                 {sql_md5_long("g")} % {DSIR_BUCKETS} AS bucket
+          FROM grams
+        ),
+        per_bucket AS (
+          SELECT bucket,
+                 CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS t_c,
+                 CAST(SUM(CASE WHEN source <> '{DSIR_TARGET_SOURCE}'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS r_c
+          FROM bucketed GROUP BY bucket
+        ),
+        totals AS (
+          SELECT CAST(SUM(t_c) AS BIGINT) AS t_total,
+                 CAST(SUM(r_c) AS BIGINT) AS r_total
+          FROM per_bucket
+        ),
+        lr AS (
+          SELECT bucket,
+                 CAST(floor(
+                   (ln(CAST(t_c + 1 AS DOUBLE) / (t_total + {DSIR_BUCKETS}))
+                    - ln(CAST(r_c + 1 AS DOUBLE) / (r_total + {DSIR_BUCKETS})))
+                   * {DSIR_QUANT}) AS BIGINT) AS lr_micro
+          FROM per_bucket CROSS JOIN totals
+        ),
+        doc_feats AS (
+          SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_f
+          FROM bucketed WHERE source <> '{DSIR_TARGET_SOURCE}'
+          GROUP BY doc_id, bucket
+        ),
+        scored AS (
+          SELECT doc_id,
+                 CAST(SUM(n_f) AS BIGINT) AS n_grams,
+                 CAST(SUM(n_f * lr_micro) AS BIGINT) AS logw_micro
+          FROM doc_feats JOIN lr USING (bucket)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(s.n_grams, 0) AS n_grams,
+               COALESCE(s.logw_micro, 0) AS logw_micro,
+               COALESCE(s.logw_micro, 0) / CAST({DSIR_QUANT} AS DOUBLE)
+                 AS logw
+        FROM documents d
+        LEFT JOIN scored s ON d.doc_id = s.doc_id
+        WHERE d.source <> '{DSIR_TARGET_SOURCE}'
+    """,
 }
 
 QUERIES = {
     "decontaminate_ngram": decontaminate_ngram,
     "pack_sequences": pack_sequences,
     "export_shuffled_shards": export_shuffled_shards,
+    "dsir_importance_weights": dsir_importance_weights,
 }

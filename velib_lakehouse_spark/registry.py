@@ -52,6 +52,12 @@ DRIVER_WINDOW = 50
 # range_join_periods, scd2_merge, pandas_text_features); each family
 # keeps an in-window representative (joins: tpch_q1 + asof; rollups:
 # hypertable_rollup; pandas/Arrow: pandas_session_gaps).
+# FOURTH ROTATION (same round): DSIR importance weights, inverted
+# index, n-gram novelty, mix application, and embedding outliers
+# replace five r1+r2-green showcases (dedup_exact, dedup_minhash_lsh,
+# json_file_scan, lake_gold_snapshot, streaming_windowed_counts);
+# dedup keeps six reps, lake keeps partition-pruning + z-order,
+# streaming keeps five.
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core representatives
     "velib_silver_parse",
@@ -71,20 +77,21 @@ PRIORITY: tuple[str, ...] = (
     "asof_join_latest_state",
     "corpus_quality_report",
     # LLM-pipeline: dedup
-    "dedup_exact",
     "dedup_clusters",
-    "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_incremental_minhash",
     "dedup_containment",
     "dedup_canonicalize",
+    "ngram_novelty",
     "decontaminate_ngram",
     # similarity / embeddings / retrieval
     "hybrid_rank_fusion",
+    "inverted_index",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_centroids",
     "embedding_quantize_int8",
+    "embedding_outliers",
     # text analysis
     "repetition_stats",
     "gopher_quality_filter",
@@ -97,10 +104,12 @@ PRIORITY: tuple[str, ...] = (
     "stratified_split",
     "corpus_composition",
     "corpus_mix_temperature",
+    "corpus_mix_apply",
     "source_drift_ks",
     # training export
     "pack_sequences",
     "export_shuffled_shards",
+    "dsir_importance_weights",
     # Arrow boundary + multimodal plumbing
     "pandas_session_gaps",
     "multimodal_frame_sample",
@@ -108,14 +117,11 @@ PRIORITY: tuple[str, ...] = (
     "hypertable_rollup",
     # streaming
     "streaming_silver_availablenow",
-    "streaming_windowed_counts",
     "streaming_dedup",
     "streaming_stateful_enumerate",
     "streaming_join_click_purchase",
     # lake layout
-    "json_file_scan",
     "lake_partition_pruned",
-    "lake_gold_snapshot",
     "lake_zorder_layout",
 )
 
@@ -125,6 +131,13 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
+    # showcases demoted by the round-3 fourth rotation (r1+r2 green,
+    # code unchanged)
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "json_file_scan",
+    "lake_gold_snapshot",
+    "streaming_windowed_counts",
     # showcases demoted by the round-3 third rotation (two green rows
     # each, code unchanged)
     "join_shuffle_revenue",
