@@ -60,6 +60,14 @@ FUZZED_QUERIES = [
     "dedup_chunks",
     "length_quantiles_by_source",
     "bigram_lm_top",
+    # round-3 additions
+    "dedup_canonicalize",
+    "ngram_novelty",
+    "corpus_mix_temperature",
+    "corpus_mix_apply",
+    "dsir_importance_weights",
+    "inverted_index",
+    "hybrid_rank_fusion",
 ]
 
 
