@@ -95,6 +95,8 @@ HEADLINE = [
     "ngram_novelty",
     "corpus_mix_apply",
     "embedding_outliers",
+    "quality_classifier_score",
+    "zipf_slope_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

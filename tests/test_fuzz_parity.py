@@ -68,6 +68,8 @@ FUZZED_QUERIES = [
     "dsir_importance_weights",
     "inverted_index",
     "hybrid_rank_fusion",
+    "quality_classifier_score",
+    "zipf_slope_audit",
 ]
 
 

@@ -26,10 +26,9 @@ WINDOW = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
 FAMILY_REPRESENTATIVES = {
     "velib": ["velib_silver_parse", "velib_sparkline", "velib_health"],
     "chunking": ["chunk_documents", "dedup_chunks"],
-    "relational": ["tpch_q1_pricing", "asof_join_latest_state"],
+    "relational": ["tpch_q1_pricing"],
     "windows": ["velib_sparkline", "hypertable_rollup"],
     "asof_range_session": [
-        "asof_join_latest_state",
         "pandas_session_gaps",
     ],
     "dedup": [
@@ -42,7 +41,6 @@ FAMILY_REPRESENTATIVES = {
     ],
     "decontamination": ["decontaminate_ngram"],
     "similarity": [
-        "ann_lsh_topk",
         "ann_ivf_topk",
         "embedding_centroids",
         "embedding_quantize_int8",
@@ -58,6 +56,8 @@ FAMILY_REPRESENTATIVES = {
         "unigram_logprob_score",
         "lang_consistency_audit",
         "corpus_quality_report",
+        "quality_classifier_score",
+        "zipf_slope_audit",
     ],
     "curation": [
         "stratified_split",

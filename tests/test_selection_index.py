@@ -159,3 +159,75 @@ def test_embedding_outliers_flag_consistent(spark):
         # the label mean is shared and a mean can't be 4x-exceeded by all
         assert len({r["mean_dist2_milli"] for r in rs}) == 1
         assert any(not r["is_outlier"] for r in rs), label
+
+
+def test_quality_classifier_scores_and_verdicts(spark):
+    from velib_lakehouse_spark.operators.text import (
+        QC_QUANT,
+        quality_classifier_score,
+    )
+
+    rows = quality_classifier_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["score_micro"] <= QC_QUANT
+        # verdict consistent with the score: z >= 0 <=> sigmoid >= 0.5
+        if r["keep"]:
+            assert r["score_micro"] >= QC_QUANT // 2
+        else:
+            assert r["score_micro"] <= QC_QUANT // 2
+        for f in ("x_len", "x_stop", "x_distinct", "x_symbol"):
+            assert 0.0 <= r[f] <= 1.0
+
+
+def test_quality_classifier_monotone_in_symbols(spark):
+    """A symbol-soup document must score below the same document
+    without symbols (the weight is negative)."""
+    import tempfile
+
+    from velib_lakehouse_spark.catalog import TABLES
+    from velib_lakehouse_spark.operators.text import quality_classifier_score
+
+    out = tempfile.mkdtemp(prefix="t_qc_")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    clean = "the quick brown fox jumps over the lazy dog " * 5
+    dirty = clean.replace(" ", " @#$ ", 20)
+    spark.createDataFrame(
+        [(0, clean.strip(), "en", "src0", len(clean)),
+         (1, dirty.strip(), "en", "src0", len(dirty))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = {r["doc_id"]: r for r in quality_classifier_score(spark, out).collect()}
+    assert rows[0]["score_micro"] > rows[1]["score_micro"]
+
+
+def test_zipf_slope_negative_and_steeper_for_zipfy_source(spark):
+    import tempfile
+
+    from velib_lakehouse_spark.catalog import TABLES
+    from velib_lakehouse_spark.operators.text import zipf_slope_audit
+
+    out = tempfile.mkdtemp(prefix="t_zipf_")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    # zipfy: word_i appears ~N/i times; uniform: every word once
+    zipfy = " ".join(
+        f"w{i}" for i in range(1, 31) for _ in range(300 // i)
+    )
+    uniform = " ".join(f"u{i}" for i in range(1, 31))
+    spark.createDataFrame(
+        [(0, zipfy, "en", "zipfy", len(zipfy)),
+         (1, uniform, "en", "uniform", len(uniform))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    rows = {r["source"]: r for r in zipf_slope_audit(spark, out).collect()}
+    assert rows["zipfy"]["slope"] < -0.8, "zipfy source must fit ~-1"
+    assert rows["uniform"]["slope"] == 0.0, "uniform source has flat fit"
+    # real corpus: every source present, slope strictly negative
+    real = zipf_slope_audit(spark, SF_DIR).collect()
+    assert real and all(r["slope"] < 0 for r in real)

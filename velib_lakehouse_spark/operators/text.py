@@ -879,3 +879,210 @@ ORACLE["bigram_lm_top"] = f"""
     LIMIT {BIGRAM_TOP_K}
 """
 QUERIES["bigram_lm_top"] = bigram_lm_top
+
+
+# ---- logistic quality classifier -------------------------------------------
+
+QC_LEN_SAT = 300.0  # words at which the length feature saturates
+QC_QUANT = 1_000_000
+# fasttext-style linear model with FIXED, interpretable weights (the
+# GPT-3/LLaMA-family "quality classifier" filtering step, with the
+# learned weights replaced by a published-heuristic-shaped prior so the
+# operator is deterministic and oracle-checkable):
+QC_BIAS = -2.0
+QC_W_LEN = 1.5  # longer docs (to saturation) look higher-quality
+QC_W_STOP = 3.0  # natural language has stopwords
+QC_W_DISTINCT = 1.0  # vocabulary diversity
+QC_W_SYMBOL = -4.0  # symbol soup is a strong negative
+
+
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic quality score per document: sigmoid of a fixed linear
+    model over length/stopword/diversity/symbol features — the shape of
+    the classifier-filtering stage of GPT-3/LLaMA-style pipelines (swap
+    the constants for learned weights and nothing else changes).
+
+    Scale: entirely map-side — every feature derives from the row's own
+    text, so the operator is one scan with no shuffle at any corpus
+    size; the plan is a single WholeStageCodegen projection.
+
+    Determinism: all features are ratios of integers (identical doubles
+    in both engines), the logit accumulates them in one fixed
+    expression order, and the sigmoid output is floor-quantized to the
+    micro grid; the keep verdict compares the logit against 0 directly
+    (sign test — no rounding convention involved).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    df = d.select("doc_id", F.col("text"), _words().alias("w")).filter(
+        F.size("w") > 0
+    )
+    n_words = F.size("w").cast("double")
+    x_len = F.least(n_words / F.lit(QC_LEN_SAT), F.lit(1.0))
+    x_stop = _stop_hits(F.col("w"), STOPWORDS_EN).cast("double") / n_words
+    x_distinct = F.size(F.array_distinct("w")).cast("double") / n_words
+    x_symbol = (
+        F.size(F.regexp_extract_all("text", F.lit(PUNCT_PATTERN), 0)).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LEN) * x_len
+        + F.lit(QC_W_STOP) * x_stop
+        + F.lit(QC_W_DISTINCT) * x_distinct
+        + F.lit(QC_W_SYMBOL) * x_symbol
+    )
+    return df.select(
+        "doc_id",
+        F.round(x_len, 6).alias("x_len"),
+        F.round(x_stop, 6).alias("x_stop"),
+        F.round(x_distinct, 6).alias("x_distinct"),
+        F.round(x_symbol, 6).alias("x_symbol"),
+        F.floor(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) * QC_QUANT)
+        .cast("bigint")
+        .alias("score_micro"),
+        (z >= 0).alias("keep"),
+    )
+
+
+def _sql_qc() -> str:
+    stop = _sql_stop_hits("w", STOPWORDS_EN)
+    return f"""
+        WITH base AS (
+          SELECT doc_id, text, {_SQL_WORDS} AS w FROM documents
+        ),
+        feats AS (
+          SELECT doc_id,
+                 LEAST(CAST(len(w) AS DOUBLE) / {QC_LEN_SAT}, 1.0) AS x_len,
+                 CAST({stop} AS DOUBLE) / len(w) AS x_stop,
+                 CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS x_distinct,
+                 CAST(len(regexp_extract_all(text, '{PUNCT_PATTERN}'))
+                      AS DOUBLE) / len(text) AS x_symbol
+          FROM base WHERE len(w) > 0
+        ),
+        z AS (
+          SELECT *,
+                 {QC_BIAS} + {QC_W_LEN} * x_len + {QC_W_STOP} * x_stop
+                   + {QC_W_DISTINCT} * x_distinct + {QC_W_SYMBOL} * x_symbol
+                   AS logit
+          FROM feats
+        )
+        SELECT doc_id,
+               ROUND(x_len, 6) AS x_len,
+               ROUND(x_stop, 6) AS x_stop,
+               ROUND(x_distinct, 6) AS x_distinct,
+               ROUND(x_symbol, 6) AS x_symbol,
+               CAST(floor(1.0 / (1.0 + exp(-logit)) * {QC_QUANT}) AS BIGINT)
+                 AS score_micro,
+               logit >= 0 AS keep
+        FROM z
+    """
+
+
+ORACLE["quality_classifier_score"] = _sql_qc()
+QUERIES["quality_classifier_score"] = quality_classifier_score
+
+
+# ---- Zipf-law corpus audit -------------------------------------------------
+
+ZIPF_TOP_N = 30
+ZIPF_QUANT = 1_000_000  # ln values quantized to micro ints before the sums
+
+
+def zipf_slope_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per source: least-squares slope of ln(freq) on
+    ln(rank) over each source's top-N terms.  Natural text sits near
+    slope -1; machine-generated or template-heavy sources drift — a
+    corpus-health audit that catches whole bad sources, not bad rows.
+
+    Scale: term counts reduce to (source x vocabulary) rows; the top-N
+    window gets a WindowGroupLimit (map-side partial top-N), so no
+    vocabulary-sized partition is ever fully sorted.  The regression
+    runs over N=30 points per source — driver-trivial.
+
+    Determinism: ln(rank)/ln(freq) are floor-quantized to micro ints
+    BEFORE the regression sums (double sums are order-sensitive;
+    integer sums are not), every moment stays in int64
+    (micro^2 * N < 2^63 for N <= ~40), and the closed-form slope does
+    one double division of identical integers.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("source", F.explode(_words()).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("w"))
+    top = (
+        counts.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= ZIPF_TOP_N)
+        .select(
+            "source",
+            F.floor(F.log(F.col("rank").cast("double")) * ZIPF_QUANT)
+            .cast("bigint")
+            .alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * ZIPF_QUANT)
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    # n >= 2 guard: a one-term source has a zero-variance x and the
+    # slope is undefined (0/0 NaN, which the engines cast differently)
+    m = top.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).filter(F.col("n") >= 2)
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return m.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.floor(slope * ZIPF_QUANT).cast("bigint").alias("slope_micro"),
+        (F.floor(slope * ZIPF_QUANT) / F.lit(float(ZIPF_QUANT))).alias("slope"),
+    )
+
+
+ORACLE["zipf_slope_audit"] = f"""
+    WITH counts AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_SQL_WORDS}) AS w FROM documents)
+      GROUP BY source, w
+    ),
+    top AS (
+      SELECT source,
+             CAST(floor(ln(CAST(rank AS DOUBLE)) * {ZIPF_QUANT}) AS BIGINT)
+               AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * {ZIPF_QUANT}) AS BIGINT) AS y
+      FROM (
+        SELECT source, c,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY c DESC, w ASC) AS rank
+        FROM counts
+      ) WHERE rank <= {ZIPF_TOP_N}
+    ),
+    m AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM top GROUP BY source
+      HAVING count(*) >= 2
+    )
+    SELECT source, n AS n_terms,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * {ZIPF_QUANT})
+                AS BIGINT) AS slope_micro,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * {ZIPF_QUANT})
+                AS BIGINT) / CAST({ZIPF_QUANT} AS DOUBLE) AS slope
+    FROM m
+"""
+QUERIES["zipf_slope_audit"] = zipf_slope_audit

@@ -58,6 +58,10 @@ DRIVER_WINDOW = 50
 # json_file_scan, lake_gold_snapshot, streaming_windowed_counts);
 # dedup keeps six reps, lake keeps partition-pruning + z-order,
 # streaming keeps five.
+# FIFTH ROTATION (same round): the logistic quality classifier and the
+# Zipf-slope audit replace asof_join_latest_state + ann_lsh_topk (both
+# r1+r2 green; as-of semantics stay covered by pandas_session_gaps'
+# session machinery and similarity keeps four reps).
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core representatives
     "velib_silver_parse",
@@ -74,7 +78,6 @@ PRIORITY: tuple[str, ...] = (
     # families are covered inside the velib queries above; their
     # standalone two-rounds-green showcases yielded their slots)
     "tpch_q1_pricing",
-    "asof_join_latest_state",
     "corpus_quality_report",
     # LLM-pipeline: dedup
     "dedup_clusters",
@@ -87,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     # similarity / embeddings / retrieval
     "hybrid_rank_fusion",
     "inverted_index",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_centroids",
     "embedding_quantize_int8",
@@ -100,6 +102,8 @@ PRIORITY: tuple[str, ...] = (
     "vocab_coverage",
     "unigram_logprob_score",
     "lang_consistency_audit",
+    "quality_classifier_score",
+    "zipf_slope_audit",
     # curation
     "stratified_split",
     "corpus_composition",
@@ -131,6 +135,10 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
+    # showcases demoted by the round-3 fifth rotation (r1+r2 green,
+    # code unchanged)
+    "asof_join_latest_state",
+    "ann_lsh_topk",
     # showcases demoted by the round-3 fourth rotation (r1+r2 green,
     # code unchanged)
     "dedup_exact",
