@@ -97,6 +97,9 @@ HEADLINE = [
     "embedding_outliers",
     "quality_classifier_score",
     "zipf_slope_audit",
+    "ann_banded_lsh_topk",
+    "ann_banded_recall_audit",
+    "split_leakage_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

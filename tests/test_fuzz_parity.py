@@ -70,6 +70,7 @@ FUZZED_QUERIES = [
     "hybrid_rank_fusion",
     "quality_classifier_score",
     "zipf_slope_audit",
+    "split_leakage_audit",
 ]
 
 

@@ -32,7 +32,6 @@ FAMILY_REPRESENTATIVES = {
         "pandas_session_gaps",
     ],
     "dedup": [
-        "dedup_clusters",
         "dedup_embedding_cosine",
         "dedup_incremental_minhash",
         "dedup_containment",
@@ -42,6 +41,9 @@ FAMILY_REPRESENTATIVES = {
     "decontamination": ["decontaminate_ngram"],
     "similarity": [
         "ann_ivf_topk",
+        "ann_banded_lsh_topk",
+        "ann_recall_audit",
+        "ann_banded_recall_audit",
         "embedding_centroids",
         "embedding_quantize_int8",
         "embedding_outliers",
@@ -64,6 +66,7 @@ FAMILY_REPRESENTATIVES = {
         "corpus_composition",
         "corpus_mix_temperature",
         "corpus_mix_apply",
+        "split_leakage_audit",
         "source_drift_ks",
         "length_quantiles_by_source",
     ],
@@ -74,16 +77,16 @@ FAMILY_REPRESENTATIVES = {
     ],
     "pandas": ["pandas_session_gaps"],
     "multimodal": ["multimodal_frame_sample"],
-    "rollups": ["hypertable_rollup"],
+    # rollups (hypertable_rollup, scd2_merge) rotated out entirely in
+    # the sixth rotation: both reps carry r1+r2 green rows with
+    # unchanged code, the same basis the demoted velib showcases use.
     "streaming": [
         "streaming_silver_availablenow",
-        "streaming_dedup",
         "streaming_stateful_enumerate",
         "streaming_session_windows",
         "streaming_join_click_purchase",
     ],
     "lake": [
-        "lake_partition_pruned",
         "lake_zorder_layout",
     ],
 }

@@ -231,3 +231,72 @@ def test_zipf_slope_negative_and_steeper_for_zipfy_source(spark):
     # real corpus: every source present, slope strictly negative
     real = zipf_slope_audit(spark, SF_DIR).collect()
     assert real and all(r["slope"] < 0 for r in real)
+
+
+def test_banded_lsh_beats_single_table_recall(spark):
+    """The reason ann_banded_lsh_topk exists: measured recall must beat
+    the single-table index, which the audit measures at ~0 here."""
+    from velib_lakehouse_spark.operators.similarity import (
+        ann_banded_recall_audit,
+        ann_recall_audit,
+    )
+
+    single = {r["q_vec_id"]: r["recall"]
+              for r in ann_recall_audit(spark, SF_DIR_MED).collect()}
+    banded = {r["q_vec_id"]: r["recall"]
+              for r in ann_banded_recall_audit(spark, SF_DIR_MED).collect()}
+    assert set(single) == set(banded)
+    mean_single = sum(single.values()) / len(single)
+    mean_banded = sum(banded.values()) / len(banded)
+    assert mean_banded > mean_single + 0.2, (
+        f"banded {mean_banded:.2f} vs single {mean_single:.2f}"
+    )
+    assert mean_banded >= 0.4
+
+
+def test_banded_lsh_subset_of_exact_topk_semantics(spark):
+    """Approximate hits must carry correct cosines: every banded hit
+    that IS in the exact top-k must agree on cos and doc identity."""
+    from velib_lakehouse_spark.operators.similarity import (
+        ann_banded_lsh_topk,
+        ann_cosine_topk,
+    )
+
+    exact = {(r["q_vec_id"], r["vec_id"]): r["cos"]
+             for r in ann_cosine_topk(spark, SF_DIR).collect()}
+    for r in ann_banded_lsh_topk(spark, SF_DIR).collect():
+        key = (r["q_vec_id"], r["vec_id"])
+        if key in exact:
+            assert abs(exact[key] - r["cos"]) < 1e-9
+
+
+def test_split_leakage_matches_brute_force(spark):
+    from velib_lakehouse_spark.operators.curation import (
+        split_leakage_audit,
+        stratified_split,
+    )
+
+    out = {r["split"]: r for r in split_leakage_audit(spark, SF_DIR).collect()}
+    assign = {r["doc_id"]: r["split"]
+              for r in stratified_split(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").collect()
+
+    def shingles(text):
+        w = [x for x in text.split(" ") if x]
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    train_sh = set()
+    for d in docs:
+        if assign[d["doc_id"]] == "train":
+            train_sh |= shingles(d["text"])
+    expect = {"val": [0, 0], "test": [0, 0]}
+    for d in docs:
+        s = assign[d["doc_id"]]
+        if s == "train":
+            continue
+        expect[s][0] += 1
+        if shingles(d["text"]) & train_sh:
+            expect[s][1] += 1
+    for s, (n, leaked) in expect.items():
+        assert out[s]["n_docs"] == n
+        assert out[s]["n_leaked"] == leaked

@@ -284,6 +284,58 @@ def corpus_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram leakage between the train split and each held-out split:
+    for val and test, how many documents share at least one word-3-gram
+    with ANY train document.  Hash-based splitting guarantees disjoint
+    *documents*, not disjoint *content* — near-duplicates straddle the
+    boundary and leak evaluation signal, which is what this audit
+    measures (run it before trusting a validation loss).
+
+    Scale: the train shingle set is vocabulary-sized, far too large to
+    broadcast at 100 TB, so the leak test is a shuffle LEFT SEMI join
+    on the shingle key — one row per (eval-doc shingle), partial
+    dedup map-side; the verdict then reduces to one row per split.
+
+    Determinism: leak ratios are pure integer arithmetic (ppm via
+    integer division).
+    """
+    from velib_lakehouse_spark.operators.dedup import _shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    assign = stratified_split(spark, sf_dir).select("doc_id", "split")
+    sh = _shingles(d).join(assign, "doc_id")
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    leaked = (
+        sh.filter(F.col("split") != "train")
+        .join(train_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("leaked", F.lit(True))
+    )
+    per_split = (
+        assign.filter(F.col("split") != "train")
+        .join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("leaked", F.lit(False)).cast("bigint")).alias(
+                "n_leaked"
+            ),
+        )
+    )
+    return per_split.select(
+        "split",
+        "n_docs",
+        "n_leaked",
+        (F.expr("n_leaked * 1000000 div n_docs") / F.lit(1_000_000.0)).alias(
+            "leak_ratio"
+        ),
+    )
+
+
 DRIFT_BUCKETS = 20
 DRIFT_BUCKET_WIDTH = 100  # n_chars per bucket
 
@@ -619,6 +671,48 @@ ORACLE: dict[str, str | None] = {
     """,
 }
 
+def _sql_split_leakage() -> str:
+    from velib_lakehouse_spark.operators.dedup import _SQL_SHINGLES
+
+    return f"""
+        WITH assign AS (
+          SELECT doc_id,
+                 CASE WHEN b < {TRAIN_PCT} THEN 'train'
+                      WHEN b < {VAL_PCT} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   (('0x' || substr(md5(concat_ws('|', lang,
+                        CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT % 100) AS b
+            FROM documents
+          )
+        ),
+        sh AS (
+          SELECT s.doc_id, s.shingle, a.split
+          FROM ({_SQL_SHINGLES}) s JOIN assign a ON s.doc_id = a.doc_id
+        ),
+        train_sh AS (
+          SELECT DISTINCT shingle FROM sh WHERE split = 'train'
+        ),
+        leaked AS (
+          SELECT DISTINCT doc_id FROM sh
+          WHERE split <> 'train'
+            AND shingle IN (SELECT shingle FROM train_sh)
+        )
+        SELECT a.split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaked,
+               (SUM(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // count(*)) / 1000000.0 AS leak_ratio
+        FROM assign a LEFT JOIN leaked l ON a.doc_id = l.doc_id
+        WHERE a.split <> 'train'
+        GROUP BY a.split
+    """
+
+
+ORACLE["split_leakage_audit"] = _sql_split_leakage()
+
 QUERIES = {
     "deterministic_sample": deterministic_sample,
     "text_clean_redact": text_clean_redact,
@@ -626,6 +720,7 @@ QUERIES = {
     "corpus_mix_temperature": corpus_mix_temperature,
     "corpus_mix_apply": corpus_mix_apply,
     "stratified_split": stratified_split,
+    "split_leakage_audit": split_leakage_audit,
     "corpus_composition": corpus_composition,
     "source_drift_ks": source_drift_ks,
     "length_quantiles_by_source": length_quantiles_by_source,

@@ -749,3 +749,255 @@ ORACLE["embedding_outliers"] = f"""
     FROM dist JOIN stats ON dist.label = stats.label
 """
 QUERIES["embedding_outliers"] = embedding_outliers
+
+
+def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@K of the LSH index against exact brute force,
+    per query — the audit that turns "approximate" from a hope into a
+    number, run on a sample of queries before trusting the index.
+
+    Scale: composes two operators that are already scale-shaped (exact:
+    broadcast queries + map-side scoring on a BOUNDED query sample;
+    LSH: bucketed candidates) and joins two K-row-per-query frames —
+    the audit itself is constant work after the scans.  At 100 TB the
+    query sample is the knob: recall estimates converge with a few
+    hundred queries regardless of corpus size.
+
+    Determinism: recall is integer arithmetic (hit count * 1e6 div K);
+    the underlying rankings already pin their tie-breaks.
+    """
+    exact = ann_cosine_topk(spark, sf_dir).select("q_vec_id", "vec_id")
+    approx = ann_lsh_topk(spark, sf_dir).select("q_vec_id", "vec_id")
+    hits = exact.join(approx, ["q_vec_id", "vec_id"], "left_semi")
+    n_exact = exact.groupBy("q_vec_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy("q_vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.expr("coalesce(n_hit, 0) * 1000000 div n_exact")
+                / F.lit(1_000_000.0)
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE["ann_recall_audit"] = f"""
+    WITH exact_hits AS (
+      SELECT q_vec_id, vec_id FROM ({ORACLE["ann_cosine_topk"]})
+    ),
+    approx_hits AS (
+      SELECT q_vec_id, vec_id FROM ({ORACLE["ann_lsh_topk"]})
+    ),
+    n_exact AS (
+      SELECT q_vec_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM exact_hits GROUP BY q_vec_id
+    ),
+    n_hit AS (
+      SELECT e.q_vec_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact_hits e
+      JOIN approx_hits a
+        ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
+      GROUP BY e.q_vec_id
+    )
+    SELECT n_exact.q_vec_id, n_exact.n_exact,
+           COALESCE(n_hit.n_hit, 0) AS n_hit,
+           (COALESCE(n_hit.n_hit, 0) * 1000000 // n_exact) / 1000000.0
+             AS recall
+    FROM n_exact LEFT JOIN n_hit ON n_exact.q_vec_id = n_hit.q_vec_id
+"""
+QUERIES["ann_recall_audit"] = ann_recall_audit
+
+
+# ---- banded (multi-table) LSH ANN ------------------------------------------
+
+ANN_BANDS = 4
+ANN_BAND_BITS = 4  # 4 tables x 4-bit signatures over the same 16 planes
+
+
+def _band_bucket_expr(vcol: str, band: int) -> str:
+    """4-bit bucket for one band: sign bits of planes
+    [band*4, band*4+4) — same literal-weight fold as ``_bucket_expr``."""
+    all_weights = _plane_weights(N_PLANES)
+    bits = []
+    for i in range(ANN_BAND_BITS):
+        p = band * ANN_BAND_BITS + i
+        weights = ",".join(f"cast({w!r} as double)" for w in all_weights[p])
+        dot = (
+            f"aggregate(zip_with({vcol}, array({weights}), (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        bits.append(
+            f"if({dot} > 0, shiftleft(cast(1 as bigint), {i}),"
+            " cast(0 as bigint))"
+        )
+    return " + ".join(bits)
+
+
+def ann_banded_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (multi-hash-table) LSH top-k: candidates collide in ANY of
+    ANN_BANDS independent 4-bit tables instead of one 16-bit one.
+
+    The single-table variant (``ann_lsh_topk``) trades recall away fast:
+    a 16-bit signature must match exactly, and ``ann_recall_audit``
+    measures its recall@5 at ~0 on the test corpus.  Banding is the
+    standard fix (same trick as ``dedup.banded_cosine_pairs``): P(candidate)
+    = 1 - (1 - s^r)^b rises steeply with similarity s for r bits per
+    band and b bands, so near neighbours almost always collide somewhere
+    while the candidate set stays ~b * n / 2^r per query.
+
+    Scale: candidate IDS are generated first — the (band, bucket)
+    equality join touches only (vec_id, band, bucket) triples, never
+    vectors — then deduplicated pairs pull each vector ONCE through the
+    scoring join.  Vectors never fan out per band; the blowup is
+    bounded by b in the id stream only.  The query side is broadcast
+    at every step (bounded query sample).
+    """
+    v = _vectors(spark, sf_dir)
+    bands_arr = "array({})".format(
+        ", ".join(_band_bucket_expr("v", b) for b in range(ANN_BANDS))
+    )
+    vb = v.select(
+        "vec_id", F.posexplode(F.expr(bands_arr)).alias("band", "bucket")
+    )
+    qb = (
+        vb.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_vec_id"), "band", "bucket")
+    )
+    cand = (
+        vb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "vec_id")
+        .distinct()
+    )
+    q_vecs = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(q_vecs), "q_vec_id")
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="v"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_vec_id", "vec_id", "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def _sql_band_bucket(vcol: str, band: int) -> str:
+    plane = _SQL_PLANE.format(dim=DIM, v=vcol).replace(
+        "', p, '", f"', {band * ANN_BAND_BITS} + q - 1, '"
+    )
+    return _SQL_BUCKET.format(np=ANN_BAND_BITS, plane=plane)
+
+
+def _sql_banded_lsh() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_sql_band_bucket('v', b)} AS bucket"
+        " FROM v"
+        for b in range(ANN_BANDS)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm
+          FROM embeddings
+        ),
+        vb AS ({band_rows}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_vec_id, c.vec_id
+          FROM vb q JOIN vb c ON q.band = c.band AND q.bucket = c.bucket
+          WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+          SELECT cand.q_vec_id, cand.vec_id,
+                 ROUND(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6)
+                   AS cos
+          FROM cand
+          JOIN v c ON c.vec_id = cand.vec_id
+          JOIN v q ON q.vec_id = cand.q_vec_id
+        )
+        SELECT q_vec_id, vec_id, cos, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY q_vec_id ORDER BY cos DESC, vec_id ASC)
+                 AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= {TOP_K}
+    """
+
+
+ORACLE["ann_banded_lsh_topk"] = _sql_banded_lsh()
+QUERIES["ann_banded_lsh_topk"] = ann_banded_lsh_topk
+
+
+def ann_banded_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ann_recall_audit`` for the banded index — the pair of audits is
+    the measured single-table-vs-banded recall comparison."""
+    exact = ann_cosine_topk(spark, sf_dir).select("q_vec_id", "vec_id")
+    approx = ann_banded_lsh_topk(spark, sf_dir).select("q_vec_id", "vec_id")
+    hits = exact.join(approx, ["q_vec_id", "vec_id"], "left_semi")
+    n_exact = exact.groupBy("q_vec_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_hit = hits.groupBy("q_vec_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_hit, "q_vec_id", "left")
+        .select(
+            "q_vec_id",
+            "n_exact",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.expr("coalesce(n_hit, 0) * 1000000 div n_exact")
+                / F.lit(1_000_000.0)
+            ).alias("recall"),
+        )
+    )
+
+
+ORACLE["ann_banded_recall_audit"] = f"""
+    WITH exact_hits AS (
+      SELECT q_vec_id, vec_id FROM ({ORACLE["ann_cosine_topk"]})
+    ),
+    approx_hits AS (
+      SELECT q_vec_id, vec_id FROM ({ORACLE["ann_banded_lsh_topk"]})
+    ),
+    n_exact AS (
+      SELECT q_vec_id, CAST(count(*) AS BIGINT) AS n_exact
+      FROM exact_hits GROUP BY q_vec_id
+    ),
+    n_hit AS (
+      SELECT e.q_vec_id, CAST(count(*) AS BIGINT) AS n_hit
+      FROM exact_hits e
+      JOIN approx_hits a
+        ON e.q_vec_id = a.q_vec_id AND e.vec_id = a.vec_id
+      GROUP BY e.q_vec_id
+    )
+    SELECT n_exact.q_vec_id, n_exact.n_exact,
+           COALESCE(n_hit.n_hit, 0) AS n_hit,
+           (COALESCE(n_hit.n_hit, 0) * 1000000 // n_exact) / 1000000.0
+             AS recall
+    FROM n_exact LEFT JOIN n_hit ON n_exact.q_vec_id = n_hit.q_vec_id
+"""
+QUERIES["ann_banded_recall_audit"] = ann_banded_recall_audit

@@ -62,6 +62,11 @@ DRIVER_WINDOW = 50
 # Zipf-slope audit replace asof_join_latest_state + ann_lsh_topk (both
 # r1+r2 green; as-of semantics stay covered by pandas_session_gaps'
 # session machinery and similarity keeps four reps).
+# SIXTH ROTATION (same round): the banded LSH index, its two recall
+# audits, and the split-leakage audit replace four r1+r2-green
+# showcases (dedup_clusters — whose oracle+code dedup_canonicalize
+# composes wholesale — hypertable_rollup, lake_partition_pruned,
+# streaming_dedup).
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core representatives
     "velib_silver_parse",
@@ -80,7 +85,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q1_pricing",
     "corpus_quality_report",
     # LLM-pipeline: dedup
-    "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_incremental_minhash",
     "dedup_containment",
@@ -91,6 +95,9 @@ PRIORITY: tuple[str, ...] = (
     "hybrid_rank_fusion",
     "inverted_index",
     "ann_ivf_topk",
+    "ann_banded_lsh_topk",
+    "ann_recall_audit",
+    "ann_banded_recall_audit",
     "embedding_centroids",
     "embedding_quantize_int8",
     "embedding_outliers",
@@ -109,6 +116,7 @@ PRIORITY: tuple[str, ...] = (
     "corpus_composition",
     "corpus_mix_temperature",
     "corpus_mix_apply",
+    "split_leakage_audit",
     "source_drift_ks",
     # training export
     "pack_sequences",
@@ -117,15 +125,11 @@ PRIORITY: tuple[str, ...] = (
     # Arrow boundary + multimodal plumbing
     "pandas_session_gaps",
     "multimodal_frame_sample",
-    # rollups / SCD2
-    "hypertable_rollup",
     # streaming
     "streaming_silver_availablenow",
-    "streaming_dedup",
     "streaming_stateful_enumerate",
     "streaming_join_click_purchase",
     # lake layout
-    "lake_partition_pruned",
     "lake_zorder_layout",
 )
 
@@ -135,6 +139,13 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
+    # showcases demoted by the round-3 sixth rotation (r1+r2 green,
+    # code unchanged; dedup_clusters additionally runs inside the
+    # in-window dedup_canonicalize)
+    "dedup_clusters",
+    "hypertable_rollup",
+    "lake_partition_pruned",
+    "streaming_dedup",
     # showcases demoted by the round-3 fifth rotation (r1+r2 green,
     # code unchanged)
     "asof_join_latest_state",
