@@ -100,6 +100,7 @@ HEADLINE = [
     "ann_banded_lsh_topk",
     "ann_banded_recall_audit",
     "split_leakage_audit",
+    "bpe_merge_step",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

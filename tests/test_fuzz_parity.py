@@ -71,6 +71,7 @@ FUZZED_QUERIES = [
     "quality_classifier_score",
     "zipf_slope_audit",
     "split_leakage_audit",
+    "bpe_merge_step",
 ]
 
 

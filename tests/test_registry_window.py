@@ -60,6 +60,7 @@ FAMILY_REPRESENTATIVES = {
         "corpus_quality_report",
         "quality_classifier_score",
         "zipf_slope_audit",
+        "bpe_merge_step",
     ],
     "curation": [
         "stratified_split",
@@ -81,7 +82,6 @@ FAMILY_REPRESENTATIVES = {
     # the sixth rotation: both reps carry r1+r2 green rows with
     # unchanged code, the same basis the demoted velib showcases use.
     "streaming": [
-        "streaming_silver_availablenow",
         "streaming_stateful_enumerate",
         "streaming_session_windows",
         "streaming_join_click_purchase",

@@ -300,3 +300,26 @@ def test_split_leakage_matches_brute_force(spark):
     for s, (n, leaked) in expect.items():
         assert out[s]["n_docs"] == n
         assert out[s]["n_leaked"] == leaked
+
+
+def test_bpe_merge_step_greedy_winner(spark):
+    """The top pair must match a brute-force BPE first-iteration count."""
+    from collections import Counter
+
+    from velib_lakehouse_spark.operators.text import (
+        BPE_TOP_K,
+        bpe_merge_step,
+    )
+
+    rows = bpe_merge_step(spark, SF_DIR).collect()
+    assert 0 < len(rows) <= BPE_TOP_K
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    counts: Counter = Counter()
+    for d in docs:
+        for w in [x for x in d["text"].split(" ") if x]:
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] += 1
+    # ranking is count desc then pair asc
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
+    got = [((r["a"], r["b"]), r["pair_count"]) for r in rows]
+    assert got == expect

@@ -1086,3 +1086,73 @@ ORACLE["zipf_slope_audit"] = f"""
     FROM m
 """
 QUERIES["zipf_slope_audit"] = zipf_slope_audit
+
+
+# ---- BPE merge step (tokenizer training primitive) -------------------------
+
+BPE_TOP_K = 20
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One iteration of BPE tokenizer training (Sennrich et al. 2016):
+    corpus-weighted adjacent-symbol-pair counts over the word vocabulary
+    and the top merge candidates.  Full training loops this step on the
+    driver, applying the winning merge to the symbol sequences between
+    iterations — each iteration is this exact distributed job, so the
+    step IS the scale-critical piece.
+
+    Scale: pair counting runs on the word VOCABULARY weighted by word
+    frequency, not on the corpus — the corpus pass is the word count
+    (one partial-aggregated shuffle, Zipf-bounded reduce side), after
+    which each distinct word is char-split once however often it
+    occurs.  The top-K is a TakeOrdered (map-side partial top-K).
+
+    Determinism: pure integer counts; ties break on the pair itself.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sym = wc.select("w", "c", F.split("w", "").alias("s")).filter(
+        F.size("s") >= 2
+    )
+    pairs = sym.select(
+        "c",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(s) - 2),"
+                " i -> struct(s[i] as a, s[i + 1] as b))"
+            )
+        ).alias("p"),
+    ).select("p.a", "p.b", "c")
+    pc = pairs.groupBy("a", "b").agg(F.sum("c").alias("pair_count"))
+    return (
+        pc.orderBy(F.desc("pair_count"), F.asc("a"), F.asc("b"))
+        .limit(BPE_TOP_K)
+        .select("a", "b", "pair_count")
+    )
+
+
+ORACLE["bpe_merge_step"] = f"""
+    WITH wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    sym AS (
+      SELECT w, c, string_split(w, '') AS s FROM wc WHERE len(w) >= 2
+    ),
+    pairs AS (
+      SELECT s[i] AS a, s[i + 1] AS b, c
+      FROM (
+        SELECT s, c, unnest(generate_series(1, len(s) - 1)) AS i FROM sym
+      )
+    )
+    SELECT a, b, CAST(SUM(c) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY a, b
+    ORDER BY pair_count DESC, a ASC, b ASC
+    LIMIT {BPE_TOP_K}
+"""
+QUERIES["bpe_merge_step"] = bpe_merge_step

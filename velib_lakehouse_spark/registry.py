@@ -67,6 +67,10 @@ DRIVER_WINDOW = 50
 # showcases (dedup_clusters — whose oracle+code dedup_canonicalize
 # composes wholesale — hypertable_rollup, lake_partition_pruned,
 # streaming_dedup).
+# SEVENTH ROTATION (same round): the BPE merge step replaces
+# streaming_silver_availablenow (r1+r2 green; the same file-source +
+# availableNow drain machinery runs inside the three streaming queries
+# still in-window).
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core representatives
     "velib_silver_parse",
@@ -111,6 +115,7 @@ PRIORITY: tuple[str, ...] = (
     "lang_consistency_audit",
     "quality_classifier_score",
     "zipf_slope_audit",
+    "bpe_merge_step",
     # curation
     "stratified_split",
     "corpus_composition",
@@ -126,7 +131,6 @@ PRIORITY: tuple[str, ...] = (
     "pandas_session_gaps",
     "multimodal_frame_sample",
     # streaming
-    "streaming_silver_availablenow",
     "streaming_stateful_enumerate",
     "streaming_join_click_purchase",
     # lake layout
@@ -139,6 +143,9 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
+    # showcase demoted by the round-3 seventh rotation (r1+r2 green,
+    # code unchanged)
+    "streaming_silver_availablenow",
     # showcases demoted by the round-3 sixth rotation (r1+r2 green,
     # code unchanged; dedup_clusters additionally runs inside the
     # in-window dedup_canonicalize)
