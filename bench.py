@@ -101,6 +101,8 @@ HEADLINE = [
     "ann_banded_recall_audit",
     "split_leakage_audit",
     "bpe_merge_step",
+    "event_funnel",
+    "retention_cohorts",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

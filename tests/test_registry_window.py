@@ -24,13 +24,14 @@ WINDOW = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
 # dedup-to-latest (velib_dedup_latest) and the remaining velib
 # showcases rely on their byte-identical r1+r2 green rows.
 FAMILY_REPRESENTATIVES = {
-    "velib": ["velib_silver_parse", "velib_sparkline", "velib_health"],
+    "velib": ["velib_silver_parse", "velib_sparkline"],
     "chunking": ["chunk_documents", "dedup_chunks"],
     "relational": ["tpch_q1_pricing"],
     "windows": ["velib_sparkline", "hypertable_rollup"],
-    "asof_range_session": [
-        "pandas_session_gaps",
-    ],
+    # asof/range/session showcases all carry >=2 green rows
+    # (asof_join_latest_state, range_join_periods, pandas_session_gaps);
+    # sessionization semantics stay in-window via
+    # streaming_session_windows and event_funnel.
     "dedup": [
         "dedup_embedding_cosine",
         "dedup_incremental_minhash",
@@ -76,8 +77,10 @@ FAMILY_REPRESENTATIVES = {
         "export_shuffled_shards",
         "dsir_importance_weights",
     ],
-    "pandas": ["pandas_session_gaps"],
+    # the Arrow/pandas boundary is in-window via multimodal_frame_sample
+    # (mapInPandas); pandas_session_gaps carries r1+r2 green rows.
     "multimodal": ["multimodal_frame_sample"],
+    "events": ["event_funnel", "retention_cohorts"],
     # rollups (hypertable_rollup, scd2_merge) rotated out entirely in
     # the sixth rotation: both reps carry r1+r2 green rows with
     # unchanged code, the same basis the demoted velib showcases use.

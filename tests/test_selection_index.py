@@ -323,3 +323,42 @@ def test_bpe_merge_step_greedy_winner(spark):
     expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:BPE_TOP_K]
     got = [((r["a"], r["b"]), r["pair_count"]) for r in rows]
     assert got == expect
+
+
+def test_event_funnel_stage_ordering_and_depth(spark):
+    from velib_lakehouse_spark.operators.rollups import event_funnel
+
+    rows = event_funnel(spark, SF_DIR_MED).collect()
+    assert rows
+    depths = {r["funnel_depth"] for r in rows}
+    for r in rows:
+        assert r["view_ms"] is not None
+        if r["click_ms"] is not None:
+            assert r["click_ms"] >= r["view_ms"]
+        if r["purchase_ms"] is not None:
+            assert r["click_ms"] is not None, "no stage skipping"
+            assert r["purchase_ms"] >= r["click_ms"]
+        expect_depth = 1 + (r["click_ms"] is not None) + (
+            r["purchase_ms"] is not None
+        )
+        assert r["funnel_depth"] == expect_depth
+    assert 3 in depths, "some user completes the funnel on this corpus"
+
+
+def test_retention_cohorts_monotone_invariants(spark):
+    from velib_lakehouse_spark.operators.rollups import retention_cohorts
+
+    rows = retention_cohorts(spark, SF_DIR_MED).collect()
+    assert rows
+    by_cohort: dict[int, list] = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        assert 0 < r["n_active"] <= r["cohort_size"]
+        assert 0.0 < r["retention"] <= 1.0
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    for cohort, rs in by_cohort.items():
+        offsets = {r["week_offset"] for r in rs}
+        # week 0 must exist: every signup is itself an event that week
+        assert 0 in offsets, cohort
+        week0 = next(r for r in rs if r["week_offset"] == 0)
+        assert week0["n_active"] == week0["cohort_size"]

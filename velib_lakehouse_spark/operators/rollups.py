@@ -155,3 +155,180 @@ QUERIES = {
     "hypertable_rollup": hypertable_rollup,
     "scd2_merge": scd2_merge,
 }
+
+
+# ---- event funnel + retention cohorts --------------------------------------
+
+FUNNEL_STAGE_WINDOW_S = 7 * 86400  # max gap between consecutive stages
+WEEK_MS = 7 * 86400 * 1000
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-stage conversion funnel per user (view -> click ->
+    purchase), each stage within FUNNEL_STAGE_WINDOW_S of the previous —
+    the product-analytics staple, expressed as cascaded earliest-match
+    aggregations (no window over the raw stream).
+
+    Scale: each stage is one partial-aggregated min() per user — three
+    user-keyed shuffles total; the stage frames are one row per
+    qualifying user and join back user-keyed (AQE broadcasts them while
+    they fit).  No per-user event sorting anywhere, so a power user
+    with millions of events costs map-side min-combining, not a sort.
+
+    Determinism: stage times are epoch-ms longs (TZ-free), gaps are
+    integer comparisons.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("view_ms"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ms") >= F.col("view_ms"))
+            & (F.col("ms") <= F.col("view_ms") + FUNNEL_STAGE_WINDOW_S * 1000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("click_ms"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ms") >= F.col("click_ms"))
+            & (F.col("ms") <= F.col("click_ms") + FUNNEL_STAGE_WINDOW_S * 1000)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("purchase_ms"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "view_ms",
+            "click_ms",
+            "purchase_ms",
+            (
+                F.lit(1)
+                + F.when(F.col("click_ms").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("purchase_ms").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("funnel_depth"),
+        )
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by signup week, counted
+    in every later week they produced any event; retention is the share
+    of the cohort still active at each offset.
+
+    Scale: one distinct-(user, week) shuffle (partial-aggregated) and a
+    user-keyed join against the cohort frame (one row per user); the
+    output is cohorts x offsets rows — tiny at any corpus size.
+
+    Determinism: weeks are integer epoch-ms buckets (floor division by
+    a constant, TZ- and calendar-free); retention is ppm integer
+    division.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr(f"unix_millis(ts) div {WEEK_MS}").alias("week"),
+    )
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = ev.select("user_id", "week").distinct()
+    cells = (
+        active.join(cohort, "user_id")
+        .filter(F.col("week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return cells.join(sizes, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        (F.expr("n_active * 1000000 div cohort_size") / F.lit(1_000_000.0)).alias(
+            "retention"
+        ),
+    )
+
+
+ORACLE["event_funnel"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events
+    ),
+    v AS (
+      SELECT user_id, CAST(min(ms) AS BIGINT) AS view_ms
+      FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT ev.user_id, CAST(min(ms) AS BIGINT) AS click_ms
+      FROM ev JOIN v ON ev.user_id = v.user_id
+      WHERE ev.event_type = 'click'
+        AND ev.ms >= v.view_ms
+        AND ev.ms <= v.view_ms + {FUNNEL_STAGE_WINDOW_S * 1000}
+      GROUP BY ev.user_id
+    ),
+    p AS (
+      SELECT ev.user_id, CAST(min(ms) AS BIGINT) AS purchase_ms
+      FROM ev JOIN c ON ev.user_id = c.user_id
+      WHERE ev.event_type = 'purchase'
+        AND ev.ms >= c.click_ms
+        AND ev.ms <= c.click_ms + {FUNNEL_STAGE_WINDOW_S * 1000}
+      GROUP BY ev.user_id
+    )
+    SELECT v.user_id, v.view_ms, c.click_ms, p.purchase_ms,
+           CAST(1 + (CASE WHEN c.click_ms IS NOT NULL THEN 1 ELSE 0 END)
+                  + (CASE WHEN p.purchase_ms IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS funnel_depth
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+ORACLE["retention_cohorts"] = f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(epoch_ms(ts) // {WEEK_MS} AS BIGINT) AS week
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, CAST(min(week) AS BIGINT) AS cohort_week
+      FROM ev WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    active AS (SELECT DISTINCT user_id, week FROM ev),
+    cells AS (
+      SELECT cohort_week, week - cohort_week AS week_offset,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM active a JOIN cohort c ON a.user_id = c.user_id
+      WHERE week >= cohort_week
+      GROUP BY cohort_week, week - cohort_week
+    ),
+    sizes AS (
+      SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS cohort_size
+      FROM cohort GROUP BY cohort_week
+    )
+    SELECT cells.cohort_week, cells.week_offset, cells.n_active,
+           sizes.cohort_size,
+           (cells.n_active * 1000000 // sizes.cohort_size) / 1000000.0
+             AS retention
+    FROM cells JOIN sizes ON cells.cohort_week = sizes.cohort_week
+"""
+
+QUERIES["event_funnel"] = event_funnel
+QUERIES["retention_cohorts"] = retention_cohorts

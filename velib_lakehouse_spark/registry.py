@@ -71,11 +71,14 @@ DRIVER_WINDOW = 50
 # streaming_silver_availablenow (r1+r2 green; the same file-source +
 # availableNow drain machinery runs inside the three streaming queries
 # still in-window).
+# EIGHTH ROTATION (same round): the event funnel and retention cohorts
+# replace pandas_session_gaps + velib_health (both r1+r2 green; the
+# Arrow/pandas boundary stays in-window via multimodal_frame_sample,
+# and the velib core keeps silver_parse + sparkline).
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core representatives
     "velib_silver_parse",
     "velib_sparkline",
-    "velib_health",
     # round-3 operators (first driver check)
     "chunk_documents",
     "dedup_chunks",
@@ -128,8 +131,10 @@ PRIORITY: tuple[str, ...] = (
     "export_shuffled_shards",
     "dsir_importance_weights",
     # Arrow boundary + multimodal plumbing
-    "pandas_session_gaps",
     "multimodal_frame_sample",
+    # event analytics
+    "event_funnel",
+    "retention_cohorts",
     # streaming
     "streaming_stateful_enumerate",
     "streaming_join_click_purchase",
@@ -143,6 +148,10 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
+    # showcases demoted by the round-3 eighth rotation (r1+r2 green,
+    # code unchanged)
+    "pandas_session_gaps",
+    "velib_health",
     # showcase demoted by the round-3 seventh rotation (r1+r2 green,
     # code unchanged)
     "streaming_silver_availablenow",
