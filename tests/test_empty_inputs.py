@@ -43,6 +43,24 @@ EMPTY_TO_EMPTY = [
     "tpch_q1_pricing",
     "topn_orders_per_customer",
     "collect_ordered_quantities",
+    # round-3 additions
+    "dedup_canonicalize",
+    "ngram_novelty",
+    "corpus_mix_temperature",
+    "corpus_mix_apply",
+    "dsir_importance_weights",
+    "inverted_index",
+    "hybrid_rank_fusion",
+    "quality_classifier_score",
+    "zipf_slope_audit",
+    "split_leakage_audit",
+    "bpe_merge_step",
+    "ann_banded_lsh_topk",
+    "ann_recall_audit",
+    "ann_banded_recall_audit",
+    "embedding_outliers",
+    "event_funnel",
+    "retention_cohorts",
 ]
 # empty in -> a defined aggregate row (global aggregates)
 EMPTY_TO_AGG = ["velib_alert_bands", "velib_health"]
