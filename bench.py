@@ -103,6 +103,7 @@ HEADLINE = [
     "bpe_merge_step",
     "event_funnel",
     "retention_cohorts",
+    "pmi_collocations",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -72,6 +72,7 @@ FUZZED_QUERIES = [
     "zipf_slope_audit",
     "split_leakage_audit",
     "bpe_merge_step",
+    "pmi_collocations",
 ]
 
 

@@ -362,3 +362,37 @@ def test_retention_cohorts_monotone_invariants(spark):
         assert 0 in offsets, cohort
         week0 = next(r for r in rs if r["week_offset"] == 0)
         assert week0["n_active"] == week0["cohort_size"]
+
+
+def test_pmi_collocations_brute_force(spark):
+    from collections import Counter
+
+    from velib_lakehouse_spark.operators.text import (
+        PMI_MIN_COUNT,
+        PMI_TOP_K,
+        pmi_collocations,
+    )
+    import math
+
+    rows = pmi_collocations(spark, SF_DIR).collect()
+    assert rows
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    c_ab: Counter = Counter()
+    for d in docs:
+        w = [x for x in d["text"].split(" ") if x]
+        for i in range(len(w) - 1):
+            c_ab[(w[i], w[i + 1])] += 1
+    n = sum(c_ab.values())
+    c_a: Counter = Counter()
+    c_b: Counter = Counter()
+    for (a, b), c in c_ab.items():
+        c_a[a] += c
+        c_b[b] += c
+    scored = [
+        ((a, b), math.floor(math.log(c * n / c_a[a] / c_b[b]) * 1_000_000))
+        for (a, b), c in c_ab.items()
+        if c >= PMI_MIN_COUNT
+    ]
+    expect = sorted(scored, key=lambda kv: (-kv[1], kv[0]))[:PMI_TOP_K]
+    got = [((r["a"], r["b"]), r["pmi_micro"]) for r in rows]
+    assert got == expect

@@ -1156,3 +1156,102 @@ ORACLE["bpe_merge_step"] = f"""
     LIMIT {BPE_TOP_K}
 """
 QUERIES["bpe_merge_step"] = bpe_merge_step
+
+
+# ---- PMI collocations ------------------------------------------------------
+
+PMI_TOP_K = 20
+PMI_MIN_COUNT = 5  # bigram support floor (PMI is noise below this)
+
+
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    pmi(a, b) = ln(c_ab * N / (c_a * c_b)) over corpus bigram counts —
+    the classic association-mining pass (phrase detection, tokenizer
+    vocab seeding, stopword-pair suppression).
+
+    Scale: reuses the bigram-LM shape — one corpus pass for pair
+    counts (Zipf-bounded reduce side), unigram counts derived FROM the
+    pair counts (no second corpus pass), a broadcast scalar total, and
+    a TakeOrdered top-K.  The support floor keeps the PMI ranking off
+    hapax noise.
+
+    Determinism: both engines evaluate the identical double expression
+    on identical integers, and the score is floor-quantized to micro
+    units before ranking; ties break on the pair.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(_words().alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> struct(w[i] as a, w[i + 1] as b))"
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+    )
+    c_ab = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    c_a = c_ab.groupBy("a").agg(F.sum("c_ab").alias("c_a"))
+    c_b = c_ab.groupBy("b").agg(F.sum("c_ab").alias("c_b"))
+    n = c_ab.agg(F.sum("c_ab").alias("n_pairs"))
+    scored = (
+        c_ab.filter(F.col("c_ab") >= PMI_MIN_COUNT)
+        .join(c_a, "a")
+        .join(c_b, "b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.floor(
+                F.log(
+                    F.col("c_ab").cast("double")
+                    * F.col("n_pairs")
+                    / F.col("c_a")
+                    / F.col("c_b")
+                )
+                * F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.asc("a"), F.asc("b")
+    ).limit(PMI_TOP_K)
+
+
+ORACLE["pmi_collocations"] = f"""
+    WITH pairs AS (
+      SELECT w[i] AS a, w[i + 1] AS b
+      FROM (
+        SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+        FROM (SELECT {_SQL_WORDS} AS w FROM documents)
+        WHERE len(w) >= 2
+      )
+    ),
+    c_ab AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM pairs GROUP BY a, b
+    ),
+    c_a AS (SELECT a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM c_ab GROUP BY a),
+    c_b AS (SELECT b, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM c_ab GROUP BY b),
+    n AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_pairs FROM c_ab)
+    SELECT a, b, c_ab, c_a, c_b,
+           CAST(floor(ln(CAST(c_ab AS DOUBLE) * n_pairs / c_a / c_b)
+                      * 1000000) AS BIGINT) AS pmi_micro
+    FROM c_ab
+    JOIN c_a USING (a)
+    JOIN c_b USING (b)
+    CROSS JOIN n
+    WHERE c_ab >= {PMI_MIN_COUNT}
+    ORDER BY pmi_micro DESC, a ASC, b ASC
+    LIMIT {PMI_TOP_K}
+"""
+QUERIES["pmi_collocations"] = pmi_collocations

@@ -148,6 +148,10 @@ PRIORITY: tuple[str, ...] = (
 # rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
 # whose batch-mirror oracle landed in round 3.
 SECONDARY: tuple[str, ...] = (
+    # never driver-checked yet — first in line if the window grows
+    # (pytest oracle-parity + fuzz green; window slots are exhausted by
+    # operators whose remaining in-window peers have <2 green rows)
+    "pmi_collocations",
     # showcases demoted by the round-3 eighth rotation (r1+r2 green,
     # code unchanged)
     "pandas_session_gaps",
