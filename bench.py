@@ -104,6 +104,7 @@ HEADLINE = [
     "event_funnel",
     "retention_cohorts",
     "pmi_collocations",
+    "pagerank_user_graph",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -24,7 +24,7 @@ WINDOW = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
 # dedup-to-latest (velib_dedup_latest) and the remaining velib
 # showcases rely on their byte-identical r1+r2 green rows.
 FAMILY_REPRESENTATIVES = {
-    "velib": ["velib_silver_parse", "velib_sparkline"],
+    "velib": ["velib_sparkline"],
     "chunking": ["chunk_documents", "dedup_chunks"],
     "relational": ["tpch_q1_pricing"],
     "windows": ["velib_sparkline", "hypertable_rollup"],
@@ -81,6 +81,7 @@ FAMILY_REPRESENTATIVES = {
     # (mapInPandas); pandas_session_gaps carries r1+r2 green rows.
     "multimodal": ["multimodal_frame_sample"],
     "events": ["event_funnel", "retention_cohorts"],
+    "graph": ["pagerank_user_graph"],
     # rollups (hypertable_rollup, scd2_merge) rotated out entirely in
     # the sixth rotation: both reps carry r1+r2 green rows with
     # unchanged code, the same basis the demoted velib showcases use.

@@ -396,3 +396,26 @@ def test_pmi_collocations_brute_force(spark):
     expect = sorted(scored, key=lambda kv: (-kv[1], kv[0]))[:PMI_TOP_K]
     got = [((r["a"], r["b"]), r["pmi_micro"]) for r in rows]
     assert got == expect
+
+
+def test_pagerank_mass_and_degree_monotonicity(spark):
+    from velib_lakehouse_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_user_graph,
+    )
+
+    rows = pagerank_user_graph(spark, SF_DIR_MED).collect()
+    assert rows
+    total = sum(r["rank_nano"] for r in rows)
+    # floor-division loses at most a few nano units per node per step
+    assert 0.99 * PR_SCALE <= total <= PR_SCALE
+    for r in rows:
+        assert r["rank_nano"] > 0
+        assert r["out_deg"] > 0
+    # rank must discriminate, and the max-degree node must outrank the
+    # min-degree node (co-activity graphs are degree-driven)
+    assert len({r["rank_nano"] for r in rows}) > 1
+    top = max(rows, key=lambda r: r["out_deg"])
+    bottom = min(rows, key=lambda r: r["out_deg"])
+    if top["out_deg"] > bottom["out_deg"]:
+        assert top["rank_nano"] >= bottom["rank_nano"]

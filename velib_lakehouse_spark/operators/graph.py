@@ -1,0 +1,177 @@
+"""Graph analytics over a derived co-activity graph.
+
+The events table induces a graph: two users (stations, in the
+reference's reading) are connected when they are active in the same
+hour.  ``pagerank_user_graph`` runs a fixed number of PageRank
+iterations over it — the iterative-algorithm showcase alongside
+``dedup_clusters``'s label propagation, but with a FULL arithmetic
+oracle: the DuckDB mirror unrolls the same iterations CTE by CTE (the
+``ann_ivf_topk`` Lloyd-unroll technique).
+
+Scale design:
+
+* Edge generation is the quadratic hazard: co-occurrence within a
+  group is O(k²) pairs.  Groups over EDGE_GROUP_CAP active users are
+  DROPPED (the ``SHINGLE_DF_CAP`` rare-group pattern) — a busy hour
+  says little about pairwise affinity anyway, and the cap bounds
+  per-group fan-out at C(cap, 2) whatever the corpus size.
+* Each PageRank iteration is one contribution shuffle keyed by the
+  destination node (map-side partial sums) plus a broadcast of the
+  node-count scalar — the textbook Pregel shape expressed in
+  DataFrame ops, ITERS times.  State between iterations is one row
+  per node.
+* All rank mass lives on an integer nano-grid: contributions divide
+  by out-degree with integer division, the damping multiply stays in
+  int64 (85 * rank < 2^63), and sums are exact in any partitioning —
+  so the driver-loop Spark plan and the unrolled SQL agree bit for
+  bit, and AQE re-partitioning between iterations cannot change the
+  result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from velib_lakehouse_spark.catalog import load_table
+
+HOUR_MS = 3600 * 1000
+EDGE_GROUP_CAP = 20  # hours with more active users generate no edges
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000  # nano-grid total rank mass
+PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
+PR_DAMP_DEN = 100
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed co-activity edges (a -> b and b -> a) from hours with
+    <= EDGE_GROUP_CAP distinct active users."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("node"),
+        F.expr(f"unix_millis(ts) div {HOUR_MS}").alias("hour"),
+    )
+    active = ev.distinct()
+    small = (
+        active.groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") <= EDGE_GROUP_CAP)
+        .select("hour")
+    )
+    a = active.join(small, "hour").select("hour", F.col("node").alias("a"))
+    b = a.select("hour", F.col("a").alias("b"))
+    return (
+        a.join(b, "hour")
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR_ITERS PageRank iterations over the co-activity graph; returns
+    one row per node with its final nano-grid rank and out-degree."""
+    edges = _edges(spark, sf_dir)
+    # localCheckpoint: the edge derivation would otherwise be replayed
+    # once per iteration through the growing plan.
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = deg.select(F.col("a").alias("node"), "out_deg")
+    n = nodes.count()  # driver scalar: node count is iteration-constant
+    if n == 0:
+        return nodes.select(
+            "node", "out_deg", F.lit(0).cast("bigint").alias("rank_nano")
+        )
+    base = (15 * PR_SCALE) // (100 * n)
+    rank = nodes.select(
+        "node", F.lit(PR_SCALE // n).cast("bigint").alias("rank_nano")
+    )
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(rank, edges.a == rank.node)
+            .join(deg, "a")
+            .select(
+                F.col("b").alias("node"),
+                F.expr("rank_nano div out_deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        rank = (
+            nodes.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).cast("bigint").alias("rank_nano"),
+            )
+        )
+    return (
+        rank.join(nodes, "node")
+        .select("node", "out_deg", "rank_nano")
+    )
+
+
+def _sql_pagerank() -> str:
+    parts = [f"""
+        WITH ev AS (
+          SELECT DISTINCT user_id AS node,
+                 CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
+          FROM events
+        ),
+        small AS (
+          SELECT hour FROM ev GROUP BY hour
+          HAVING count(*) <= {EDGE_GROUP_CAP}
+        ),
+        edges AS (
+          SELECT DISTINCT x.node AS a, y.node AS b
+          FROM ev x
+          JOIN small USING (hour)
+          JOIN ev y ON x.hour = y.hour AND x.node <> y.node
+        ),
+        deg AS (
+          SELECT a, CAST(count(*) AS BIGINT) AS out_deg
+          FROM edges GROUP BY a
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        r0 AS (
+          SELECT a AS node, CAST({PR_SCALE} // n_nodes AS BIGINT)
+                   AS rank_nano
+          FROM deg CROSS JOIN n
+        )"""]
+    for it in range(1, PR_ITERS + 1):
+        parts.append(f"""
+        , c{it} AS (
+          SELECT e.b AS node,
+                 CAST(SUM(r.rank_nano // d.out_deg) AS BIGINT) AS s
+          FROM edges e
+          JOIN r{it - 1} r ON e.a = r.node
+          JOIN deg d ON e.a = d.a
+          GROUP BY e.b
+        ),
+        r{it} AS (
+          SELECT deg.a AS node,
+                 CAST((15::BIGINT * {PR_SCALE}) // (100 * n_nodes)
+                      + ({PR_DAMP_NUM}::BIGINT * COALESCE(c{it}.s, 0))
+                        // {PR_DAMP_DEN} AS BIGINT) AS rank_nano
+          FROM deg CROSS JOIN n
+          LEFT JOIN c{it} ON deg.a = c{it}.node
+        )""")
+    parts.append(f"""
+        SELECT r.node, deg.out_deg, r.rank_nano
+        FROM r{PR_ITERS} r JOIN deg ON r.node = deg.a
+    """)
+    return "".join(parts)
+
+
+ORACLE: dict[str, str | None] = {
+    "pagerank_user_graph": _sql_pagerank(),
+}
+
+QUERIES = {
+    "pagerank_user_graph": pagerank_user_graph,
+}

@@ -75,9 +75,14 @@ DRIVER_WINDOW = 50
 # replace pandas_session_gaps + velib_health (both r1+r2 green; the
 # Arrow/pandas boundary stays in-window via multimodal_frame_sample,
 # and the velib core keeps silver_parse + sparkline).
+# NINTH ROTATION (same round): integer-exact PageRank over the
+# co-activity graph replaces velib_silver_parse (r1+r2 green; the
+# velib core stays represented by velib_sparkline, and P1-P3 parse
+# semantics also run inside the in-window streaming queries'
+# from_json path).  pmi_collocations heads SECONDARY as the single
+# remaining never-driver-checked operator.
 PRIORITY: tuple[str, ...] = (
     # reference (velib) semantics — the §2 core representatives
-    "velib_silver_parse",
     "velib_sparkline",
     # round-3 operators (first driver check)
     "chunk_documents",
@@ -132,9 +137,10 @@ PRIORITY: tuple[str, ...] = (
     "dsir_importance_weights",
     # Arrow boundary + multimodal plumbing
     "multimodal_frame_sample",
-    # event analytics
+    # event analytics + graph
     "event_funnel",
     "retention_cohorts",
+    "pagerank_user_graph",
     # streaming
     "streaming_stateful_enumerate",
     "streaming_join_click_purchase",
@@ -152,6 +158,8 @@ SECONDARY: tuple[str, ...] = (
     # (pytest oracle-parity + fuzz green; window slots are exhausted by
     # operators whose remaining in-window peers have <2 green rows)
     "pmi_collocations",
+    # showcase demoted by the round-3 ninth rotation (r1+r2 green)
+    "velib_silver_parse",
     # showcases demoted by the round-3 eighth rotation (r1+r2 green,
     # code unchanged)
     "pandas_session_gaps",
@@ -242,6 +250,7 @@ def _load() -> None:
         "training",
         "chunking",
         "retrieval",
+        "graph",
     ):
         try:
             mod = __import__(
