@@ -105,6 +105,7 @@ HEADLINE = [
     "retention_cohorts",
     "pmi_collocations",
     "pagerank_user_graph",
+    "triangle_count",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -419,3 +419,35 @@ def test_pagerank_mass_and_degree_monotonicity(spark):
     bottom = min(rows, key=lambda r: r["out_deg"])
     if top["out_deg"] > bottom["out_deg"]:
         assert top["rank_nano"] >= bottom["rank_nano"]
+
+
+def test_triangle_count_brute_force(spark):
+    from itertools import combinations
+
+    from velib_lakehouse_spark.operators.graph import (
+        EDGE_GROUP_CAP,
+        HOUR_MS,
+        triangle_count,
+    )
+
+    out = {r["node"]: r["n_triangles"]
+           for r in triangle_count(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", F.expr(f"unix_millis(ts) div {HOUR_MS}").alias("hour")
+    ).distinct().collect()
+    by_hour: dict[int, set] = {}
+    for r in ev:
+        by_hour.setdefault(r["hour"], set()).add(r["user_id"])
+    edges = set()
+    for users in by_hour.values():
+        if len(users) <= EDGE_GROUP_CAP:
+            for a, b in combinations(sorted(users), 2):
+                edges.add((a, b))
+    nodes = {n for e in edges for n in e}
+    expect = dict.fromkeys(nodes, 0)
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (a, b) in edges and (b, c) in edges and (a, c) in edges:
+            expect[a] += 1
+            expect[b] += 1
+            expect[c] += 1
+    assert out == expect

@@ -175,3 +175,117 @@ ORACLE: dict[str, str | None] = {
 QUERIES = {
     "pagerank_user_graph": pagerank_user_graph,
 }
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global + per-node triangle counts over the co-activity graph —
+    the clustering-coefficient building block (community density,
+    anomaly detection on interaction graphs).
+
+    Algorithm: degree ORIENTATION (Schank & Wagner 2005) — point every
+    undirected edge from its lower-(degree, node) endpoint to the
+    higher one, turning the graph into a DAG where each triangle
+    contains exactly one length-2 path through its middle vertex; a
+    wedge self-join plus one closing-edge join counts each triangle
+    once, and every join fans out by MIN degree, bounding worst-case
+    work at O(m^1.5).  The orientation itself is two node-keyed joins
+    of the degree frame onto the edge list — fully distributed, no
+    global ordering or relabeling anywhere.
+
+    Determinism: pure integer counts over canonical id triples.
+    """
+    und = (
+        _edges(spark, sf_dir)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = und.join(
+        deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    ).localCheckpoint(eager=True)
+    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
+    e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
+    wedges = e1.join(e2, "y")
+    closing = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    per_node = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+        )
+    )
+
+
+def _sql_triangles() -> str:
+    return f"""
+        WITH ev AS (
+          SELECT DISTINCT user_id AS node,
+                 CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
+          FROM events
+        ),
+        small AS (
+          SELECT hour FROM ev GROUP BY hour
+          HAVING count(*) <= {EDGE_GROUP_CAP}
+        ),
+        und AS (
+          SELECT DISTINCT x.node AS a, y.node AS b
+          FROM ev x
+          JOIN small USING (hour)
+          JOIN ev y ON x.hour = y.hour AND x.node < y.node
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+          ) GROUP BY node
+        ),
+        oriented AS (
+          SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                      THEN und.a ELSE und.b END AS s,
+                 CASE WHEN da.d < db.d OR (da.d = db.d AND und.a < und.b)
+                      THEN und.b ELSE und.a END AS t
+          FROM und
+          JOIN deg da ON und.a = da.node
+          JOIN deg db ON und.b = db.node
+        ),
+        tri AS (
+          SELECT e1.s AS x, e1.t AS y, e2.t AS z
+          FROM oriented e1
+          JOIN oriented e2 ON e1.t = e2.s
+          JOIN oriented e3 ON e3.s = e1.s AND e3.t = e2.t
+        ),
+        per_node AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y AS node FROM tri
+            UNION ALL SELECT z AS node FROM tri
+          ) GROUP BY node
+        )
+        SELECT deg.node, COALESCE(per_node.n_triangles, 0) AS n_triangles
+        FROM deg LEFT JOIN per_node ON deg.node = per_node.node
+    """
+
+
+ORACLE["triangle_count"] = _sql_triangles()
+QUERIES["triangle_count"] = triangle_count

@@ -158,6 +158,7 @@ SECONDARY: tuple[str, ...] = (
     # (pytest oracle-parity + fuzz green; window slots are exhausted by
     # operators whose remaining in-window peers have <2 green rows)
     "pmi_collocations",
+    "triangle_count",
     # showcase demoted by the round-3 ninth rotation (r1+r2 green)
     "velib_silver_parse",
     # showcases demoted by the round-3 eighth rotation (r1+r2 green,
