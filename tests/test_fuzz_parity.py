@@ -216,3 +216,75 @@ def test_random_event_stream_matches_oracle(spark, stream_fuzz_dir, events):
             stream_fuzz_dir,
         )
         assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---- batch event-operator fuzz (round-3 event analytics + graph) -----------
+#
+# Random event sets with the REAL event-type vocabulary and multi-week
+# spreads: funnel stage ties, users with no signup, hours shared by
+# every user (edge-cap boundary), repeated (user, hour) activity.
+
+EVENT_BATCH_FUZZED = [
+    "event_funnel",
+    "retention_cohorts",
+    "pagerank_user_graph",
+    "triangle_count",
+    "streaming_join_click_purchase",
+]
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+batch_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),               # user_id
+        st.integers(min_value=0, max_value=30 * 86_400),     # ts offset (s)
+        st.integers(min_value=0, max_value=4),               # event type idx
+        st.integers(min_value=0, max_value=100),             # value
+    ),
+    min_size=2,
+    max_size=80,
+)
+
+
+@given(events=batch_events_strategy)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_batch_events_match_oracle(spark, stream_fuzz_dir, events):
+    import os
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (
+            i,
+            _BASE_US + off * 1_000_000,
+            uid,
+            _EVENT_TYPES[t],
+            float(val),
+            "{}",
+        )
+        for i, (uid, off, t, val) in enumerate(events)
+    ]
+    df = (
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts_us long, user_id long, event_type string,"
+            " value double, props string",
+        )
+        .withColumn("ts", F.expr("timestamp_micros(ts_us)"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    )
+    tmp = f"{stream_fuzz_dir}/_one"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(f"{tmp}/{part}", f"{stream_fuzz_dir}/events.parquet")
+    for name in EVENT_BATCH_FUZZED:
+        problems = compare(
+            registry.QUERIES[name](spark, stream_fuzz_dir),
+            registry.ORACLE[name],
+            stream_fuzz_dir,
+        )
+        assert not problems, f"{name}: " + "; ".join(problems)
