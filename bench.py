@@ -106,6 +106,8 @@ HEADLINE = [
     "pmi_collocations",
     "pagerank_user_graph",
     "triangle_count",
+    "clustering_coefficient",
+    "join_skew_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

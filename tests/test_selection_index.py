@@ -451,3 +451,34 @@ def test_triangle_count_brute_force(spark):
             expect[b] += 1
             expect[c] += 1
     assert out == expect
+
+
+def test_clustering_coefficient_bounds(spark):
+    from velib_lakehouse_spark.operators.graph import clustering_coefficient
+
+    rows = clustering_coefficient(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["clustering_coef"] <= 1.0
+        if r["degree"] < 2:
+            assert r["clustering_coef"] == 0.0
+        max_tri = r["degree"] * (r["degree"] - 1) // 2
+        assert r["n_triangles"] <= max_tri
+
+
+def test_join_skew_audit_consistency(spark):
+    from velib_lakehouse_spark.operators.relational2 import join_skew_audit
+
+    rows = join_skew_audit(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    li = load_table(spark, SF_DIR, "lineitem").count()
+    keys = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert r["n_rows"] == li and r["n_keys"] == keys
+    assert r["p50_rows"] <= r["p90_rows"] <= r["p99_rows"] <= r["max_rows"]
+    assert r["skew_ratio"] >= 1.0

@@ -289,3 +289,77 @@ def _sql_triangles() -> str:
 
 ORACLE["triangle_count"] = _sql_triangles()
 QUERIES["triangle_count"] = triangle_count
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per node: 2T / (d(d-1)) from the
+    triangle counts and degrees — the community-density summary on top
+    of ``triangle_count`` (same physical work plus one map-side ratio).
+
+    Determinism: the coefficient is an integer micro-ratio
+    ((2T * 1e6) div (d(d-1))); nodes with degree < 2 have no defined
+    coefficient and report 0 over 0 possible wedges.
+    """
+    und = (
+        _edges(spark, sf_dir)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangle_count(spark, sf_dir)
+    return (
+        tri.join(deg, "node")
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "(2 * n_triangles * 1000000)"
+                    " div (degree * (degree - 1))"
+                )
+                / F.lit(1_000_000.0),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coef"),
+        )
+    )
+
+
+ORACLE["clustering_coefficient"] = f"""
+    WITH tri AS ({ORACLE["triangle_count"]}),
+    ev2 AS (
+      SELECT DISTINCT user_id AS node,
+             CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
+      FROM events
+    ),
+    small2 AS (
+      SELECT hour FROM ev2 GROUP BY hour
+      HAVING count(*) <= {EDGE_GROUP_CAP}
+    ),
+    und2 AS (
+      SELECT DISTINCT x.node AS a, y.node AS b
+      FROM ev2 x
+      JOIN small2 USING (hour)
+      JOIN ev2 y ON x.hour = y.hour AND x.node < y.node
+    ),
+    deg2 AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT a AS node FROM und2 UNION ALL SELECT b AS node FROM und2
+      ) GROUP BY node
+    )
+    SELECT tri.node, deg2.degree, tri.n_triangles,
+           CASE WHEN deg2.degree >= 2
+                THEN ((2 * tri.n_triangles * 1000000)
+                      // (deg2.degree * (deg2.degree - 1))) / 1000000.0
+                ELSE 0.0 END AS clustering_coef
+    FROM tri JOIN deg2 ON tri.node = deg2.node
+"""
+QUERIES["clustering_coefficient"] = clustering_coefficient

@@ -750,3 +750,94 @@ QUERIES = {
     "string_functions_showcase": string_functions_showcase,
     "json_roundtrip_unnest": json_roundtrip_unnest,
 }
+
+
+SKEW_PCTS = (50, 90, 99)
+
+
+def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit over lineitem.l_orderkey: per-key row-count
+    distribution (mean / p50 / p90 / p99 / max) and the max/mean skew
+    ratio — the measurement that decides whether a key needs salting or
+    AQE skew handling BEFORE a 100 TB join is attempted, instead of
+    after it straggles.
+
+    Scale: one partial-aggregated count per key, then exact quantiles
+    over the per-key counts via the rank technique (one vocabulary-
+    sized window, WindowGroupLimit-free but keys-not-rows sized); the
+    output is a single summary row.  All ratios are integer micro
+    arithmetic.
+    """
+    from pyspark.sql import Window as _W
+
+    counts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = _W.orderBy(F.asc("c"), F.asc("l_orderkey"))
+    ranked = counts.withColumn("r", F.row_number().over(w))
+    n = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows"),
+    )
+    picks = ranked.crossJoin(F.broadcast(n)).filter(
+        F.expr(
+            " OR ".join(
+                f"r = floor(({p} * n_keys + 99) / 100)" for p in SKEW_PCTS
+            )
+        )
+    )
+    agg = picks.groupBy("n_keys", "n_rows", "max_rows").agg(
+        *[
+            F.max(
+                F.when(
+                    F.expr(f"r = floor(({p} * n_keys + 99) / 100)"), F.col("c")
+                )
+            ).alias(f"p{p}_rows")
+            for p in SKEW_PCTS
+        ]
+    )
+    return agg.select(
+        "n_keys",
+        "n_rows",
+        F.expr("n_rows * 1000000 div n_keys").alias("mean_rows_micro"),
+        *[f"p{p}_rows" for p in SKEW_PCTS],
+        "max_rows",
+        (
+            F.expr("max_rows * 1000000 div (n_rows div n_keys)")
+            / F.lit(1_000_000.0)
+        ).alias("skew_ratio"),
+    )
+
+
+ORACLE["join_skew_audit"] = f"""
+    WITH counts AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY c ASC, l_orderkey ASC) AS r
+      FROM counts
+    ),
+    n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_rows
+      FROM counts
+    )
+    SELECT n_keys, n_rows,
+           n_rows * 1000000 // n_keys AS mean_rows_micro,
+           {", ".join(
+               f"MAX(CASE WHEN r = floor(({p} * n_keys + 99) / 100)"
+               f" THEN c END) AS p{p}_rows"
+               for p in SKEW_PCTS
+           )},
+           max_rows,
+           (max_rows * 1000000 // (n_rows // n_keys)) / 1000000.0
+             AS skew_ratio
+    FROM ranked CROSS JOIN n
+    GROUP BY n_keys, n_rows, max_rows
+"""
+QUERIES["join_skew_audit"] = join_skew_audit

@@ -159,6 +159,8 @@ SECONDARY: tuple[str, ...] = (
     # operators whose remaining in-window peers have <2 green rows)
     "pmi_collocations",
     "triangle_count",
+    "clustering_coefficient",
+    "join_skew_audit",
     # showcase demoted by the round-3 ninth rotation (r1+r2 green)
     "velib_silver_parse",
     # showcases demoted by the round-3 eighth rotation (r1+r2 green,
