@@ -108,6 +108,8 @@ HEADLINE = [
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
+    "fk_integrity_audit",
+    "corpus_profile",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -73,6 +73,7 @@ FUZZED_QUERIES = [
     "split_leakage_audit",
     "bpe_merge_step",
     "pmi_collocations",
+    "corpus_profile",
 ]
 
 

@@ -482,3 +482,26 @@ def test_join_skew_audit_consistency(spark):
     assert r["n_rows"] == li and r["n_keys"] == keys
     assert r["p50_rows"] <= r["p90_rows"] <= r["p99_rows"] <= r["max_rows"]
     assert r["skew_ratio"] >= 1.0
+
+
+def test_fk_integrity_intact_on_fixture(spark):
+    from velib_lakehouse_spark.operators.relational2 import fk_integrity_audit
+
+    rows = {r["relation"]: r for r in fk_integrity_audit(spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "lineitem->orders", "orders->customer", "customer->nation"
+    }
+    for r in rows.values():
+        assert r["intact"] and r["n_orphans"] == 0 and r["n_child"] > 0
+
+
+def test_corpus_profile_matches_table(spark):
+    from velib_lakehouse_spark.operators.curation import corpus_profile
+
+    r = corpus_profile(spark, SF_DIR).collect()[0]
+    d = load_table(spark, SF_DIR, "documents")
+    assert r["n_rows"] == d.count()
+    assert r["n_langs"] == d.select("lang").distinct().count()
+    assert r["n_sources"] == d.select("source").distinct().count()
+    assert r["min_chars"] <= r["max_chars"]
+    assert r["null_doc_id"] == r["null_text"] == r["null_lang"] == 0

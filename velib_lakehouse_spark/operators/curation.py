@@ -725,3 +725,52 @@ QUERIES = {
     "source_drift_ks": source_drift_ks,
     "length_quantiles_by_source": length_quantiles_by_source,
 }
+
+
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness and cardinality profile of the documents
+    table: null counts, empty-text count, distinct languages/sources,
+    length extremes — the one-glance profiling row a data catalog shows
+    before anyone queries a new 100 TB drop.
+
+    Scale: a single full-scan aggregate (every statistic partial-
+    aggregates map-side; distincts are exact but over low-cardinality
+    label columns), one row out.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("doc_id").isNull().cast("bigint")).alias("null_doc_id"),
+        F.sum(F.col("text").isNull().cast("bigint")).alias("null_text"),
+        F.sum(
+            (F.col("text").isNotNull() & (F.length("text") == 0)).cast(
+                "bigint"
+            )
+        ).alias("empty_text"),
+        F.sum(F.col("lang").isNull().cast("bigint")).alias("null_lang"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE["corpus_profile"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_doc_id,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_text,
+           CAST(SUM(CASE WHEN text IS NOT NULL AND len(text) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS null_lang,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+"""
+QUERIES["corpus_profile"] = corpus_profile

@@ -841,3 +841,69 @@ ORACLE["join_skew_audit"] = f"""
     GROUP BY n_keys, n_rows, max_rows
 """
 QUERIES["join_skew_audit"] = join_skew_audit
+
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the warehouse's FK chain:
+    orphaned lineitem->orders, orders->customer, and customer->nation
+    references, one row per relation — the ingestion-gate check that a
+    100 TB load job runs before exposing a snapshot.
+
+    Scale: each relation is one LEFT ANTI join on its key (AQE
+    broadcasts the dimension side while it fits, shuffle otherwise)
+    followed by a count — no data widening anywhere; the output is
+    three rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def rel(child, key, parent, pkey, name):
+        total = child.count()
+        orphans = child.join(
+            parent, child[key] == parent[pkey], "left_anti"
+        ).count()
+        return (name, total, orphans)
+
+    rows = [
+        rel(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        rel(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        rel(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+    ]
+    return spark.createDataFrame(
+        rows, "relation string, n_child bigint, n_orphans bigint"
+    ).select(
+        "relation",
+        "n_child",
+        "n_orphans",
+        (F.col("n_orphans") == 0).alias("intact"),
+    )
+
+
+ORACLE["fk_integrity_audit"] = """
+    SELECT 'lineitem->orders' AS relation,
+           CAST(count(*) AS BIGINT) AS n_child,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+             AS intact
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation',
+           CAST(count(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) = 0
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+QUERIES["fk_integrity_audit"] = fk_integrity_audit

@@ -161,6 +161,8 @@ SECONDARY: tuple[str, ...] = (
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
+    "fk_integrity_audit",
+    "corpus_profile",
     # showcase demoted by the round-3 ninth rotation (r1+r2 green)
     "velib_silver_parse",
     # showcases demoted by the round-3 eighth rotation (r1+r2 green,
