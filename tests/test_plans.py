@@ -98,3 +98,38 @@ def test_whole_stage_codegen_covers_agg(spark):
         df._jdf.queryExecution(), "codegen"
     )
     assert "WholeStageCodegen" in plan
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """The classifier must stay a single map-side codegen projection —
+    any Exchange in its plan means a feature accidentally aggregates."""
+    plan = _plan(registry.QUERIES["quality_classifier_score"](spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_event_funnel_pushes_type_filters_to_scan(spark):
+    plan = _formatted(registry.QUERIES["event_funnel"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters")
+    assert len(pushed) > 1
+    assert any("event_type" in seg[:300] for seg in pushed[1:])
+
+
+def test_banded_lsh_has_no_cartesian(spark):
+    """Candidate generation must stay an equality join on
+    (band, bucket) — a CartesianProduct or non-broadcast nested loop
+    means the banding degenerated to all-pairs."""
+    plan = _plan(registry.QUERIES["ann_banded_lsh_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_salted_window_bounds_partitions(spark):
+    """Both min-K stages must appear (salted then final): two Window
+    operators, with WindowGroupLimit pushdown on each."""
+    plan = _plan(registry.QUERIES["inverted_index"](spark, SF_DIR))
+    assert plan.count("Window [") >= 2
+    assert plan.count("WindowGroupLimit") >= 2
+
+
+def test_zipf_topn_gets_window_group_limit(spark):
+    plan = _plan(registry.QUERIES["zipf_slope_audit"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
