@@ -110,6 +110,7 @@ HEADLINE = [
     "join_skew_audit",
     "fk_integrity_audit",
     "corpus_profile",
+    "export_tokenized_sequences",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -74,6 +74,7 @@ FUZZED_QUERIES = [
     "bpe_merge_step",
     "pmi_collocations",
     "corpus_profile",
+    "export_tokenized_sequences",
 ]
 
 

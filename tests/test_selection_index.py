@@ -505,3 +505,31 @@ def test_corpus_profile_matches_table(spark):
     assert r["n_sources"] == d.select("source").distinct().count()
     assert r["min_chars"] <= r["max_chars"]
     assert r["null_doc_id"] == r["null_text"] == r["null_lang"] == 0
+
+
+def test_tokenized_export_roundtrip(spark):
+    """Token ids must decode back to the original document text via the
+    frequency-ranked vocabulary."""
+    from collections import Counter
+
+    from velib_lakehouse_spark.operators.training import (
+        export_tokenized_sequences,
+    )
+
+    rows = {r["doc_id"]: r
+            for r in export_tokenized_sequences(spark, SF_DIR).collect()}
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    counts: Counter = Counter()
+    for d in docs:
+        counts.update(x for x in d["text"].split(" ") if x)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    id_to_word = {i + 1: w for i, (w, _) in enumerate(ranked)}
+    for d in docs:
+        words = [x for x in d["text"].split(" ") if x]
+        if not words:
+            assert d["doc_id"] not in rows or rows[d["doc_id"]]["n_tokens"] == 0
+            continue
+        r = rows[d["doc_id"]]
+        assert r["n_tokens"] == len(words)
+        decoded = [id_to_word[int(t)] for t in r["token_ids"].split(",")]
+        assert decoded == words, d["doc_id"]

@@ -369,3 +369,111 @@ QUERIES = {
     "export_shuffled_shards": export_shuffled_shards,
     "dsir_importance_weights": dsir_importance_weights,
 }
+
+
+def export_tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's final artifact: every document tokenized to vocab
+    ids (frequency-ranked unigram vocabulary — rank 1 = most frequent,
+    ties by word) and placed at its ``pack_sequences`` position, with
+    the id stream serialized in document order.
+
+    Composes the tokenizer (vocabulary = the word-count aggregate),
+    the id-mapping join, and the deterministic packing — what actually
+    gets written to training shards.
+
+    Scale: the vocabulary ranking is one window over the VOCAB-sized
+    frame (Zipf-bounded, not corpus-bounded; at extreme scale replace
+    with ordered bucketing); the id-mapping join is (doc, pos, word)
+    against the vocabulary on the word key — AQE broadcasts the vocab
+    while it fits; serialization sorts each document's own tokens only
+    (array_sort on (pos, id) structs, map-side).  Packing positions
+    come from the already-parallel ``pack_sequences`` windows.
+
+    Determinism: ids are integer ranks; the serialized stream is a
+    canonical order (pos) of integers — no floats anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(_words()).alias("pos", "w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "token_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("w")))
+            .cast("bigint"),
+        )
+        .select("w", "token_id")
+    )
+    ids = (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "token_id"))
+                    ),
+                    lambda s: s["token_id"].cast("string"),
+                ),
+            ).alias("token_ids"),
+        )
+    )
+    packed = pack_sequences(spark, sf_dir).select(
+        "doc_id", "shard", "seq_id", "offset_in_seq"
+    )
+    return packed.join(ids, "doc_id").select(
+        "doc_id", "shard", "seq_id", "offset_in_seq", "n_tokens", "token_ids"
+    )
+
+
+ORACLE["export_tokenized_sequences"] = f"""
+    WITH words AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS w
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+        FROM (SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS w
+              FROM documents)
+      )
+    ),
+    vocab AS (
+      SELECT w, CAST(row_number() OVER (ORDER BY count(*) DESC, w ASC)
+             AS BIGINT) AS token_id
+      FROM words GROUP BY w
+    ),
+    ids AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY pos)
+               AS token_ids
+      FROM words JOIN vocab USING (w)
+      GROUP BY doc_id
+    ),
+    toks AS (
+      SELECT doc_id,
+             {sql_md5_long("CAST(doc_id AS VARCHAR)")} % {N_PACK_SHARDS}
+               AS shard,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, shard,
+             CAST(COALESCE(SUM(n_tokens) OVER w, 0) // {CONTEXT_TOKENS}
+                  AS BIGINT) AS seq_id,
+             CAST(COALESCE(SUM(n_tokens) OVER w, 0) % {CONTEXT_TOKENS}
+                  AS BIGINT) AS offset_in_seq
+      FROM toks
+      WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT packed.doc_id, packed.shard, packed.seq_id,
+           packed.offset_in_seq, ids.n_tokens, ids.token_ids
+    FROM packed JOIN ids ON packed.doc_id = ids.doc_id
+"""
+QUERIES["export_tokenized_sequences"] = export_tokenized_sequences
