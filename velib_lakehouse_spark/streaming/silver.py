@@ -255,7 +255,10 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    return _drain_memory_sink(spark, agg, "windowed_counts_sink").select(
+    return _drain_memory_sink(
+        spark, agg, "windowed_counts_sink",
+        shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
+    ).select(
         F.unix_millis("win.start").alias("window_start_ms"),
         F.unix_millis("win.end").alias("window_end_ms"),
         "event_type",
@@ -325,7 +328,10 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return _drain_memory_sink(spark, agg, "session_windows_sink").select(
+    return _drain_memory_sink(
+        spark, agg, "session_windows_sink",
+        shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
+    ).select(
         F.col("user_id").alias("station_code"),
         F.unix_millis("sw.start").alias("session_start_ms"),
         F.unix_millis("sw.end").alias("session_end_ms"),
@@ -422,7 +428,10 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("value", "event_id").alias("value"),
         )
     )
-    return _drain_memory_sink(spark, deduped, "streaming_dedup_sink").select(
+    return _drain_memory_sink(
+        spark, deduped, "streaming_dedup_sink",
+        shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
+    ).select(
         "event_id",
         F.col("user_id").alias("station_code"),
         F.col("value").alias("bikes_available"),
