@@ -111,6 +111,7 @@ HEADLINE = [
     "fk_integrity_audit",
     "corpus_profile",
     "export_tokenized_sequences",
+    "weighted_sample_topk",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

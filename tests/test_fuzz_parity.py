@@ -75,6 +75,7 @@ FUZZED_QUERIES = [
     "pmi_collocations",
     "corpus_profile",
     "export_tokenized_sequences",
+    "weighted_sample_topk",
 ]
 
 

@@ -533,3 +533,36 @@ def test_tokenized_export_roundtrip(spark):
         assert r["n_tokens"] == len(words)
         decoded = [id_to_word[int(t)] for t in r["token_ids"].split(",")]
         assert decoded == words, d["doc_id"]
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """The A-ES sample must (a) match a brute-force reimplementation
+    and (b) over-represent long documents relative to a uniform draw."""
+    import hashlib
+    import math
+
+    from velib_lakehouse_spark.operators.curation import (
+        WS_SAMPLE_K,
+        weighted_sample_topk,
+    )
+
+    rows = weighted_sample_topk(spark, SF_DIR_MED).collect()
+    assert len(rows) == WS_SAMPLE_K
+    docs = load_table(spark, SF_DIR_MED, "documents").collect()
+    scored = []
+    for d in docs:
+        if d["n_chars"] <= 0:
+            continue
+        h = int(
+            hashlib.md5(f"ws|{d['doc_id']}".encode()).hexdigest()[:15], 16
+        )
+        u = (h % 1_000_000_000 + 1) / 1_000_000_000
+        key = math.floor(math.log(u) / d["n_chars"] * 1_000_000_000)
+        scored.append((key, d["doc_id"], d["n_chars"]))
+    expect = sorted(scored, key=lambda t: (-t[0], t[1]))[:WS_SAMPLE_K]
+    got = [(r["key_nano"], r["doc_id"], r["weight"]) for r in rows]
+    assert got == [(k, i, w) for k, i, w in expect]
+    # weighting check: sampled mean length above the corpus mean
+    corpus_mean = sum(d["n_chars"] for d in docs) / len(docs)
+    sample_mean = sum(r["weight"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean

@@ -774,3 +774,75 @@ ORACLE["corpus_profile"] = """
     FROM documents
 """
 QUERIES["corpus_profile"] = corpus_profile
+
+
+WS_SAMPLE_K = 50
+_WS_U_MOD = 1_000_000_000
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis & Spirakis 2006, A-ES): each document draws a uniform
+    u from its md5 hash and ranks by ln(u)/weight; the top-K by that
+    key is an exact weighted sample — longer documents (weight =
+    n_chars) are proportionally more likely, yet the draw is a pure
+    function of doc_id, so it reproduces across engines, retries, and
+    cluster sizes (the ``deterministic_sample`` property, upgraded
+    from uniform to weighted).
+
+    Scale: map-side key computation + one TakeOrdered top-K (map-side
+    partial top-K, no global sort) — the one-pass distributed weighted
+    sampler.
+
+    Determinism: u = (md5 % 1e9 + 1)/1e9 divides identical integers;
+    ln(u)/w is the identical double expression in both engines and is
+    floor-quantized to nano units before ranking; ties break on
+    doc_id.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("ws"), F.col("doc_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _WS_U_MOD
+            + 1
+        ).cast("double")
+        / F.lit(float(_WS_U_MOD))
+    )
+    key_nano = F.floor(
+        F.log(u) / F.col("n_chars").cast("double") * F.lit(1_000_000_000)
+    ).cast("bigint")
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        key_nano.alias("key_nano"),
+    )
+    return scored.orderBy(F.desc("key_nano"), F.asc("doc_id")).limit(
+        WS_SAMPLE_K
+    )
+
+
+ORACLE["weighted_sample_topk"] = f"""
+    WITH scored AS (
+      SELECT doc_id, n_chars AS weight,
+             CAST(floor(
+               ln(CAST((('0x' || substr(md5(concat_ws('|', 'ws',
+                     CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                     % {_WS_U_MOD} + 1) AS DOUBLE) / {_WS_U_MOD})
+               / CAST(n_chars AS DOUBLE) * 1000000000) AS BIGINT)
+               AS key_nano
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, weight, key_nano
+    FROM scored
+    ORDER BY key_nano DESC, doc_id ASC
+    LIMIT {WS_SAMPLE_K}
+"""
+QUERIES["weighted_sample_topk"] = weighted_sample_topk

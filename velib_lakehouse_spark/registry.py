@@ -164,6 +164,7 @@ SECONDARY: tuple[str, ...] = (
     "fk_integrity_audit",
     "corpus_profile",
     "export_tokenized_sequences",
+    "weighted_sample_topk",
     # showcase demoted by the round-3 ninth rotation (r1+r2 green)
     "velib_silver_parse",
     # showcases demoted by the round-3 eighth rotation (r1+r2 green,
