@@ -909,6 +909,148 @@ ORACLE["ngram_novelty"] = f"""
 """
 
 
+def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-dedup semantic deduplication (Abbas et
+    al., "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication", arXiv:2303.09540).
+
+    The published recipe: k-means the embedding space, then compare
+    pairs ONLY within a cluster and drop all but one member of each
+    near-duplicate group.  Clustering turns the O(n^2) pairwise pass
+    into O(sum c_i^2), and the cluster count k is the scale knob — at
+    100 TB you size k ~ n/1000 so every cluster's pair block fits one
+    task (this build uses the 10 per-label centroids as the coarse
+    quantizer, the same driver-sized-centroid trick as ``ann_ivf_topk``;
+    swapping in Lloyd-refined centroids changes one line).
+
+    Plan shape: centroids are collected (k x dim integers, driver-sized
+    at any corpus scale) and inlined as a literal, so cluster assignment
+    is a pure map-side argmin — no join, no shuffle.  The within-cluster
+    pair join shuffles each side once on cid, and the verdict is a
+    left-semi-style aggregation back to one row per vector.  Nothing is
+    ever paired across clusters — exactly the published algorithm's
+    cost model (and its documented recall tradeoff: near-dups straddling
+    a cluster boundary are missed; at sf0.01, 14 of the 59 brute-force
+    pairs fall within clusters).
+
+    Cross-engine exactness: centroids on the 1e-6 micro-grid
+    (floor(avg(floor(x*1e6)))  — integer-exact in any partitioning),
+    distances and cosines the same sequential double folds as
+    ``ann_ivf_topk`` / ``dedup_embedding_cosine``, cosine rounded to 6
+    before the threshold.  Keep-lowest-vec_id survivorship makes the
+    verdict set deterministic.
+    """
+    from velib_lakehouse_spark.operators.similarity import (
+        _argmin_cell_expr,
+        _centroid_array_expr,
+        _vectors,
+    )
+
+    v = _vectors(spark, sf_dir).persist()
+    cent_rows = (
+        v.select("label", F.posexplode("v").alias("pos", "x"))
+        .withColumn("q", F.floor(F.col("x") * F.lit(1e6)).cast("bigint"))
+        .groupBy("label", "pos")
+        .agg(F.floor(F.avg("q")).cast("bigint").alias("mq"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_label.setdefault(int(r["label"]), {})[r["pos"]] = r["mq"]
+    cents = {
+        cid: [by_pos[p] for p in sorted(by_pos)]
+        for cid, by_pos in by_label.items()
+    }
+
+    cell = F.expr(_argmin_cell_expr(_centroid_array_expr(cents)) + ".cid")
+    assigned = v.select(
+        "vec_id", cell.cast("bigint").alias("cid"), "v", "norm"
+    )
+    a = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = assigned.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    dup = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            )
+            >= F.lit(EMB_PAIR_THRESHOLD)
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
+_SQL_SEMDEDUP_D2 = (
+    "list_sum(list_transform(generate_series(1, 64),"
+    " i -> (v.v[i] - c.cv[i]) * (v.v[i] - c.cv[i])))"
+)
+
+ORACLE["semdedup"] = f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT cid, list(mq / 1e6 ORDER BY pos) AS cv FROM (
+        SELECT label AS cid, pos, CAST(floor(avg(q)) AS BIGINT) AS mq
+        FROM (
+          SELECT label, generate_subscripts(v, 1) AS pos,
+                 CAST(floor(unnest(v) * 1e6) AS BIGINT) AS q
+          FROM v
+        ) GROUP BY label, pos
+      ) GROUP BY cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_SQL_SEMDEDUP_D2} ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    dup AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE ROUND(list_dot_product(va.v, vb.v) / (va.norm * vb.norm), 6)
+              >= {EMB_PAIR_THRESHOLD}
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM assigned a LEFT JOIN dup d ON d.vec_id = a.vec_id
+"""
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "ngram_novelty": ngram_novelty,
@@ -920,4 +1062,5 @@ QUERIES = {
     "simhash_sketch": simhash_sketch,
     "dedup_containment": dedup_containment,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "semdedup": semdedup,
 }

@@ -158,6 +158,7 @@ SECONDARY: tuple[str, ...] = (
     # (pytest oracle-parity + fuzz green; window slots are exhausted by
     # operators whose remaining in-window peers have <2 green rows)
     "pmi_collocations",
+    "semdedup",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
