@@ -370,6 +370,33 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long melt) — the inverse of ``pivot_status_counts``:
+    lineitem's four measure columns become (metric, value) rows, then a
+    per-(returnflag, metric) exact aggregate.
+
+    Uses the native ``DataFrame.unpivot`` (SPARK-39877 melt), which
+    compiles to an Expand node — each input row is emitted once per
+    measure map-side, no shuffle until the aggregate; with partial
+    aggregation the shuffle carries n_flags x n_metrics rows per
+    partition regardless of corpus size.  Sums/averages follow the
+    decimal-exact conventions of functions/exact.py, so the fold is
+    associative and AQE-stable at any partitioning.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return long.groupBy("l_returnflag", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value", "total"),
+        dec_avg("value", "avg_value"),
+    )
+
+
 def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping-sets aggregation with grouping() indicators."""
     c = load_table(spark, sf_dir, "customer")
@@ -600,6 +627,22 @@ ORACLE: dict[str, str | None] = {
         FROM orders
         GROUP BY o_orderpriority
     """,
+    "unpivot_metrics": """
+        WITH long AS (
+          SELECT l_returnflag, metric, value
+          FROM lineitem
+          UNPIVOT (value FOR metric IN
+                   (l_quantity, l_extendedprice, l_discount, l_tax))
+        )
+        SELECT l_returnflag, metric,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(value), 6) AS avg_value
+        FROM long
+        GROUP BY l_returnflag, metric
+    """,
     "rollup_region_nation": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
                CAST(grouping(r_name) AS BIGINT) AS g_region,
@@ -640,6 +683,7 @@ QUERIES = {
     "union_tagged": union_tagged,
     "distinct_pairs": distinct_pairs,
     "pivot_status_counts": pivot_status_counts,
+    "unpivot_metrics": unpivot_metrics,
     "rollup_region_nation": rollup_region_nation,
     "explode_words": explode_words,
 }
