@@ -159,6 +159,7 @@ SECONDARY: tuple[str, ...] = (
     # operators whose remaining in-window peers have <2 green rows)
     "pmi_collocations",
     "semdedup",
+    "curriculum_phases",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
