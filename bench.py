@@ -112,6 +112,9 @@ HEADLINE = [
     "corpus_profile",
     "export_tokenized_sequences",
     "weighted_sample_topk",
+    "semdedup",
+    "unpivot_metrics",
+    "curriculum_phases",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -76,6 +76,7 @@ FUZZED_QUERIES = [
     "corpus_profile",
     "export_tokenized_sequences",
     "weighted_sample_topk",
+    "curriculum_phases",
 ]
 
 
@@ -289,5 +290,65 @@ def test_random_batch_events_match_oracle(spark, stream_fuzz_dir, events):
             registry.QUERIES[name](spark, stream_fuzz_dir),
             registry.ORACLE[name],
             stream_fuzz_dir,
+        )
+        assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---- embedding-family fuzz ------------------------------------------------
+#
+# The document fuzz above never touches the embeddings table; these
+# generate random 64-dim vector sets with planted near-duplicates
+# (v[2i+1] = v[2i] + tiny noise) and run the full embedding family —
+# dedup, SemDeDup, quantization, centroids, dispersion, outliers, and
+# every ANN variant incl. the IVF Lloyd loop — against the oracles.
+
+EMBEDDING_FUZZED = [
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "embedding_dispersion",
+    "embedding_outliers",
+    "dedup_embedding_cosine",
+    "semdedup",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_banded_lsh_topk",
+    "ann_recall_audit",
+    "ann_banded_recall_audit",
+    "ann_ivf_topk",
+]
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_vecs=st.integers(min_value=12, max_value=40),
+)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_embeddings_match_oracle(spark, fuzz_base_dir, seed, n_vecs):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.normal(size=(n_vecs, 64)).astype("float32")
+    # plant near-duplicate pairs: odd ids shadow their predecessor
+    for i in range(1, n_vecs, 2):
+        vecs[i] = vecs[i - 1] + rng.normal(scale=0.01, size=64).astype(
+            "float32"
+        )
+    rows = [
+        (i, [float(x) for x in vecs[i]], int(i % 5)) for i in range(n_vecs)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{fuzz_base_dir}/embeddings.parquet"
+    )
+    for name in EMBEDDING_FUZZED:
+        problems = compare(
+            registry.QUERIES[name](spark, fuzz_base_dir),
+            registry.ORACLE[name],
+            fuzz_base_dir,
         )
         assert not problems, f"{name}: " + "; ".join(problems)
