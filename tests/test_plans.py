@@ -133,3 +133,29 @@ def test_inverted_index_salted_window_bounds_partitions(spark):
 def test_zipf_topn_gets_window_group_limit(spark):
     plan = _plan(registry.QUERIES["zipf_slope_audit"](spark, SF_DIR))
     assert "WindowGroupLimit" in plan
+
+
+def test_semdedup_assignment_is_map_side(spark):
+    """Cluster assignment must be the inlined-centroid argmin (no join,
+    no window) and pairing must be a cid-keyed equality join — never a
+    cartesian product over the corpus."""
+    plan = _plan(registry.QUERIES["semdedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curriculum_has_no_corpus_sized_global_window(spark):
+    """The only partition-less window runs over DISTINCT cost values
+    (grid-bounded); it must sit above an aggregate, so the corpus
+    itself is never pulled to one partition."""
+    plan = _plan(registry.QUERIES["curriculum_phases"](spark, SF_DIR))
+    assert plan.count("Window") <= 2  # cum-sum (+reuse), nothing else
+    assert "HashAggregate" in plan
+
+
+def test_unpivot_compiles_to_expand(spark):
+    """The melt must be the native Expand node (map-side row fan-out),
+    not a union of per-column scans."""
+    plan = _plan(registry.QUERIES["unpivot_metrics"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1

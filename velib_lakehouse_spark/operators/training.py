@@ -512,8 +512,13 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_cost_micro"),
     )
-    vals = scored.groupBy("mean_cost_micro").agg(
-        F.count(F.lit(1)).alias("c")
+    # grid-sized histogram, persisted: its two consumers (cumulative
+    # scan + corpus total) must not each re-run the corpus-wide scoring
+    # pipeline beneath it
+    vals = (
+        scored.groupBy("mean_cost_micro")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     cum = vals.select(
         "mean_cost_micro",
@@ -525,7 +530,9 @@ def curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cum_n"),
     )
-    total = scored.agg(F.count(F.lit(1)).alias("n"))
+    # corpus size from the (grid-sized) histogram, NOT a second pass
+    # over the scoring pipeline
+    total = vals.agg(F.sum("c").alias("n"))
     thr = (
         cum.crossJoin(F.broadcast(total))
         .agg(
@@ -575,7 +582,7 @@ def _curriculum_oracle() -> str:
                  sum(c) OVER (ORDER BY mean_cost_micro) AS cum_n
           FROM vals
         ),
-        tot AS (SELECT count(*) AS n FROM scored),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vals),
         thr AS (
           SELECT
             min(CASE WHEN cum_n >= (1 * n + 3) // 4
