@@ -155,3 +155,27 @@ def test_stateful_enumerate_state_carries_across_batches(spark):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_transform_with_state_gated_on_protobuf(spark):
+    """The state-v2 operator (transformWithStateInPandas) registers only
+    when google.protobuf exists — its state-server protocol needs it;
+    without the gate, query start crashes the streaming Python runner.
+    Where available, the emitted table must match the per-user batch
+    aggregate; where not, the registry must not expose it."""
+    from velib_lakehouse_spark.streaming import silver
+    from velib_lakehouse_spark import registry
+
+    if not silver.tws_available():
+        assert "streaming_tws_user_stats" not in registry.QUERIES
+        return
+
+    from tests.oracle_harness import compare
+    from tests.conftest import SF_DIR
+
+    problems = compare(
+        silver.streaming_tws_user_stats(spark, SF_DIR),
+        silver.ORACLE["streaming_tws_user_stats"],
+        SF_DIR,
+    )
+    assert not problems, "; ".join(problems)

@@ -644,3 +644,122 @@ QUERIES = {
     "streaming_dedup": streaming_dedup,
     "streaming_stateful_enumerate": streaming_stateful_enumerate,
 }
+
+
+def streaming_tws_user_stats(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Arbitrary stateful streaming via ``transformWithStateInPandas``
+    (SPARK-49564, the state-v2 API that supersedes
+    ``applyInPandasWithState``): per-user running totals carried in a
+    typed ``ValueState`` across micro-batches.
+
+    Why both APIs are covered: ``applyInPandasWithState``
+    (``streaming_stateful_enumerate``) is the stable v1 escape hatch;
+    this is the v2 shape — explicit ``StatefulProcessor`` lifecycle
+    (init/handleInputRows/close), named state variables fetched from a
+    handle, timers available — which is where custom stateful operators
+    land going forward.  Same scale posture as v1: keys are
+    hash-distributed, state is O(1) per user in the state store, one
+    shuffle by key per batch.
+
+    Emission contract: each batch emits one row per user seen in that
+    batch carrying the RUNNING totals (count, exact micro-unit value
+    sum, max event-time).  With the default single availableNow batch
+    the emitted table is exactly the per-user batch aggregate — the
+    DuckDB oracle; the multi-batch state-carry path asserts the final
+    per-user row equals the same aggregate (tests).  Sums are exact:
+    values quantized floor(v*1e4 + 0.5) to int64 BEFORE summing (the
+    2-decimal inputs are within 1 ULP of the grid, never at a half-way
+    point), so accumulation order cannot change the result.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    ev = _event_stream(spark, sf_dir, max_files_per_trigger).select(
+        "event_id", "ts", "user_id", "value"
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n bigint, sum_micro bigint, max_ts_us bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, sum_micro, max_ts_us = (
+                self._state.get() if self._state.exists() else (0, 0, None)
+            )
+            for pdf in rows:
+                ts_us = pdf["ts"].astype("int64") // (
+                    1 if pdf["ts"].dtype == "datetime64[us]" else 1000
+                )
+                micro = np.floor(
+                    pdf["value"].to_numpy() * 1e4 + 0.5
+                ).astype("int64")
+                n += len(pdf)
+                sum_micro += int(micro.sum())
+                batch_max = int(ts_us.max())
+                max_ts_us = (
+                    batch_max
+                    if max_ts_us is None
+                    else max(max_ts_us, batch_max)
+                )
+            self._state.update((n, sum_micro, max_ts_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value_micro": [sum_micro],
+                    "last_ts_ms": [max_ts_us // 1000],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    stats = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, sum_value_micro bigint,"
+            " last_ts_ms bigint"
+        ),
+        outputMode="append",
+        timeMode="none",
+    )
+    return _drain_memory_sink(
+        spark,
+        stats,
+        "tws_user_stats_sink",
+        shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
+    )
+
+
+def tws_available() -> bool:
+    """``transformWithStateInPandas`` talks to the JVM state server over
+    a protobuf protocol; without ``google.protobuf`` the driver-side
+    Python runner crashes at query start (probed: STREAM_FAILED,
+    'cannot import google.protobuf').  This sandbox ships no protobuf
+    and installs are disallowed, so the operator registers only where
+    the protocol can actually run — the same honest gating as the
+    Delta attempt (DELTA_ATTEMPT.md)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except (ImportError, ValueError):
+        return False
+
+
+if tws_available():  # pragma: no cover - sandbox lacks protobuf
+    ORACLE["streaming_tws_user_stats"] = """
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_micro,
+               epoch_us(max(ts)) // 1000 AS last_ts_ms
+        FROM events
+        GROUP BY user_id
+    """
+    QUERIES["streaming_tws_user_stats"] = streaming_tws_user_stats
