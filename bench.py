@@ -115,6 +115,7 @@ HEADLINE = [
     "semdedup",
     "unpivot_metrics",
     "curriculum_phases",
+    "contrastive_triplets",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -315,6 +315,7 @@ EMBEDDING_FUZZED = [
     "ann_recall_audit",
     "ann_banded_recall_audit",
     "ann_ivf_topk",
+    "contrastive_triplets",
 ]
 
 

@@ -1001,3 +1001,113 @@ ORACLE["ann_banded_recall_audit"] = f"""
     FROM n_exact LEFT JOIN n_hit ON n_exact.q_vec_id = n_hit.q_vec_id
 """
 QUERIES["ann_banded_recall_audit"] = ann_banded_recall_audit
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-triplet mining: for each anchor (query
+    vector) emit its nearest SAME-label neighbour (the positive) and
+    its nearest DIFFERENT-label neighbour (the hard negative) — the
+    (anchor, positive, hard-negative) triplets an embedding model's
+    contrastive loss consumes (hard-negative selection as in DPR,
+    Karpukhin et al., EMNLP 2020; triplet loss per Schroff et al.,
+    FaceNet, CVPR 2015).
+
+    One scored pass over the corpus (anchors broadcast, scoring
+    map-side — the ann_cosine_topk shape), then two per-anchor
+    rank-1 windows conditioned on label match/mismatch, joined into one
+    row per anchor.  At 100 TB the scored pass is the cost; both
+    window branches reuse the same shuffle partitioning (q_vec_id), so
+    the triplet assembly adds no extra corpus-wide movement.  For
+    billion-vector corpora the scored pass swaps to the banded-LSH
+    candidate join (`ann_banded_lsh_topk`) with the same downstream —
+    hard negatives are by definition high-cosine, exactly what LSH
+    recalls best.
+    """
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select(
+            "q_vec_id",
+            "q_label",
+            "vec_id",
+            "label",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="v"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("q_label"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+        )
+    )
+    return pos.join(neg, "q_vec_id").select(
+        F.col("q_vec_id").alias("anchor_id"),
+        "pos_id",
+        "pos_cos",
+        "neg_id",
+        "neg_cos",
+        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
+    )
+
+
+ORACLE["contrastive_triplets"] = f"""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[],
+                                   embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_vec_id, q.label AS q_label,
+             c.vec_id, c.label,
+             ROUND(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) AS cos
+      FROM v q JOIN v c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    pos AS (
+      SELECT q_vec_id, vec_id AS pos_id, cos AS pos_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                 ORDER BY cos DESC, vec_id ASC) AS rn
+        FROM scored WHERE label = q_label
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT q_vec_id, vec_id AS neg_id, cos AS neg_cos FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                 ORDER BY cos DESC, vec_id ASC) AS rn
+        FROM scored WHERE label <> q_label
+      ) WHERE rn = 1
+    )
+    SELECT pos.q_vec_id AS anchor_id, pos_id, pos_cos, neg_id, neg_cos,
+           ROUND(pos_cos - neg_cos, 6) AS margin
+    FROM pos JOIN neg USING (q_vec_id)
+"""
+QUERIES["contrastive_triplets"] = contrastive_triplets

@@ -160,6 +160,7 @@ SECONDARY: tuple[str, ...] = (
     "pmi_collocations",
     "semdedup",
     "curriculum_phases",
+    "contrastive_triplets",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
