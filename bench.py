@@ -116,6 +116,7 @@ HEADLINE = [
     "unpivot_metrics",
     "curriculum_phases",
     "contrastive_triplets",
+    "decontaminate_embedding",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -316,6 +316,7 @@ EMBEDDING_FUZZED = [
     "ann_banded_recall_audit",
     "ann_ivf_topk",
     "contrastive_triplets",
+    "decontaminate_embedding",
 ]
 
 

@@ -1064,3 +1064,173 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "semdedup": semdedup,
 }
+
+
+# Eval share for the embedding decontamination demo split: md5 bucket
+# < 2 of 10 — deterministic, engine-independent, and growing the
+# corpus never reassigns an existing vector's split.
+DECON_EVAL_BUCKETS = 2
+
+
+def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination: flag TRAIN vectors whose embedding is
+    near-identical (cosine >= threshold) to ANY EVAL vector — the
+    embedding-space twin of ``decontaminate_ngram`` (surface-form
+    overlap misses paraphrased eval leakage; embedding similarity is
+    the published countermeasure, e.g. the semantic-dedup/decontam
+    sweep in SemDeDup, arXiv:2303.09540 §5).
+
+    Shape: one banded sign-LSH candidate join BETWEEN the splits (train
+    bands join eval bands on (band, bits) — never all-pairs), exact
+    cosine on candidates only, then an aggregate back to one verdict
+    row per train vector.  At 100 TB the eval side is small by
+    definition, so the band join broadcasts it; candidate volume is
+    governed by the same band-geometry knob as
+    ``banded_cosine_pairs`` (widen bands as the corpus grows).
+
+    The split is a pure md5 function of vec_id (same convention as
+    ``stratified_split``), so the operator is a self-contained,
+    reproducible demo of the pipeline stage; production would join a
+    real eval manifest instead of deriving the split.
+    """
+    from velib_lakehouse_spark.operators.similarity import N_PLANES, _bucket_expr
+
+    band_bits = N_PLANES // EMB_LSH_BANDS
+    mask = (1 << band_bits) - 1
+    v = _norm_vectors(spark, sf_dir).withColumn(
+        "is_eval",
+        md5_long(F.concat(F.lit("decon:"), F.col("vec_id").cast("string")))
+        % 10
+        < DECON_EVAL_BUCKETS,
+    )
+    sig = v.withColumn("bucket", F.expr(_bucket_expr("v", N_PLANES)))
+    bands_df = sig.select(
+        "vec_id",
+        "is_eval",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {EMB_LSH_BANDS - 1}),"
+                f" b -> shiftright(bucket, b * {band_bits}) & {mask})"
+            )
+        ).alias("band", "bits"),
+    )
+    train_b = bands_df.filter(~F.col("is_eval")).select(
+        F.col("vec_id").alias("train_id"), "band", "bits"
+    )
+    eval_b = bands_df.filter(F.col("is_eval")).select(
+        F.col("vec_id").alias("eval_id"), "band", "bits"
+    )
+    cand = (
+        train_b.join(F.broadcast(eval_b), ["band", "bits"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    vt = v.select(
+        F.col("vec_id").alias("train_id"),
+        F.col("v").alias("tv"),
+        F.col("norm").alias("tn"),
+    )
+    ve = v.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("v").alias("ev"),
+        F.col("norm").alias("en"),
+    )
+    hits = (
+        cand.join(vt, "train_id")
+        .join(F.broadcast(ve), "eval_id")
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(tv, ev, (x, y) -> x * y),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)"
+                )
+                / (F.col("tn") * F.col("en")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(EMB_PAIR_THRESHOLD))
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.max("cos").alias("max_eval_cos"),
+        )
+    )
+    return (
+        v.filter(~F.col("is_eval"))
+        .select(F.col("vec_id").alias("train_id"))
+        .join(hits, "train_id", "left")
+        .select(
+            "train_id",
+            F.coalesce(F.col("n_eval_hits"), F.lit(0)).alias("n_eval_hits"),
+            (F.col("n_eval_hits").isNotNull()).alias("contaminated"),
+            "max_eval_cos",
+        )
+    )
+
+
+def _decon_embedding_oracle() -> str:
+    from velib_lakehouse_spark.operators.similarity import N_PLANES, _sql_bucket
+
+    band_bits = N_PLANES // EMB_LSH_BANDS
+    mask = (1 << band_bits) - 1
+    split = (
+        f"({sql_md5_long(_q('decon:', 'vec_id'))} % 10)"
+        f" < {DECON_EVAL_BUCKETS}"
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm,
+                 {split} AS is_eval
+          FROM embeddings
+        ),
+        sig AS (
+          SELECT vec_id, is_eval, v, norm, {_sql_bucket('v')} AS bucket
+          FROM v
+        ),
+        bands AS (
+          SELECT vec_id, is_eval, band,
+                 (bucket >> (band * {band_bits})) & {mask} AS bits
+          FROM sig CROSS JOIN (
+            SELECT unnest(generate_series(0, {EMB_LSH_BANDS - 1})) AS band
+          )
+        ),
+        cand AS (
+          SELECT DISTINCT t.vec_id AS train_id, e.vec_id AS eval_id
+          FROM bands t
+          JOIN bands e ON t.band = e.band AND t.bits = e.bits
+          WHERE NOT t.is_eval AND e.is_eval
+        ),
+        hits AS (
+          SELECT train_id,
+                 CAST(count(*) AS BIGINT) AS n_eval_hits,
+                 max(cos) AS max_eval_cos
+          FROM (
+            SELECT train_id, eval_id,
+                   ROUND(list_dot_product(vt.v, ve.v)
+                         / (vt.norm * ve.norm), 6) AS cos
+            FROM cand
+            JOIN v vt ON cand.train_id = vt.vec_id
+            JOIN v ve ON cand.eval_id = ve.vec_id
+          )
+          WHERE cos >= {EMB_PAIR_THRESHOLD}
+          GROUP BY train_id
+        )
+        SELECT t.vec_id AS train_id,
+               COALESCE(h.n_eval_hits, 0) AS n_eval_hits,
+               (h.train_id IS NOT NULL) AS contaminated,
+               h.max_eval_cos
+        FROM v t LEFT JOIN hits h ON h.train_id = t.vec_id
+        WHERE NOT t.is_eval
+    """
+
+
+def _q(prefix: str, col: str) -> str:
+    """concat('prefix', CAST(col AS VARCHAR)) DuckDB expression."""
+    return f"concat('{prefix}', CAST({col} AS VARCHAR))"
+
+
+ORACLE["decontaminate_embedding"] = _decon_embedding_oracle()
+QUERIES["decontaminate_embedding"] = decontaminate_embedding

@@ -161,6 +161,7 @@ SECONDARY: tuple[str, ...] = (
     "semdedup",
     "curriculum_phases",
     "contrastive_triplets",
+    "decontaminate_embedding",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
