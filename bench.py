@@ -117,6 +117,7 @@ HEADLINE = [
     "curriculum_phases",
     "contrastive_triplets",
     "decontaminate_embedding",
+    "event_path_mining",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

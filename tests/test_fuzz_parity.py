@@ -234,6 +234,7 @@ EVENT_BATCH_FUZZED = [
     "pagerank_user_graph",
     "triangle_count",
     "streaming_join_click_purchase",
+    "event_path_mining",
 ]
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -18,7 +18,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
@@ -332,3 +332,75 @@ ORACLE["retention_cohorts"] = f"""
 
 QUERIES["event_funnel"] = event_funnel
 QUERIES["retention_cohorts"] = retention_cohorts
+
+
+PATH_TOP_N = 20
+
+
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event paths: the most common length-3 event-type sequences
+    users actually follow (view>click>purchase vs view>error>view ...)
+    — the navigation-mining staple behind funnel design.
+
+    Scale shape: paths come from two ``lead`` windows per user (one
+    (user_id)-keyed shuffle; a power user is a sorted stream, never a
+    collected array), the count is a partial-aggregated groupBy on the
+    path string, and the final top-N ranks an aggregate whose size is
+    bounded by |event_type|^3 (125 here) — so the partition-less
+    rank window at the end orders a value-bounded frame, not the
+    corpus.
+
+    Determinism: event order is (epoch-us, event_id) — total within a
+    user; ties on path counts break lexicographically.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    paths = (
+        ev.select(
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    rank_w = Window.orderBy(F.col("n_occurrences").desc(), F.col("path").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= PATH_TOP_N)
+        .select("path", "n_occurrences", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+ORACLE["event_path_mining"] = f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    counts AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM ordered
+      WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n_occurrences, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               ORDER BY n_occurrences DESC, path ASC) AS BIGINT) AS rank
+      FROM counts
+    ) WHERE rank <= {PATH_TOP_N}
+"""
+QUERIES["event_path_mining"] = event_path_mining

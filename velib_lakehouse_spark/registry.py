@@ -162,6 +162,7 @@ SECONDARY: tuple[str, ...] = (
     "curriculum_phases",
     "contrastive_triplets",
     "decontaminate_embedding",
+    "event_path_mining",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
