@@ -118,6 +118,7 @@ HEADLINE = [
     "contrastive_triplets",
     "decontaminate_embedding",
     "event_path_mining",
+    "minhash_estimate_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -77,6 +77,7 @@ FUZZED_QUERIES = [
     "export_tokenized_sequences",
     "weighted_sample_topk",
     "curriculum_phases",
+    "minhash_estimate_audit",
 ]
 
 

@@ -1234,3 +1234,162 @@ def _q(prefix: str, col: str) -> str:
 
 ORACLE["decontaminate_embedding"] = _decon_embedding_oracle()
 QUERIES["decontaminate_embedding"] = decontaminate_embedding
+
+
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit: for every MinHash-LSH candidate pair,
+    the K-minhash Jaccard ESTIMATE (share of equal signature positions,
+    Broder 1997's unbiased resemblance estimator) next to the EXACT
+    shingle-set Jaccard, with the absolute error — the measure-don't-
+    guess check behind trusting the sketch at scale (expected stderr
+    is sqrt(J(1-J)/K) ≈ 0.125 at K=16, J=0.5; widening K is the knob).
+
+    Scale: the estimate costs one signature equality fold per candidate
+    pair (signatures are K longs, map-side zip_with); the exact Jaccard
+    is computed ONLY for candidate pairs — the shingle streams are
+    semi-joined to the candidate doc set first, so the exact pass
+    touches a candidate-sized corpus slice, not the corpus.  All
+    ratios are integer ppm (div), engine-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "n_bands")
+
+    docs = (
+        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") >= 3)
+    )
+    seeded = (
+        "cast(conv(substr(md5(concat(cast(s as string), ':', x)), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    sigs = docs.withColumn(
+        "sh",
+        F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 3),"
+            " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        ),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.expr(
+                    f"transform(sequence(0, {MINHASH_K - 1}),"
+                    f" s -> array_min(transform(sh, x -> {seeded})))"
+                )
+            )
+        ).alias("sig"),
+    )
+    est = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.expr(
+                "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("n_eq"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.expr(f"(n_eq * 1000000) div {MINHASH_K}").alias("est_ppm"),
+        )
+    )
+
+    sh = _shingles(d)
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    ).distinct()
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(
+            sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
+        )
+        .join(F.broadcast(cand.select("doc_a", "doc_b")), ["doc_a", "doc_b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        est.join(inter, ["doc_a", "doc_b"])
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            "est_ppm",
+            F.expr("(n_common * 1000000) div (sa + sb - n_common)").alias(
+                "jaccard_ppm"
+            ),
+            F.expr(
+                "abs(est_ppm - (n_common * 1000000) div (sa + sb - n_common))"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+ORACLE["minhash_estimate_audit"] = f"""
+    WITH sig AS ({_SQL_MINHASH_SIG}),
+    bands AS (
+      SELECT doc_id, seed // {MINHASH_BAND_ROWS} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY doc_id, 2
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b, c.n_bands,
+             (CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // {MINHASH_K} AS est_ppm
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+      GROUP BY 1, 2, 3
+    ),
+    sh AS ({_SQL_SHINGLES}),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+      FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT e.doc_a, e.doc_b, e.n_bands, e.est_ppm,
+           (i.n_common * 1000000) // (za.n_sh + zb.n_sh - i.n_common)
+             AS jaccard_ppm,
+           abs(e.est_ppm - (i.n_common * 1000000)
+                 // (za.n_sh + zb.n_sh - i.n_common)) AS err_ppm
+    FROM est e
+    JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+"""
+QUERIES["minhash_estimate_audit"] = minhash_estimate_audit

@@ -163,6 +163,7 @@ SECONDARY: tuple[str, ...] = (
     "contrastive_triplets",
     "decontaminate_embedding",
     "event_path_mining",
+    "minhash_estimate_audit",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
