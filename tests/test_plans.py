@@ -159,3 +159,60 @@ def test_unpivot_compiles_to_expand(spark):
     plan = _plan(registry.QUERIES["unpivot_metrics"](spark, SF_DIR))
     assert "Expand" in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_dynamic_partition_pruning_on_join(spark, tmp_path):
+    """Joining a date-partitioned fact against a filtered dim on the
+    partition column must insert DynamicPruningExpression — partition
+    pruning driven by the JOIN at runtime, the file-skipping feature a
+    date-partitioned 100 TB silver table lives on."""
+    from pyspark.sql import functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet").withColumn(
+        "date", F.to_date("ts")
+    )
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    base.write.mode("overwrite").partitionBy("date").parquet(fact_dir)
+    base.select("date").distinct().withColumn(
+        "tag", F.expr("day(date) % 7")
+    ).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter("tag = 1")
+    plan = _plan(fact.join(dim, "date").groupBy("tag").count())
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_runtime_bloom_filter_prunes_join_probe_side(spark):
+    """With a selective build side and a shuffled join, the runtime
+    bloom filter must appear on the probe side (might_contain), cutting
+    shuffled probe rows before the join — the row-level analogue of
+    DPP.  Thresholds are tuned down because the fixture is small; on a
+    cluster the defaults (10 GB probe side) gate it to genuinely large
+    scans."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_totalprice > 350000"
+        )
+        plan = _plan(
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
