@@ -119,6 +119,7 @@ HEADLINE = [
     "decontaminate_embedding",
     "event_path_mining",
     "minhash_estimate_audit",
+    "arrow_batch_stats",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

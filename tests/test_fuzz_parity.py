@@ -78,6 +78,7 @@ FUZZED_QUERIES = [
     "weighted_sample_topk",
     "curriculum_phases",
     "minhash_estimate_audit",
+    "arrow_batch_stats",
 ]
 
 

@@ -216,3 +216,11 @@ def test_runtime_bloom_filter_prunes_join_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_arrow_batch_stats_is_shuffle_free(spark):
+    """mapInArrow must pipeline inside the scan stage — an Exchange
+    means the Arrow boundary accidentally repartitioned."""
+    plan = _plan(registry.QUERIES["arrow_batch_stats"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan

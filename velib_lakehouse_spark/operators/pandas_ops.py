@@ -122,3 +122,59 @@ QUERIES = {
     "pandas_text_features": pandas_text_features,
     "pandas_session_gaps": pandas_session_gaps,
 }
+
+
+def arrow_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native batch operator (``mapInArrow``): per-document byte/
+    codepoint accounting computed directly on ``pyarrow.RecordBatch``es
+    — the zero-copy tier below ``mapInPandas`` (no pandas Series
+    materialization, no object boxing; the Python side reads Arrow
+    buffers).
+
+    This is the API a multimodal decode loop should use at 100 TB:
+    payload bytes stay in Arrow memory end-to-end, and the operator
+    pipelines inside the scan stage (no shuffle — verified by the plan
+    audit).  Here it computes UTF-8 byte length vs codepoint length and
+    the ASCII share per document, integers only, so the DuckDB oracle
+    applies unchanged.
+    """
+    import pyarrow as pa
+
+    ensure_package_on_workers(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batch_stats(batches):
+        for batch in batches:
+            doc_id = batch.column("doc_id")
+            text = batch.column("text")
+            n_bytes = pa.compute.binary_length(
+                pa.compute.cast(text, pa.binary())
+            )
+            n_chars = pa.compute.utf8_length(text)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    doc_id,
+                    pa.compute.cast(n_bytes, pa.int64()),
+                    pa.compute.cast(n_chars, pa.int64()),
+                    pa.compute.cast(
+                        pa.compute.subtract(n_bytes, n_chars), pa.int64()
+                    ),
+                ],
+                names=["doc_id", "n_bytes", "n_codepoints", "n_multibyte_extra"],
+            )
+
+    return d.mapInArrow(
+        batch_stats,
+        "doc_id long, n_bytes long, n_codepoints long, n_multibyte_extra long",
+    )
+
+
+ORACLE["arrow_batch_stats"] = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_codepoints,
+           CAST(octet_length(encode(text)) - length(text) AS BIGINT)
+             AS n_multibyte_extra
+    FROM documents
+"""
+QUERIES["arrow_batch_stats"] = arrow_batch_stats

@@ -164,6 +164,7 @@ SECONDARY: tuple[str, ...] = (
     "decontaminate_embedding",
     "event_path_mining",
     "minhash_estimate_audit",
+    "arrow_batch_stats",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
