@@ -165,6 +165,7 @@ SECONDARY: tuple[str, ...] = (
     "event_path_mining",
     "minhash_estimate_audit",
     "arrow_batch_stats",
+    "observed_write_metrics",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",

@@ -286,3 +286,64 @@ QUERIES = {
     "lake_partition_pruned": lake_partition_pruned,
     "lake_gold_snapshot": lake_gold_snapshot,
 }
+
+
+def observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``DataFrame.observe`` (the Observation
+    API): data-quality metrics computed DURING a write action —
+    accumulator-style, zero extra scans — then surfaced as a one-row
+    frame.  This is how a 100 TB ingestion job reports row counts, null
+    rates, and value bounds without re-reading what it just wrote (the
+    metrics ride the same pass; a second aggregate query would double
+    the scan cost, and a `.count()` after the write races against
+    concurrent appends).
+
+    Metrics stay in observe's accumulator-safe subset (count / sum /
+    min / max over deterministic expressions); the value sum is
+    quantized to integer micro-units first (floor(v*1e4 + 0.5)) so the
+    accumulated total is partitioning-exact and the DuckDB mirror
+    reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("write_metrics")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5)).cast("bigint")
+        ).alias("sum_value_micro"),
+        F.sum(F.col("props").isNull().cast("bigint")).alias("n_null_props"),
+        F.min(F.unix_millis("ts")).alias("min_ts_ms"),
+        F.max(F.unix_millis("ts")).alias("max_ts_ms"),
+    )
+    # the metrics materialize on the write action itself
+    observed.write.format("noop").mode("overwrite").save()
+    row = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                row["n_rows"],
+                row["sum_value_micro"],
+                row["n_null_props"],
+                row["min_ts_ms"],
+                row["max_ts_ms"],
+            )
+        ],
+        "n_rows bigint, sum_value_micro bigint, n_null_props bigint,"
+        " min_ts_ms bigint, max_ts_ms bigint",
+    )
+
+
+ORACLE["observed_write_metrics"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_props,
+           epoch_ms(min(ts)) AS min_ts_ms,
+           epoch_ms(max(ts)) AS max_ts_ms
+    FROM events
+"""
+QUERIES["observed_write_metrics"] = observed_write_metrics
