@@ -166,6 +166,7 @@ SECONDARY: tuple[str, ...] = (
     "minhash_estimate_audit",
     "arrow_batch_stats",
     "observed_write_metrics",
+    "lake_retention_sweep",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",

@@ -347,3 +347,46 @@ ORACLE["observed_write_metrics"] = """
     FROM events
 """
 QUERIES["observed_write_metrics"] = observed_write_metrics
+
+
+RETENTION_CUTOFF_DATE = "2024-01-15"
+
+
+def lake_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 (retention delete) as an oracle-checked round trip: write a
+    date-partitioned events table, DROP partitions older than the
+    cutoff via ``retention_delete`` (directory-level, no file rewrite),
+    and read the survivors back as per-date counts.
+
+    The oracle is the time-filtered aggregate over the source — i.e.
+    retention-by-partition-drop must be *exactly equivalent* to a
+    predicate delete, which is the property that lets a 100 TB table
+    age out data in O(partitions-dropped) directory removals instead of
+    a full rewrite.  Dates derive from event-time in UTC (``to_date``
+    on a session forced to UTC by the catalog), so partition values are
+    TZ-stable.
+    """
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).cast("string").alias("date"),
+        "event_id",
+    )
+    out = tempfile.mkdtemp(prefix="lake_retention_")
+    write_partitioned(ev, out, "date", mode="overwrite")
+    retention_delete(out, "date", RETENTION_CUTOFF_DATE)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("date").cast("string").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE["lake_retention_sweep"] = f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE strftime(ts, '%Y-%m-%d') >= '{RETENTION_CUTOFF_DATE}'
+    GROUP BY 1
+"""
+QUERIES["lake_retention_sweep"] = lake_retention_sweep
