@@ -167,6 +167,7 @@ SECONDARY: tuple[str, ...] = (
     "arrow_batch_stats",
     "observed_write_metrics",
     "lake_retention_sweep",
+    "csv_roundtrip_scan",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
@@ -287,6 +288,13 @@ def _load() -> None:
         from velib_lakehouse_spark.sources import lake
 
         _register(lake)
+    except ImportError:
+        pass
+
+    try:
+        from velib_lakehouse_spark.sources import readers
+
+        _register(readers)
     except ImportError:
         pass
 
