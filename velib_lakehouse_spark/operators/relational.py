@@ -412,6 +412,27 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the native ``DataFrame.groupingSets``
+    API, SPARK-45929) — the general form that cube/rollup specialize:
+    per-status totals, per-priority totals, and the grand total in ONE
+    pass (an Expand node fans each row into its sets map-side; one
+    shuffle for all three aggregation levels — at 100 TB, one scan
+    instead of three UNION'd aggregates).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice", "total_price"),
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+    )
+
+
 def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array explode / UNNEST (O4; reference src/api.py:103) over document
     tokens, with a HAVING-style post-aggregation filter."""
@@ -643,6 +664,16 @@ ORACLE: dict[str, str | None] = {
         FROM long
         GROUP BY l_returnflag, metric
     """,
+    "grouping_sets_orders": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_price,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
     "rollup_region_nation": """
         SELECT r_name, n_name, COUNT(*) AS n_customers,
                CAST(grouping(r_name) AS BIGINT) AS g_region,
@@ -684,6 +715,7 @@ QUERIES = {
     "distinct_pairs": distinct_pairs,
     "pivot_status_counts": pivot_status_counts,
     "unpivot_metrics": unpivot_metrics,
+    "grouping_sets_orders": grouping_sets_orders,
     "rollup_region_nation": rollup_region_nation,
     "explode_words": explode_words,
 }

@@ -168,6 +168,8 @@ SECONDARY: tuple[str, ...] = (
     "observed_write_metrics",
     "lake_retention_sweep",
     "csv_roundtrip_scan",
+    "unpivot_metrics",
+    "grouping_sets_orders",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
