@@ -1252,7 +1252,21 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios are integer ppm (div), engine-exact.
     """
     d = load_table(spark, sf_dir, "documents")
-    cand = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b", "n_bands")
+    # the candidate set feeds FIVE consumers (two signature joins, the
+    # doc-set restriction, the pair restriction, the final join) —
+    # persist it, or each consumer re-runs the whole LSH pipeline (the
+    # plan audit caught the unpersisted version at 38 exchanges)
+    cand = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select("doc_a", "doc_b", "n_bands")
+        .persist()
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .persist()
+    )
 
     docs = (
         d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
@@ -1280,6 +1294,10 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sig"),
     )
+    # signatures restricted to candidate docs BEFORE the pair joins:
+    # the corpus-wide signature pass runs once, and the persisted
+    # candidate-sized slice feeds both sides
+    sigs = sigs.join(F.broadcast(cand_docs), "doc_id").persist()
     est = (
         cand.join(
             sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
@@ -1307,10 +1325,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     sh = _shingles(d)
-    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
-        cand.select(F.col("doc_b").alias("doc_id"))
-    ).distinct()
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id")
+    sh_c = sh.join(F.broadcast(cand_docs), "doc_id").persist()
     sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
         sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")

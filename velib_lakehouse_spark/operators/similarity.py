@@ -1013,15 +1013,14 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     FaceNet, CVPR 2015).
 
     One scored pass over the corpus (anchors broadcast, scoring
-    map-side — the ann_cosine_topk shape), then two per-anchor
-    rank-1 windows conditioned on label match/mismatch, joined into one
-    row per anchor.  At 100 TB the scored pass is the cost; both
-    window branches reuse the same shuffle partitioning (q_vec_id), so
-    the triplet assembly adds no extra corpus-wide movement.  For
-    billion-vector corpora the scored pass swaps to the banded-LSH
-    candidate join (`ann_banded_lsh_topk`) with the same downstream —
-    hard negatives are by definition high-cosine, exactly what LSH
-    recalls best.
+    map-side — the ann_cosine_topk shape), then ONE conditional
+    struct-argmax aggregation picks both winners: the scored stream is
+    consumed once, map-side partial aggregation reduces it to one row
+    per anchor, and no rank window (hence no per-anchor sort) exists
+    anywhere.  For billion-vector corpora the scored pass swaps to the
+    banded-LSH candidate join (`ann_banded_lsh_topk`) with the same
+    downstream — hard negatives are by definition high-cosine, exactly
+    what LSH recalls best.
     """
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
@@ -1045,36 +1044,29 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos"),
         )
     )
-    w = Window.partitionBy("q_vec_id").orderBy(
-        F.col("cos").desc(), F.col("vec_id").asc()
+    # Single-pass argmax: max of struct(cos, -vec_id) is lexicographic —
+    # best cosine, ties to the LOWEST vec_id — so one conditional
+    # aggregation replaces two rank windows over two copies of the
+    # scored pass (the plan audit caught the branchy version at 10
+    # exchanges; this is 1 partial-aggregated shuffle, and scored is
+    # computed once).
+    pick = lambda cond: F.max(
+        F.when(cond, F.struct(F.col("cos"), (-F.col("vec_id")).alias("nid")))
     )
-    pos = (
-        scored.filter(F.col("label") == F.col("q_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+    both = scored.groupBy("q_vec_id").agg(
+        pick(F.col("label") == F.col("q_label")).alias("p"),
+        pick(F.col("label") != F.col("q_label")).alias("n"),
+    )
+    return (
+        both.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
         .select(
-            "q_vec_id",
-            F.col("vec_id").alias("pos_id"),
-            F.col("cos").alias("pos_cos"),
+            F.col("q_vec_id").alias("anchor_id"),
+            (-F.col("p.nid")).alias("pos_id"),
+            F.col("p.cos").alias("pos_cos"),
+            (-F.col("n.nid")).alias("neg_id"),
+            F.col("n.cos").alias("neg_cos"),
+            F.round(F.col("p.cos") - F.col("n.cos"), 6).alias("margin"),
         )
-    )
-    neg = (
-        scored.filter(F.col("label") != F.col("q_label"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "q_vec_id",
-            F.col("vec_id").alias("neg_id"),
-            F.col("cos").alias("neg_cos"),
-        )
-    )
-    return pos.join(neg, "q_vec_id").select(
-        F.col("q_vec_id").alias("anchor_id"),
-        "pos_id",
-        "pos_cos",
-        "neg_id",
-        "neg_cos",
-        F.round(F.col("pos_cos") - F.col("neg_cos"), 6).alias("margin"),
     )
 
 
