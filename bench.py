@@ -120,6 +120,8 @@ HEADLINE = [
     "event_path_mining",
     "minhash_estimate_audit",
     "arrow_batch_stats",
+    "variant_shred_stats",
+    "grouping_sets_orders",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -237,6 +237,7 @@ EVENT_BATCH_FUZZED = [
     "triangle_count",
     "streaming_join_click_purchase",
     "event_path_mining",
+    "variant_shred_stats",
 ]
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -271,7 +272,9 @@ def test_random_batch_events_match_oracle(spark, stream_fuzz_dir, events):
             uid,
             _EVENT_TYPES[t],
             float(val),
-            "{}",
+            # mixed payload shapes: present / absent key, exercising
+            # the variant accessors' null-safety
+            '{"k": %d}' % val if i % 3 else "{}",
         )
         for i, (uid, off, t, val) in enumerate(events)
     ]

@@ -907,3 +907,48 @@ ORACLE["fk_integrity_audit"] = """
     FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
 """
 QUERIES["fk_integrity_audit"] = fk_integrity_audit
+
+
+def variant_shred_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the VARIANT type (Spark 4,
+    SPARK-45891): ``parse_json`` shreds the JSON payload into Spark's
+    binary variant encoding once at parse time; typed reads
+    (``variant_get``) are then O(field) binary probes instead of
+    per-access string re-parsing — the engine-native path for the
+    schema-on-read payload column every event pipeline carries.
+
+    ``try_variant_get`` on an absent path exercises the null-safe
+    accessor (missing fields are NULL, not errors).  Map-side parse +
+    one partial-aggregated shuffle; the oracle reads the same payloads
+    with DuckDB's JSON accessors.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("try_variant_get(v, '$.missing', 'bigint')").alias("absent"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.col("absent").isNull().cast("bigint")).alias("n_missing"),
+    )
+
+
+ORACLE["variant_shred_stats"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(json_extract(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           min(json_extract(props, '$.k')::BIGINT) AS min_k,
+           max(json_extract(props, '$.k')::BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN json_extract(props, '$.missing') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+    FROM events
+    GROUP BY event_type
+"""
+QUERIES["variant_shred_stats"] = variant_shred_stats

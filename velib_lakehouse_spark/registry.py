@@ -170,6 +170,7 @@ SECONDARY: tuple[str, ...] = (
     "csv_roundtrip_scan",
     "unpivot_metrics",
     "grouping_sets_orders",
+    "variant_shred_stats",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
