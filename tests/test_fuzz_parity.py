@@ -238,6 +238,7 @@ EVENT_BATCH_FUZZED = [
     "streaming_join_click_purchase",
     "event_path_mining",
     "variant_shred_stats",
+    "full_outer_activity_reconcile",
 ]
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

@@ -952,3 +952,62 @@ ORACLE["variant_shred_stats"] = """
     GROUP BY event_type
 """
 QUERIES["variant_shred_stats"] = variant_shred_stats
+
+
+def full_outer_activity_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join showcase — the two-system reconciliation shape:
+    per-user view counts vs purchase counts, keeping users present on
+    EITHER side with null-filled absences and a disposition label
+    (both / view_only / purchase_only).
+
+    Scale: both inputs partial-aggregate to one row per (user, side)
+    before the join, so the full-outer shuffle moves aggregates, not
+    events; the label is a map-side CASE.  This is the audit-join for
+    any pipeline pair that must account for every key (billing vs
+    usage, index vs store, bronze vs silver row counts per key).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = views.join(purchases, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.coalesce("n_views", F.lit(0)).alias("n_views"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        F.when(
+            F.col("n_views").isNotNull() & F.col("n_purchases").isNotNull(),
+            "both",
+        )
+        .when(F.col("n_views").isNotNull(), "view_only")
+        .otherwise("purchase_only")
+        .alias("disposition"),
+    )
+
+
+ORACLE["full_outer_activity_reconcile"] = """
+    WITH v AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+           COALESCE(v.n_views, 0) AS n_views,
+           COALESCE(p.n_purchases, 0) AS n_purchases,
+           CASE WHEN v.user_id IS NOT NULL AND p.user_id IS NOT NULL
+                THEN 'both'
+                WHEN v.user_id IS NOT NULL THEN 'view_only'
+                ELSE 'purchase_only' END AS disposition
+    FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
+"""
+QUERIES["full_outer_activity_reconcile"] = full_outer_activity_reconcile

@@ -171,6 +171,7 @@ SECONDARY: tuple[str, ...] = (
     "unpivot_metrics",
     "grouping_sets_orders",
     "variant_shred_stats",
+    "full_outer_activity_reconcile",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
