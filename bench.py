@@ -122,6 +122,7 @@ HEADLINE = [
     "arrow_batch_stats",
     "variant_shred_stats",
     "grouping_sets_orders",
+    "e2e_curation_report",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -79,6 +79,7 @@ FUZZED_QUERIES = [
     "curriculum_phases",
     "minhash_estimate_audit",
     "arrow_batch_stats",
+    "e2e_curation_report",
 ]
 
 

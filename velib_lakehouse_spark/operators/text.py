@@ -227,23 +227,34 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zero-word documents have no defined mean word length (and fail
     # Gopher trivially); excluding them also keeps the ratio arithmetic
     # ANSI-safe (Spark 4 raises on division by zero).  Mirrored in the
-    # oracle's WHERE.
+    # oracle's WHERE.  The divisions are additionally try_divide:
+    # Catalyst may merge this filter with a downstream predicate over
+    # the computed columns (observed when a composite query filters on
+    # passes_gopher after a join), and a reordered conjunction would
+    # evaluate the division on a zero-size row before the guard.  For
+    # every surviving row try_divide == `/`, so the oracle is unchanged.
     df = d.select("doc_id", "text", _words().alias("w")).filter(
         F.size("w") > 0
     )
     n_words = F.size("w").cast("bigint")
     mean_wl = F.round(
-        F.aggregate(
-            F.transform(F.col("w"), lambda w: F.length(w).cast("bigint")),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / F.size("w"),
+        F.try_divide(
+            F.aggregate(
+                F.transform(F.col("w"), lambda w: F.length(w).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double"),
+            F.size("w"),
+        ),
         6,
     )
     symbol_ratio = F.round(
-        F.size(F.regexp_extract_all("text", F.lit(PUNCT_PATTERN), 0)).cast("double")
-        / F.length("text"),
+        F.try_divide(
+            F.size(
+                F.regexp_extract_all("text", F.lit(PUNCT_PATTERN), 0)
+            ).cast("double"),
+            F.length("text"),
+        ),
         6,
     )
     stop_hits = _stop_hits(F.col("w"), ALL_STOPWORDS).cast("bigint")

@@ -172,6 +172,7 @@ SECONDARY: tuple[str, ...] = (
     "grouping_sets_orders",
     "variant_shred_stats",
     "full_outer_activity_reconcile",
+    "e2e_curation_report",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",
