@@ -61,6 +61,21 @@ EMPTY_TO_EMPTY = [
     "embedding_outliers",
     "event_funnel",
     "retention_cohorts",
+    # this session's additions
+    "semdedup",
+    "curriculum_phases",
+    "contrastive_triplets",
+    "decontaminate_embedding",
+    "event_path_mining",
+    "minhash_estimate_audit",
+    "arrow_batch_stats",
+    "unpivot_metrics",
+    "grouping_sets_orders",
+    "variant_shred_stats",
+    "full_outer_activity_reconcile",
+    "e2e_curation_report",
+    "lake_retention_sweep",
+    "csv_roundtrip_scan",
 ]
 # empty in -> a defined aggregate row (global aggregates)
 EMPTY_TO_AGG = ["velib_alert_bands", "velib_health"]

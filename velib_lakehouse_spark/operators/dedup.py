@@ -961,6 +961,10 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cid: [by_pos[p] for p in sorted(by_pos)]
         for cid, by_pos in by_label.items()
     }
+    if not cents:  # empty corpus: no centroids, no verdicts
+        return spark.createDataFrame(
+            [], "vec_id bigint, cid bigint, is_dup boolean"
+        )
 
     cell = F.expr(_argmin_cell_expr(_centroid_array_expr(cents)) + ".cid")
     assigned = v.select(

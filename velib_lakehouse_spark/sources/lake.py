@@ -375,8 +375,10 @@ def lake_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = tempfile.mkdtemp(prefix="lake_retention_")
     write_partitioned(ev, out, "date", mode="overwrite")
     retention_delete(out, "date", RETENTION_CUTOFF_DATE)
+    # explicit schema: an empty source writes no partition directories,
+    # and a schema-less read of the bare _SUCCESS dir cannot infer one
     return (
-        spark.read.parquet(out)
+        spark.read.schema("event_id bigint, date string").parquet(out)
         .groupBy(F.col("date").cast("string").alias("date"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
