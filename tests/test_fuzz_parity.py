@@ -153,6 +153,7 @@ STREAMING_FUZZED = [
     "streaming_dedup",
     "streaming_session_windows",
     "streaming_stateful_enumerate",
+    "streaming_static_enrich",
 ]
 
 _BASE_US = 1_704_067_200 * 1_000_000  # 2024-01-01T00:00:00Z

@@ -173,6 +173,7 @@ SECONDARY: tuple[str, ...] = (
     "variant_shred_stats",
     "full_outer_activity_reconcile",
     "e2e_curation_report",
+    "streaming_static_enrich",
     "triangle_count",
     "clustering_coefficient",
     "join_skew_audit",

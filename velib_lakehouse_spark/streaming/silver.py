@@ -736,6 +736,66 @@ def streaming_tws_user_stats(
     )
 
 
+def streaming_static_enrich(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream-STATIC join: the streaming side enriches against a batch
+    (static) dimension — the third join mode next to the watermarked
+    stream-stream join and the batch joins.  Spark plans it as a
+    map-side lookup per micro-batch (the static side broadcasts; no
+    state store involved, unlike stream-stream), which is how a stream
+    enriches against a slowly-changing dimension table at 100 TB: the
+    dim is re-resolved per batch, so a dim refresh between batches is
+    picked up without restarting the query.
+
+    The static dim here is derived from the same events table read as
+    a BATCH frame (user -> cohort bucket), so the oracle is pure SQL
+    over one table; production would read a real dim table.
+    """
+    ev = _event_stream(spark, sf_dir, max_files_per_trigger).select(
+        "event_id", "user_id", "value"
+    )
+    static_dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            "user_id", (F.col("user_id") % 5).cast("bigint").alias("cohort")
+        )
+    )
+    joined = ev.join(F.broadcast(static_dim), "user_id")
+    agg = joined.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1e4) + F.lit(0.5)).cast("bigint")
+        ).alias("sum_value_micro"),
+    )
+    # complete mode: an unwatermarked aggregate cannot append (no
+    # closed-window signal); the memory sink holds the current result
+    # table, overwritten per batch — fine for a cohort-sized aggregate
+    with tuned_shuffle(spark, max(4, spark.sparkContext.defaultParallelism // 4)):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("static_enrich_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("static_enrich_sink")
+
+
+ORACLE["streaming_static_enrich"] = """
+    SELECT (user_id % 5) AS cohort,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_value_micro
+    FROM events
+    GROUP BY 1
+"""
+QUERIES["streaming_static_enrich"] = streaming_static_enrich
+
+
 def tws_available() -> bool:
     """``transformWithStateInPandas`` talks to the JVM state server over
     a protobuf protocol; without ``google.protobuf`` the driver-side
