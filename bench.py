@@ -123,6 +123,9 @@ HEADLINE = [
     "variant_shred_stats",
     "grouping_sets_orders",
     "e2e_curation_report",
+    "dup_span_report",
+    "label_propagation_communities",
+    "udtf_sentence_split",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -414,3 +414,97 @@ def test_source_drift_matches_numpy(spark):
             ks = max(ks, abs(cum_s / tot_s - cum_g / tot_g))
         assert got[s].n_docs == tot_s
         assert got[s].ks_stat == pytest.approx(round(ks, 6), abs=1e-9)
+
+
+def _docs_fixture(spark, tmp_path, docs):
+    """Write a crafted documents table (other tables empty) -> sf_dir."""
+    from velib_lakehouse_spark.catalog import TABLES, load_table
+
+    out = str(tmp_path / "sf")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.parquet(f"{out}/{t}.parquet")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_dup_span_report_marks_shared_spans_only(spark, tmp_path):
+    """A 3-gram shared across two docs covers exactly its tokens; text
+    unique to one doc contributes nothing; a doc repeating a gram only
+    WITHIN itself reports zero (cross-document duplication only)."""
+    shared = "alpha beta gamma delta"  # two overlapping dup 3-grams, 4 tokens
+    docs = [
+        (0, shared + " unique0 tail0 end0"),
+        (1, "head1 " + shared + " unique1"),
+        (2, "solo solo solo solo solo"),  # self-repetition, single doc
+        (3, "totally fresh words here"),
+    ]
+    out = _docs_fixture(spark, tmp_path, docs)
+    got = {
+        r.doc_id: r
+        for r in registry.QUERIES["dup_span_report"](spark, out).collect()
+    }
+    assert got[0].dup_tokens == 4 and got[0].n_words == 7
+    assert got[1].dup_tokens == 4 and got[1].n_words == 6
+    assert got[2].dup_tokens == 0  # min(doc)==max(doc): not cross-doc
+    assert got[3].dup_tokens == 0
+    assert got[1].dup_ppm == 4 * 1_000_000 // 6
+
+
+def test_label_propagation_separates_disjoint_cliques(spark, tmp_path):
+    """Two user groups never active in the same hour end in different
+    communities, each labeled by its minimum member id."""
+    import datetime
+
+    from velib_lakehouse_spark.catalog import TABLES, load_table
+
+    out = str(tmp_path / "sf")
+    for t in TABLES:
+        load_table(spark, SF_DIR, t).limit(0).write.parquet(f"{out}/{t}.parquet")
+    base = datetime.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for hour, users in ((0, [1, 2, 3]), (5, [10, 11, 12])):
+        ts = base + datetime.timedelta(hours=hour)
+        for u in users:
+            rows.append((eid, ts, u, "view", 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    got = {
+        r.node: r
+        for r in registry.QUERIES["label_propagation_communities"](
+            spark, out
+        ).collect()
+    }
+    assert {got[u].community for u in (1, 2, 3)} == {1}
+    assert {got[u].community for u in (10, 11, 12)} == {10}
+    assert got[1].community_size == 3 and got[10].community_size == 3
+
+
+def test_udtf_segmenter_wraps_and_enumerates(spark, tmp_path):
+    """Sentence boundaries split; long sentences hard-wrap at
+    SEG_MAX_WORDS; indices enumerate emitted segments in order."""
+    from velib_lakehouse_spark.operators.udtf_ops import SEG_MAX_WORDS
+
+    long_tail = " ".join(f"w{i}" for i in range(SEG_MAX_WORDS + 3))
+    docs = [(0, "one two three. four! " + long_tail), (1, ""), (2, "x")]
+    out = _docs_fixture(spark, tmp_path, docs)
+    got = registry.QUERIES["udtf_sentence_split"](spark, out).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.doc_id, r.sent_idx)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    segs = by_doc[0]
+    assert [s.sent_idx for s in segs] == [0, 1, 2, 3]
+    assert segs[0].sentence == "one two three" and segs[0].n_words == 3
+    assert segs[1].sentence == "four" and segs[1].n_words == 1
+    assert segs[2].n_words == SEG_MAX_WORDS
+    assert segs[3].n_words == 3
+    assert 1 not in by_doc  # empty text emits nothing
+    assert by_doc[2][0].sentence == "x"

@@ -1412,3 +1412,135 @@ ORACLE["minhash_estimate_audit"] = f"""
     JOIN sizes zb ON zb.doc_id = e.doc_b
 """
 QUERIES["minhash_estimate_audit"] = minhash_estimate_audit
+
+
+# ---- duplicated-span report (exact substring duplication, k-gram form) -----
+
+DUP_SPAN_K = 3  # span gram width in words
+
+
+def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span report: which fraction of each
+    document's tokens sits inside a word-K-gram that also occurs in at
+    least one OTHER document.
+
+    This is the k-gram formulation of exact-substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): instead of a suffix array over the concatenated corpus,
+    mark every position covered by a cross-document duplicated K-gram
+    and report the covered-token fraction per document.  Documents
+    with a high ``dup_ppm`` are boilerplate / mirrored content that
+    survives *document-level* dedup because the wrapper text differs.
+
+    Scale shape (the suffix-array approach does not distribute; this
+    does):
+
+    * gram extraction is map-side codegen (split + transform +
+      posexplode), one row per token position, each carrying only a
+      60-bit gram hash — the text never shuffles;
+    * duplicated-gram detection is ONE shuffle on the gram hash with
+      map-side partial aggregation (count of distinct docs per gram,
+      capped at 2 by an early ``min(2)``-style bound: we aggregate
+      ``min(doc_id) != max(doc_id)`` instead of a full distinct
+      count, so hot grams cost O(1) state, not a distinct set);
+    * position cover-back is a second shuffle joining gram positions
+      to the duplicated hash set (linear, key-balanced: gram hashes
+      are uniform);
+    * span union per doc is ``explode(sequence(pos, pos+K-1))`` +
+      distinct — fan-out K per duplicated gram, bounded.
+
+    No doc-frequency cap is needed: unlike pair generation (O(df²)),
+    every stage here is linear in the number of gram occurrences.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        d.repartition(n, "doc_id")
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") >= 1)
+    )
+    grams = (
+        w.filter(F.size("w") >= DUP_SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {DUP_SPAN_K}),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
+    )
+    # cross-doc duplicated grams: min(doc)!=max(doc) is O(1) aggregation
+    # state per gram (a countDistinct would buffer ids on hot grams)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(pos, pos + {DUP_SPAN_K - 1})")
+            ).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    return (
+        w.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce(F.col("dup_tokens"), F.lit(0).cast("bigint")).alias(
+                "dup_tokens"
+            ),
+            F.expr("coalesce(dup_tokens, 0) * 1000000 div n_words").alias(
+                "dup_ppm"
+            ),
+        )
+    )
+
+
+ORACLE["dup_span_report"] = f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             {sql_md5_long("concat_ws(' ', w[i], w[i+1], w[i+2])")} AS h
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM w WHERE len(w) >= {DUP_SPAN_K}
+      )
+    ),
+    dup AS (
+      SELECT h FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id,
+               unnest(generate_series(g.pos, g.pos + {DUP_SPAN_K - 1})) AS p
+        FROM g JOIN dup USING (h)
+      )
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           (coalesce(p.dup_tokens, 0) * 1000000) // CAST(len(w.w) AS BIGINT)
+             AS dup_ppm
+    FROM w LEFT JOIN per_doc p USING (doc_id)
+    WHERE len(w.w) >= 1
+"""
+QUERIES["dup_span_report"] = dup_span_report

@@ -363,3 +363,105 @@ ORACLE["clustering_coefficient"] = f"""
     FROM tri JOIN deg2 ON tri.node = deg2.node
 """
 QUERIES["clustering_coefficient"] = clustering_coefficient
+
+
+# ---- label-propagation communities -----------------------------------------
+
+LPA_ITERS = 3
+
+
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the co-activity graph, LPA_ITERS rounds.
+
+    Each node starts with its own id as label; every round it adopts
+    the label that is most frequent among its neighbors, ties broken
+    toward the SMALLEST label — the deterministic variant (classic LPA
+    breaks ties randomly, which would be oracle-hostile and
+    partitioning-dependent).  Three rounds converge the bulk of an
+    assortative graph; the point here is the distributed shape, not
+    asymptotic convergence.
+
+    Scale shape: one round = one message shuffle (edges joined to the
+    label frame on the source endpoint, the textbook Pregel
+    scatter) + one (node, label) count aggregation with map-side
+    partial aggregation + an argmax per node folded into the SAME
+    aggregation via ``max(struct(cnt, -label))`` — no window, so the
+    per-round cost is two key-balanced shuffles over edge count.
+    Labels between rounds are one row per node.  The edge list is
+    localCheckpoint'ed once (same reuse rationale as PageRank above).
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.a == labels.node)
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = counts.groupBy("node").agg(
+            (-F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("nl")))["nl"])
+            .cast("bigint")
+            .alias("label")
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )
+
+
+def _sql_lpa() -> str:
+    parts = [f"""
+        WITH ev AS (
+          SELECT DISTINCT user_id AS node,
+                 CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
+          FROM events
+        ),
+        small AS (
+          SELECT hour FROM ev GROUP BY hour
+          HAVING count(*) <= {EDGE_GROUP_CAP}
+        ),
+        edges AS (
+          SELECT DISTINCT x.node AS a, y.node AS b
+          FROM ev x
+          JOIN small USING (hour)
+          JOIN ev y ON x.hour = y.hour AND x.node <> y.node
+        ),
+        l0 AS (
+          SELECT DISTINCT a AS node, a AS label FROM edges
+        )"""]
+    for it in range(1, LPA_ITERS + 1):
+        parts.append(f"""
+        , l{it} AS (
+          SELECT node, label FROM (
+            SELECT m.node, m.label,
+                   row_number() OVER (PARTITION BY m.node
+                                      ORDER BY m.cnt DESC, m.label ASC) AS rn
+            FROM (
+              SELECT e.b AS node, l.label, CAST(count(*) AS BIGINT) AS cnt
+              FROM edges e JOIN l{it - 1} l ON e.a = l.node
+              GROUP BY e.b, l.label
+            ) m
+          ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        SELECT l.node, l.label AS community,
+               CAST(s.community_size AS BIGINT) AS community_size
+        FROM l{LPA_ITERS} l
+        JOIN (
+          SELECT label, count(*) AS community_size
+          FROM l{LPA_ITERS} GROUP BY label
+        ) s USING (label)
+    """)
+    return "".join(parts)
+
+
+ORACLE["label_propagation_communities"] = _sql_lpa()
+QUERIES["label_propagation_communities"] = label_propagation_communities

@@ -158,6 +158,9 @@ SECONDARY: tuple[str, ...] = (
     # (pytest oracle-parity + fuzz green; window slots are exhausted by
     # operators whose remaining in-window peers have <2 green rows)
     "pmi_collocations",
+    "dup_span_report",
+    "label_propagation_communities",
+    "udtf_sentence_split",
     "semdedup",
     "curriculum_phases",
     "contrastive_triplets",
@@ -274,6 +277,7 @@ def _load() -> None:
         "chunking",
         "retrieval",
         "graph",
+        "udtf_ops",
     ):
         try:
             mod = __import__(
