@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.session import ensure_package_on_workers
 
 _SENT_RE = re.compile(r"[.!?]\s+")
 SEG_MAX_WORDS = 16
@@ -79,6 +80,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the UDTF generates a data-dependent number of rows per document
     and the lateral correlation carries ``doc_id`` onto each.
     """
+    ensure_package_on_workers(spark)  # UDTF class pickles by module ref
     spark.udtf.register("sentence_split", SentenceSplit)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView(
         "udtf_documents"
