@@ -126,6 +126,7 @@ HEADLINE = [
     "dup_span_report",
     "label_propagation_communities",
     "udtf_sentence_split",
+    "cms_frequency_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -508,3 +508,17 @@ def test_udtf_segmenter_wraps_and_enumerates(spark, tmp_path):
     assert segs[3].n_words == 3
     assert 1 not in by_doc  # empty text emits nothing
     assert by_doc[2][0].sentence == "x"
+
+
+def test_cms_overcount_is_one_sided_and_beats_single_row(spark, tmp_path):
+    """CMS estimates never undercount, and the min over d rows is never
+    worse than any single row's bucket count (crafted skewed corpus)."""
+    docs = [(i, "heavy " * 50 + f"rare{i} mid mid", ) for i in range(8)]
+    out = _docs_fixture(spark, tmp_path, [(i, t) for i, (_, t) in enumerate(docs)])
+    rows = registry.QUERIES["cms_frequency_audit"](spark, out).collect()
+    assert rows, "audit returned nothing"
+    for r in rows:
+        assert r.overcount >= 0, f"undercount on {r.w}"
+        assert r.est_cnt >= r.exact_cnt
+    heavy = {r.w: r for r in rows}["heavy"]
+    assert heavy.exact_cnt == 400

@@ -161,6 +161,7 @@ SECONDARY: tuple[str, ...] = (
     "dup_span_report",
     "label_propagation_communities",
     "udtf_sentence_split",
+    "cms_frequency_audit",
     "semdedup",
     "curriculum_phases",
     "contrastive_triplets",
@@ -278,6 +279,7 @@ def _load() -> None:
         "retrieval",
         "graph",
         "udtf_ops",
+        "sketches",
     ):
         try:
             mod = __import__(
