@@ -127,6 +127,7 @@ HEADLINE = [
     "label_propagation_communities",
     "udtf_sentence_split",
     "cms_frequency_audit",
+    "dedup_clusters_recursive",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -522,3 +522,20 @@ def test_cms_overcount_is_one_sided_and_beats_single_row(spark, tmp_path):
         assert r.est_cnt >= r.exact_cnt
     heavy = {r.w: r for r in rows}["heavy"]
     assert heavy.exact_cnt == 400
+
+
+def test_recursive_cte_clusters_equal_driver_loop(spark):
+    """The WITH RECURSIVE variant must reproduce the pointer-jumping
+    driver loop's components exactly (dup clusters are shallower than
+    REC_DEPTH on this corpus)."""
+    full = {
+        (r.doc_id, r.cluster_id)
+        for r in registry.QUERIES["dedup_clusters"](spark, SF_DIR).collect()
+    }
+    rec = {
+        (r.doc_id, r.cluster_id)
+        for r in registry.QUERIES["dedup_clusters_recursive"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert full == rec

@@ -1544,3 +1544,71 @@ ORACLE["dup_span_report"] = f"""
     WHERE len(w.w) >= 1
 """
 QUERIES["dup_span_report"] = dup_span_report
+
+
+# ---- recursive-CTE duplicate clusters (Spark 4 WITH RECURSIVE) -------------
+
+REC_DEPTH = 4  # max hops explored by the declarative variant
+
+
+def dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters via Spark 4's ``WITH RECURSIVE`` — the
+    declarative twin of :func:`dedup_clusters`' driver loop, written as
+    ONE SQL statement that runs verbatim-equivalent on DuckDB.
+
+    Semantics: every document takes the minimum doc_id reachable
+    within ``REC_DEPTH`` hops over the bidirectional MinHash candidate
+    edges.  Because Spark's recursion supports only ``UNION ALL`` (no
+    fixpoint dedup yet), depth must be bounded; the result equals full
+    connected components whenever cluster diameter <= REC_DEPTH (true
+    for near-dup clusters, which are shallow cliques — pinned against
+    ``dedup_clusters`` in tests).
+
+    Scale: each recursion level is one shuffle join of the frontier
+    against the edge list.  UNION ALL recursion enumerates *paths*,
+    not vertices, so this variant is for shallow sparse graphs —
+    exactly the dup-cluster case; the pointer-jumping driver loop
+    remains the general-purpose path (O(log diameter), vertex-bounded
+    state).  The recursion showcases the SQL surface, not a new
+    asymptotic.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    d.select("doc_id").createOrReplaceTempView("rec_docs")
+    edges.createOrReplaceTempView("rec_edges")
+    return spark.sql(f"""
+        WITH RECURSIVE reach(doc_id, label, lvl) AS (
+          SELECT doc_id, doc_id, 0 FROM rec_docs
+          UNION ALL
+          SELECT e.doc_b, r.label, r.lvl + 1
+          FROM reach r JOIN rec_edges e ON e.doc_a = r.doc_id
+          WHERE r.lvl < {REC_DEPTH}
+        )
+        SELECT doc_id, min(label) AS cluster_id
+        FROM reach GROUP BY doc_id
+    """)
+
+
+ORACLE["dedup_clusters_recursive"] = f"""
+    WITH RECURSIVE pairs AS ({ORACLE["dedup_minhash_lsh"]}),
+    rec_edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL
+      SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+    ),
+    reach(doc_id, label, lvl) AS (
+      SELECT doc_id, doc_id, 0 FROM documents
+      UNION ALL
+      SELECT e.doc_b, r.label, r.lvl + 1
+      FROM reach r JOIN rec_edges e ON e.doc_a = r.doc_id
+      WHERE r.lvl < {REC_DEPTH}
+    )
+    SELECT doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY doc_id
+"""
+QUERIES["dedup_clusters_recursive"] = dedup_clusters_recursive

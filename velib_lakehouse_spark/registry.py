@@ -162,6 +162,7 @@ SECONDARY: tuple[str, ...] = (
     "label_propagation_communities",
     "udtf_sentence_split",
     "cms_frequency_audit",
+    "dedup_clusters_recursive",
     "semdedup",
     "curriculum_phases",
     "contrastive_triplets",
