@@ -128,6 +128,7 @@ HEADLINE = [
     "udtf_sentence_split",
     "cms_frequency_audit",
     "dedup_clusters_recursive",
+    "streaming_dedup_within_watermark",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

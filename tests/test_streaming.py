@@ -179,3 +179,67 @@ def test_transform_with_state_gated_on_protobuf(spark):
         SF_DIR,
     )
     assert not problems, "; ".join(problems)
+
+
+def test_dedup_within_watermark_expires_key_state(spark):
+    """dropDuplicatesWithinWatermark TTL semantics: a key re-arriving
+    inside the delay is dropped; after the watermark passes the first
+    arrival's ts + delay the state is evicted, so a fresh (non-late)
+    re-arrival of the same key is emitted AGAIN — the behavior that
+    bounds state at O(keys per horizon) where plain dropDuplicates
+    grows forever."""
+    import datetime
+
+    from velib_lakehouse_spark.streaming.silver import (
+        _drain_memory_sink,
+        _event_stream,
+    )
+
+    base = datetime.datetime(2026, 1, 1)
+
+    def ev(eid, sec, uid, etype):
+        return (eid, base + datetime.timedelta(seconds=sec), uid, etype, 1.0, "{}")
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    crafted_dir = tempfile.mkdtemp(prefix="t_wm_dedup_")
+    batches = [
+        [ev(1, 1000, 1, "view"), ev(2, 1030, 1, "view")],  # dup within delay
+        [ev(3, 1400, 2, "click")],  # raises max event time to 1400
+        # the watermark in effect during a batch derives from data seen
+        # through the PREVIOUS batch, so the 1350 watermark (and the
+        # eviction of (1,view), expiry 1050) lands during this filler:
+        [ev(4, 1395, 3, "view")],
+        [ev(5, 1360, 1, "view")],  # state evicted, not late -> re-emitted
+    ]
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tmp = f"{crafted_dir}/stage{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        one = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        # _event_stream reads its schema from {dir}/events.parquet and
+        # globs events*.parquet; later files sort after by mtime
+        name = "events.parquet" if i == 0 else f"events_late{i}.parquet"
+        os.replace(f"{tmp}/{one}", f"{crafted_dir}/{name}")
+        os.utime(f"{crafted_dir}/{name}", (now - 60 + i, now - 60 + i))
+
+    stream = (
+        _event_stream(spark, crafted_dir, max_files_per_trigger=1)
+        .select("user_id", "ts", "event_type")
+        .withWatermark("ts", "50 seconds")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    )
+    got = sorted(
+        (r.user_id, int((r.ts - base).total_seconds()), r.event_type)
+        for r in _drain_memory_sink(spark, stream, "t_wm_dedup_sink").collect()
+    )
+    assert got == [
+        (1, 1000, "view"),
+        (1, 1360, "view"),
+        (2, 1400, "click"),
+        (3, 1395, "view"),
+    ]

@@ -163,6 +163,7 @@ SECONDARY: tuple[str, ...] = (
     "udtf_sentence_split",
     "cms_frequency_audit",
     "dedup_clusters_recursive",
+    "streaming_dedup_within_watermark",
     "semdedup",
     "curriculum_phases",
     "contrastive_triplets",
