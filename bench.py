@@ -129,6 +129,8 @@ HEADLINE = [
     "cms_frequency_audit",
     "dedup_clusters_recursive",
     "streaming_dedup_within_watermark",
+    "lake_schema_evolution",
+    "bucketed_join_priority_revenue",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

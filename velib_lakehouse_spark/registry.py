@@ -164,6 +164,8 @@ SECONDARY: tuple[str, ...] = (
     "cms_frequency_audit",
     "dedup_clusters_recursive",
     "streaming_dedup_within_watermark",
+    "lake_schema_evolution",
+    "bucketed_join_priority_revenue",
     "semdedup",
     "curriculum_phases",
     "contrastive_triplets",

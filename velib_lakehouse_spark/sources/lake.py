@@ -392,3 +392,145 @@ ORACLE["lake_retention_sweep"] = f"""
     GROUP BY 1
 """
 QUERIES["lake_retention_sweep"] = lake_retention_sweep
+
+
+# ---- schema evolution (mergeSchema read across heterogeneous batches) ------
+
+
+def lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution round trip: a table written before and after a
+    column was added, read back as ONE frame via ``mergeSchema``.
+
+    Batch 1 (even event_ids) lands without ``event_type`` — the
+    pre-evolution layout; batch 2 (odd ids) carries the new column.
+    ``spark.read.option("mergeSchema", "true")`` unions the file
+    schemas at planning time and null-fills the missing column for old
+    files, so downstream aggregation needs no migration rewrite; the
+    pre-schema rows surface under the ``__pre_schema__`` label.
+
+    Scale note: mergeSchema unions the footers of every file at
+    planning time — fine for a partitioned table's files, but at
+    100 TB the schema belongs in the table format (the snapshot
+    layer's manifest, or Delta/Iceberg metadata) so planning reads ONE
+    schema; this operator demonstrates the evolution-tolerant read
+    path itself, which stays identical either way.
+    """
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint)").alias(
+            "value_tmicro"
+        ),
+        "event_type",
+    )
+    out = tempfile.mkdtemp(prefix="lake_evolve_")
+    ev.filter(F.col("event_id") % 2 == 0).drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/batch=1")
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        f"{out}/batch=2"
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("__pre_schema__")).alias(
+                "event_type"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value_tmicro").alias("sum_value_tmicro"),
+        )
+    )
+
+
+ORACLE["lake_schema_evolution"] = """
+    WITH ev AS (
+      SELECT event_id,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_tmicro,
+             event_type
+      FROM events
+    ),
+    unioned AS (
+      SELECT event_id, value_tmicro, NULL AS event_type
+      FROM ev WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT event_id, value_tmicro, event_type
+      FROM ev WHERE event_id % 2 = 1
+    )
+    SELECT coalesce(event_type, '__pre_schema__') AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           SUM(value_tmicro) AS sum_value_tmicro
+    FROM unioned GROUP BY 1
+"""
+QUERIES["lake_schema_evolution"] = lake_schema_evolution
+
+
+# ---- bucketed co-located join (zero-shuffle SMJ as a judged query) ---------
+
+BUCKETS_N = 8
+
+
+def bucketed_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per order priority through a BUCKETED orders⋈lineitem
+    join — the co-located layout that removes the dominant shuffle of
+    the fact⋈fact join at 100 TB.
+
+    Both tables are written ``bucketBy(N, key).sortBy(key)`` (one-time
+    layout cost, amortized over every subsequent join/agg on the key);
+    the join then runs bucket-against-bucket with ZERO Exchange
+    (pinned in tests/test_bucketing.py for this exact query).  The
+    ``merge`` hint keeps the plan on the sort-merge path instead of
+    letting the tiny test-scale sides auto-broadcast — at production
+    scale neither side fits a broadcast anyway, so the hinted plan is
+    the honest one.
+
+    Money stays integer (cents) end to end, the repo's exactness
+    convention.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="lake_buckets_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "cast(floor(l_extendedprice * 100 + 0.5) as bigint)"
+        ).alias("price_cents"),
+    )
+    for name, df, key in (
+        ("bq_orders", o, "o_orderkey"),
+        ("bq_lineitem", l, "l_orderkey"),
+    ):
+        (
+            df.write.bucketBy(BUCKETS_N, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    bo = spark.table("bq_orders").hint("merge")
+    bl = spark.table("bq_lineitem")
+    return (
+        bo.join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("price_cents").alias("revenue_cents"),
+        )
+    )
+
+
+ORACLE["bucketed_join_priority_revenue"] = """
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+"""
+QUERIES["bucketed_join_priority_revenue"] = bucketed_join_priority_revenue
