@@ -131,6 +131,7 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     "lake_schema_evolution",
     "bucketed_join_priority_revenue",
+    "python_datasource_bronze",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

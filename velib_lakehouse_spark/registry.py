@@ -166,6 +166,7 @@ SECONDARY: tuple[str, ...] = (
     "streaming_dedup_within_watermark",
     "lake_schema_evolution",
     "bucketed_join_priority_revenue",
+    "python_datasource_bronze",
     "semdedup",
     "curriculum_phases",
     "contrastive_triplets",
@@ -311,6 +312,13 @@ def _load() -> None:
         from velib_lakehouse_spark.sources import readers
 
         _register(readers)
+    except ImportError:
+        pass
+
+    try:
+        from velib_lakehouse_spark.sources import pyds
+
+        _register(pyds)
     except ImportError:
         pass
 

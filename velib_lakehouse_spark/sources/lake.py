@@ -462,7 +462,7 @@ ORACLE["lake_schema_evolution"] = """
     )
     SELECT coalesce(event_type, '__pre_schema__') AS event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           SUM(value_tmicro) AS sum_value_tmicro
+           CAST(SUM(value_tmicro) AS BIGINT) AS sum_value_tmicro
     FROM unioned GROUP BY 1
 """
 QUERIES["lake_schema_evolution"] = lake_schema_evolution
@@ -528,8 +528,8 @@ def bucketed_join_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
 ORACLE["bucketed_join_priority_revenue"] = """
     SELECT o.o_orderpriority,
            CAST(count(*) AS BIGINT) AS n_items,
-           SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
-             AS revenue_cents
+           CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
     FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
     GROUP BY 1
 """
