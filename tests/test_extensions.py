@@ -539,3 +539,82 @@ def test_recursive_cte_clusters_equal_driver_loop(spark):
         ).collect()
     }
     assert full == rec
+
+
+def test_collapsed_banded_pairs_equal_direct_on_exact_copies(spark):
+    """Exact-duplicate pre-collapse must reproduce the direct banded
+    join bit-for-bit on a corpus where every vector has 3 byte-identical
+    copies (the crawl-scale adversarial case the collapse exists for)."""
+    from velib_lakehouse_spark.operators.dedup import (
+        EMB_PAIR_THRESHOLD,
+        _norm_vectors,
+        banded_cosine_pairs,
+        banded_cosine_pairs_collapsed,
+    )
+
+    base = _norm_vectors(spark, SF_DIR).filter(F.col("vec_id") < 60)
+    corpus = base
+    for k in (1, 2, 3):
+        corpus = corpus.unionByName(
+            base.select(
+                (F.col("vec_id") + 100000 * k).alias("vec_id"), "v", "norm"
+            )
+        )
+    direct = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in banded_cosine_pairs(corpus, EMB_PAIR_THRESHOLD).collect()
+    }
+    collapsed = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in banded_cosine_pairs_collapsed(corpus, EMB_PAIR_THRESHOLD).collect()
+    }
+    assert collapsed == direct
+    # every within-group pair must be present (4 copies -> 6 pairs each)
+    n_within = sum(
+        1 for (a, b, _) in collapsed if a % 100000 == b % 100000
+    )
+    assert n_within == 60 * 6
+
+
+def test_collapsed_minhash_equal_direct_on_exact_copies(spark):
+    """MinHash collapse: direct banded self-join over a corpus with
+    byte-identical copies == collapse-then-expand, including the
+    all-bands within-group count and the <3-words eligibility gate."""
+    from velib_lakehouse_spark.operators.dedup import minhash_band_pairs
+    from velib_lakehouse_spark.catalog import load_table
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 80)
+    short = spark.createDataFrame(
+        [(900000, "two words", "en", "crafted", 9),
+         (900001, "two words", "en", "crafted", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = d
+    for k in (1, 2):
+        corpus = corpus.unionByName(
+            d.select(
+                (F.col("doc_id") + 100000 * k).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    corpus = corpus.unionByName(short)
+    direct = {
+        (r.doc_a, r.doc_b, r.n_bands)
+        for r in minhash_band_pairs(corpus).collect()
+    }
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        for t in ("documents",):
+            corpus.write.mode("overwrite").parquet(os.path.join(tmp, f"{t}.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            os.symlink(f"{SF_DIR}/{t}.parquet", os.path.join(tmp, f"{t}.parquet"))
+        collapsed = {
+            (r.doc_a, r.doc_b, r.n_bands)
+            for r in registry.QUERIES["dedup_minhash_lsh"](spark, tmp).collect()
+        }
+    assert collapsed == direct
+    # the 2-word doc pair must NOT appear (no signature), even though
+    # the two docs are byte-identical
+    assert not any(a == 900000 or b == 900000 for (a, b, _) in collapsed)

@@ -1,0 +1,220 @@
+#!/usr/bin/env python
+"""Measured-scaling stress: replicate sf0.1 to R x and time judged queries.
+
+The 100 TB claim in SCALE.md is a design argument; this harness turns it
+into a measurement on the biggest data the sandbox can hold.  Each fact
+table is replicated R times with per-copy key offsets (one scan +
+broadcast crossJoin with range(R), so the build itself is the engine's
+own scale path); dimension tables stay fixed.  Text/embedding payloads
+are kept byte-identical across copies ON PURPOSE: a 64-fold exact-dup
+corpus is the adversarial case for dedup operators (dup-group pair
+counts grow R^2), exactly what a crawl-scale corpus looks like.
+
+Scales: 1x, 4x, 16x, 64x of sf0.1 (64x ~ TPC-H sf6.4: 38.4 M lineitem,
+6.4 M events, 320 k documents, 128 k embeddings).  For the embedding
+near-dup family the judged small-fixture band profile (4 bands x 4
+bits, collision p ~ 0.23) is measured next to the documented
+wide-corpus profile (8 bands x 8 bits, p ~ 0.031, the recall-pinned profile) — the knob
+`dedup.banded_cosine_pairs` exposes for exactly this transition.
+
+Usage: python tools/scale_stress.py [--build] [--scales 1,4,16,64]
+Writes datasets under .scratch/scale/x{R}/ (gitignored) and prints one
+JSON line per (query, scale) plus a summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# Size the single local JVM like a production executor before the
+# gateway launches (measured: 16x dies in BroadcastExchange under the
+# 1 GiB pyspark default heap).
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "64g")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from velib_lakehouse_spark import registry  # noqa: E402
+from velib_lakehouse_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT = os.path.join(REPO, ".scratch", "scale")
+
+# fact table -> columns that get a per-copy offset (keeps joins closed:
+# copy k of orders references copy k of customer, etc.)
+FACT_OFFSETS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "part", "supplier"]
+
+# Measured queries: the judged heavy hitters across operator families.
+QUERY_NAMES = [
+    "tpch_q1_pricing",          # full-scan agg (map-side partials)
+    "join_shuffle_revenue",     # shuffle hash/SMJ join orders x lineitem
+    "topn_orders_per_customer", # window + WindowGroupLimit pushdown
+    "sessionize_events",        # gap sessionization (window lag)
+    "event_funnel",             # staged min-ts funnel over events
+    "pagerank_user_graph",      # iterative co-activity PageRank
+    "dedup_exact",              # hash groupBy over text hashes
+    "dedup_minhash_lsh",        # MinHash band join (R^2 dup pairs)
+    "tfidf_top_terms",          # explode -> vocab shuffle -> topk
+    "ann_banded_lsh_topk",      # banded LSH ANN probe (fixed queries)
+]
+
+
+def build(spark, scales: list[int]) -> None:
+    for r in scales:
+        dst = os.path.join(OUT, f"x{r}")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        os.makedirs(dst, exist_ok=True)
+        copies = F.broadcast(
+            spark.range(r).select(F.col("id").alias("__copy"))
+        )
+        for t, keys in FACT_OFFSETS.items():
+            df = spark.read.parquet(f"{SRC}/{t}.parquet")
+            if r == 1:
+                out = df
+            else:
+                bases = {
+                    k: int(
+                        df.agg(F.max(F.col(k)).cast("bigint")).first()[0]
+                    )
+                    + 1
+                    for k in keys
+                }
+                out = df.crossJoin(copies)
+                for k in keys:
+                    out = out.withColumn(
+                        k, F.col(k) + F.col("__copy") * F.lit(bases[k])
+                    )
+                out = out.drop("__copy")
+            out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+        for t in DIMS:
+            spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{dst}/{t}.parquet")
+        print(json.dumps({"built": r, "dir": dst}))
+        sys.stdout.flush()
+
+
+def wide_band_pairs(spark, sf_dir: str):
+    """Wide-corpus band profile, DIRECT join (no exact-dup collapse) —
+    the contrast case showing why the production path collapses first."""
+    from velib_lakehouse_spark.operators.dedup import (
+        EMB_PAIR_THRESHOLD,
+        _norm_vectors,
+        banded_cosine_pairs,
+    )
+
+    v = _norm_vectors(spark, sf_dir)
+    return banded_cosine_pairs(v, EMB_PAIR_THRESHOLD, bands=8, band_bits=8)
+
+
+def wide_band_pairs_collapsed(spark, sf_dir: str):
+    """Wide profile through the production exact-dup pre-collapse."""
+    from velib_lakehouse_spark.operators.dedup import (
+        EMB_PAIR_THRESHOLD,
+        _norm_vectors,
+        banded_cosine_pairs_collapsed,
+    )
+
+    v = _norm_vectors(spark, sf_dir)
+    return banded_cosine_pairs_collapsed(v, EMB_PAIR_THRESHOLD, bands=8, band_bits=8)
+
+
+def default_band_pairs(spark, sf_dir: str):
+    from velib_lakehouse_spark.operators.dedup import (
+        EMB_PAIR_THRESHOLD,
+        _norm_vectors,
+        banded_cosine_pairs,
+    )
+
+    v = _norm_vectors(spark, sf_dir)
+    return banded_cosine_pairs(v, EMB_PAIR_THRESHOLD)
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> dict:
+    samples = []
+    rows = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        samples.append(round(time.perf_counter() - t0, 3))
+    return {"min_s": min(samples), "first_s": samples[0]}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--build", action="store_true")
+    ap.add_argument("--scales", default="1,4,16,64")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma list to restrict the registry queries measured",
+    )
+    ap.add_argument(
+        "--emb",
+        default="both",
+        choices=["both", "collapsed", "direct", "none"],
+        help="which embedding near-dup variants to measure",
+    )
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    query_names = (
+        [q for q in args.queries.split(",") if q] if args.queries else QUERY_NAMES
+    )
+
+    spark = get_spark(app_name="scale-stress")
+    if args.build:
+        build(spark, scales)
+
+    results: dict[str, dict[int, dict]] = {}
+    for r in scales:
+        sf_dir = os.path.join(OUT, f"x{r}")
+        for name in query_names:
+            res = time_query(registry.QUERIES[name], spark, sf_dir, args.runs)
+            results.setdefault(name, {})[r] = res
+            print(json.dumps({"query": name, "scale": r, **res}))
+            sys.stdout.flush()
+        # Embedding near-dup: the small-fixture default profile (4 bands
+        # x 4 bits, per-band collision p~0.23) is measured at 1x ONLY.
+        # MEASURED FINDING: at 4x (8 k vectors, 4 exact copies each) its
+        # fat buckets made the pair join carry so many duplicated
+        # 64-float vectors that the 128 GiB JVM died in a GC storm.
+        # That is the point of the band-geometry knob: the wide profile
+        # (8 x 8, p~0.031) below runs at every scale.
+        if r == 1 and args.emb in ("both", "direct"):
+            res = time_query(default_band_pairs, spark, sf_dir, args.runs)
+            results.setdefault("emb_dedup_default_4x4", {})[r] = res
+            print(json.dumps({"query": "emb_dedup_default_4x4", "scale": r, **res}))
+        if args.emb in ("both", "direct"):
+            res = time_query(wide_band_pairs, spark, sf_dir, args.runs)
+            results.setdefault("emb_dedup_wide_8x8", {})[r] = res
+            print(json.dumps({"query": "emb_dedup_wide_8x8", "scale": r, **res}))
+        if args.emb in ("both", "collapsed"):
+            res = time_query(wide_band_pairs_collapsed, spark, sf_dir, args.runs)
+            results.setdefault("emb_dedup_wide_8x8_collapsed", {})[r] = res
+            print(json.dumps({"query": "emb_dedup_wide_8x8_collapsed", "scale": r, **res}))
+        sys.stdout.flush()
+
+    print(json.dumps({"summary": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,16 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # Heap sizing: local mode leaves the JVM at the 1 GiB pyspark
+        # default, which is nothing like a production executor.  On a
+        # cluster this comes from spark-submit; locally the stress/scale
+        # harnesses export SPARK_GRAFT_DRIVER_MEM to size the single JVM
+        # like the machine it runs on (measured: the 16x scale stress
+        # dies in BroadcastExchange under the 1 GiB default).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "1g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Adaptive execution: runtime partition coalescing, skew-join
         # splitting, and dynamic join-strategy switching.  This is the
