@@ -618,3 +618,43 @@ def test_collapsed_minhash_equal_direct_on_exact_copies(spark):
     # the 2-word doc pair must NOT appear (no signature), even though
     # the two docs are byte-identical
     assert not any(a == 900000 or b == 900000 for (a, b, _) in collapsed)
+
+
+def test_semdedup_collapse_equals_direct_on_exact_copies(spark):
+    """SemDeDup's group-level verdict (min qualifying id per dup group)
+    must reproduce the direct within-cluster member join exactly on a
+    corpus where every vector has 3 byte-identical copies."""
+    import os
+    import tempfile
+
+    from velib_lakehouse_spark.operators.dedup import semdedup
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = base
+    for k in (1, 2, 3):
+        corpus = corpus.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + 100000 * k)
+        )
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"):
+            os.symlink(f"{SF_DIR}/{t}.parquet", os.path.join(tmp, f"{t}.parquet"))
+        direct = {
+            (r.vec_id, r.cid, r.is_dup)
+            for r in semdedup(spark, tmp, collapse=False).collect()
+        }
+        collapsed = {
+            (r.vec_id, r.cid, r.is_dup)
+            for r in semdedup(spark, tmp).collect()
+        }
+    assert collapsed == direct
+    # every non-lowest copy of a (non-degenerate) vector is a dup of the
+    # lowest one: copies share a cluster and cosine(v, v) rounds to 1
+    by_id = {vid: dup for vid, _, dup in collapsed}
+    n_copy_dups = sum(
+        1 for vid, dup in by_id.items() if vid >= 100000 and dup
+    )
+    assert n_copy_dups == 3 * base.count()

@@ -1050,10 +1050,24 @@ ORACLE["ngram_novelty"] = f"""
 """
 
 
-def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup(spark: SparkSession, sf_dir: str, collapse: bool = True) -> DataFrame:
     """SemDeDup: cluster-then-dedup semantic deduplication (Abbas et
     al., "SemDeDup: Data-efficient learning at web-scale through
     semantic deduplication", arXiv:2303.09540).
+
+    ``collapse=True`` (the production default) applies the same
+    exact-duplicate pre-collapse as :func:`banded_cosine_pairs_collapsed`
+    to the within-cluster pair join: identical vectors land in the same
+    cluster by construction (assignment is a pure function of the
+    vector), so the member-level O(c²) join — measured 30x superlinear
+    at 16x replicated payloads in tools/scale_stress.py — is replaced
+    by a join over DISTINCT vectors.  The verdict re-expands exactly:
+    a member m is a dup iff SOME same-cluster vector with a smaller id
+    clears the cosine threshold, and the smallest such id is computable
+    at group level as least(min over qualifying partner groups of their
+    min id, own group's min id when the self-cosine qualifies) — then
+    is_dup(m) = that minimum < m.  Equality with ``collapse=False`` is
+    pinned in tests/test_extensions.py on planted exact copies.
 
     The published recipe: k-means the embedding space, then compare
     pairs ONLY within a cluster and drop all but one member of each
@@ -1088,11 +1102,35 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     v = _vectors(spark, sf_dir).persist()
+    # One full-corpus aggregation serves BOTH the centroid means and the
+    # pair collapse: distinct (label, vector) groups with member ids.
+    # Weighted centroid means — sum(q*w)/sum(w) — are the same exact
+    # long arithmetic as avg(q) over all members (then the same double
+    # division + floor), but the posexplode runs over distinct vectors
+    # instead of the corpus: at 64x replicated payloads that is 64x
+    # less explode volume.  Grouping by label as well merely refines
+    # the vector groups, which the verdict expansion is invariant to
+    # (identical vectors in different groups pair via their reps).
+    lgroups = (
+        v.groupBy("label", "v", "norm")
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        )
+        .persist()
+    )
     cent_rows = (
-        v.select("label", F.posexplode("v").alias("pos", "x"))
+        lgroups.select("label", F.size("ids").alias("w"), F.posexplode("v").alias("pos", "x"))
         .withColumn("q", F.floor(F.col("x") * F.lit(1e6)).cast("bigint"))
         .groupBy("label", "pos")
-        .agg(F.floor(F.avg("q")).cast("bigint").alias("mq"))
+        .agg(
+            F.floor(
+                F.sum(F.col("q") * F.col("w")).cast("double")
+                / F.sum("w").cast("double")
+            )
+            .cast("bigint")
+            .alias("mq")
+        )
         .collect()
     )
     by_label: dict[int, dict[int, int]] = {}
@@ -1108,45 +1146,104 @@ def semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cell = F.expr(_argmin_cell_expr(_centroid_array_expr(cents)) + ".cid")
-    assigned = v.select(
-        "vec_id", cell.cast("bigint").alias("cid"), "v", "norm"
+    pair_cos = F.round(
+        F.expr(
+            "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        / (F.col("norm_a") * F.col("norm_b")),
+        6,
     )
-    a = assigned.select(
-        F.col("cid"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("norm").alias("norm_a"),
-    )
-    b = assigned.select(
-        F.col("cid"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("norm").alias("norm_b"),
-    )
-    dup = (
-        a.join(b, "cid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(
+    if not collapse:
+        assigned = v.select(
+            "vec_id", cell.cast("bigint").alias("cid"), "v", "norm"
+        )
+        a = assigned.select(
+            F.col("cid"),
+            F.col("vec_id").alias("vec_a"),
+            F.col("v").alias("va"),
+            F.col("norm").alias("norm_a"),
+        )
+        b = assigned.select(
+            F.col("cid"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("v").alias("vb"),
+            F.col("norm").alias("norm_b"),
+        )
+        dup = (
+            a.join(b, "cid")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .filter(pair_cos >= F.lit(EMB_PAIR_THRESHOLD))
+            .select(F.col("vec_b").alias("vec_id"))
+            .distinct()
+            .withColumn("is_dup", F.lit(True))
+        )
+        return (
+            assigned.join(dup, "vec_id", "left")
+            .select(
+                "vec_id",
+                "cid",
+                F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+            )
+        )
+
+    # Collapsed path: one row per DISTINCT (label, vector) group —
+    # reusing the persisted centroid aggregation; assignment stays the
+    # same map-side argmin (identical vectors -> identical cid).  The
+    # self-cosine uses the identical fold/round arithmetic, so the
+    # within-group qualification matches the direct pair join bit-for-bit.
+    g = lgroups.select(
+        cell.cast("bigint").alias("cid"),
+        "v",
+        "norm",
+        "rep",
+        "ids",
+        (
             F.round(
                 F.expr(
-                    "aggregate(zip_with(va, vb, (x, y) -> x * y),"
+                    "aggregate(zip_with(v, v, (x, y) -> x * y),"
                     " cast(0.0 as double), (acc, x) -> acc + x)"
                 )
-                / (F.col("norm_a") * F.col("norm_b")),
+                / (F.col("norm") * F.col("norm")),
                 6,
             )
             >= F.lit(EMB_PAIR_THRESHOLD)
-        )
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dup", F.lit(True))
+        ).alias("self_q"),
+    )
+    a = g.select(
+        "cid",
+        F.col("rep").alias("rep_a"),
+        F.col("v").alias("va"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = g.select(
+        "cid",
+        F.col("rep").alias("rep_b"),
+        F.col("v").alias("vb"),
+        F.col("norm").alias("norm_b"),
+    )
+    partner_min = (
+        a.join(b, "cid")
+        .filter(F.col("rep_a") != F.col("rep_b"))
+        .filter(pair_cos >= F.lit(EMB_PAIR_THRESHOLD))
+        .groupBy("rep_a")
+        .agg(F.min("rep_b").alias("pmin"))
     )
     return (
-        assigned.join(dup, "vec_id", "left")
+        g.join(partner_min, g["rep"] == partner_min["rep_a"], "left")
+        # least() skips nulls: no partner + no self-qualification -> null
+        .withColumn(
+            "min_qual",
+            F.least(F.col("pmin"), F.when(F.col("self_q"), F.col("rep"))),
+        )
+        .select(F.explode("ids").alias("vec_id"), "cid", "min_qual")
         .select(
             "vec_id",
             "cid",
-            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+            (
+                F.col("min_qual").isNotNull()
+                & (F.col("min_qual") < F.col("vec_id"))
+            ).alias("is_dup"),
         )
     )
 
