@@ -658,3 +658,40 @@ def test_semdedup_collapse_equals_direct_on_exact_copies(spark):
         1 for vid, dup in by_id.items() if vid >= 100000 and dup
     )
     assert n_copy_dups == 3 * base.count()
+
+
+def test_decontaminate_embedding_collapse_equals_direct(spark):
+    """Cross-split collapse must reproduce the member-level band join
+    exactly — including copy-count-weighted n_eval_hits — on a corpus
+    with 3 extra byte-identical copies of every vector (copies fall in
+    either split via the md5 split function)."""
+    import os
+    import tempfile
+
+    from velib_lakehouse_spark.operators.dedup import decontaminate_embedding
+
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    corpus = base
+    for k in (1, 2, 3):
+        corpus = corpus.unionByName(
+            base.withColumn("vec_id", F.col("vec_id") + 100000 * k)
+        )
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents"):
+            os.symlink(f"{SF_DIR}/{t}.parquet", os.path.join(tmp, f"{t}.parquet"))
+        direct = {
+            tuple(r)
+            for r in decontaminate_embedding(spark, tmp, collapse=False).collect()
+        }
+        collapsed = {
+            tuple(r)
+            for r in decontaminate_embedding(spark, tmp).collect()
+        }
+    assert collapsed == direct
+    # identical copies force hits: every train copy of a vector that has
+    # at least one eval-split copy must be contaminated
+    assert any(c for (_, _, c, _) in collapsed)

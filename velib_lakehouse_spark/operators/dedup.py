@@ -1314,7 +1314,9 @@ QUERIES = {
 DECON_EVAL_BUCKETS = 2
 
 
-def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def decontaminate_embedding(
+    spark: SparkSession, sf_dir: str, collapse: bool = True
+) -> DataFrame:
     """Semantic decontamination: flag TRAIN vectors whose embedding is
     near-identical (cosine >= threshold) to ANY EVAL vector — the
     embedding-space twin of ``decontaminate_ngram`` (surface-form
@@ -1329,6 +1331,15 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition, so the band join broadcasts it; candidate volume is
     governed by the same band-geometry knob as
     ``banded_cosine_pairs`` (widen bands as the corpus grows).
+
+    ``collapse=True`` (the production default) applies the exact-dup
+    pre-collapse to BOTH splits — the measured-scaling harness caught
+    the member-level join 41x superlinear at 16x replicated payloads
+    (byte-identical train and eval copies multiply candidates R²).
+    Verdicts are group-constant (cosines depend only on the vectors):
+    ``n_eval_hits`` re-weights each qualifying distinct eval vector by
+    its copy count, ``max_eval_cos`` is a group-level max — provably
+    the direct result, equality-pinned in tests/test_extensions.py.
 
     The split is a pure md5 function of vec_id (same convention as
     ``stratified_split``), so the operator is a self-contained,
@@ -1345,63 +1356,118 @@ def decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 10
         < DECON_EVAL_BUCKETS,
     )
-    sig = v.withColumn("bucket", F.expr(_bucket_expr("v", N_PLANES)))
-    bands_df = sig.select(
-        "vec_id",
-        "is_eval",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {EMB_LSH_BANDS - 1}),"
-                f" b -> shiftright(bucket, b * {band_bits}) & {mask})"
+    band_explode = F.posexplode(
+        F.expr(
+            f"transform(sequence(0, {EMB_LSH_BANDS - 1}),"
+            f" b -> shiftright(bucket, b * {band_bits}) & {mask})"
+        )
+    ).alias("band", "bits")
+    pair_cos = F.round(
+        F.expr(
+            "aggregate(zip_with(tv, ev, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        / (F.col("tn") * F.col("en")),
+        6,
+    )
+    if not collapse:
+        sig = v.withColumn("bucket", F.expr(_bucket_expr("v", N_PLANES)))
+        bands_df = sig.select("vec_id", "is_eval", band_explode)
+        train_b = bands_df.filter(~F.col("is_eval")).select(
+            F.col("vec_id").alias("train_id"), "band", "bits"
+        )
+        eval_b = bands_df.filter(F.col("is_eval")).select(
+            F.col("vec_id").alias("eval_id"), "band", "bits"
+        )
+        cand = (
+            train_b.join(F.broadcast(eval_b), ["band", "bits"])
+            .select("train_id", "eval_id")
+            .distinct()
+        )
+        vt = v.select(
+            F.col("vec_id").alias("train_id"),
+            F.col("v").alias("tv"),
+            F.col("norm").alias("tn"),
+        )
+        ve = v.select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("v").alias("ev"),
+            F.col("norm").alias("en"),
+        )
+        hits = (
+            cand.join(vt, "train_id")
+            .join(F.broadcast(ve), "eval_id")
+            .withColumn("cos", pair_cos)
+            .filter(F.col("cos") >= F.lit(EMB_PAIR_THRESHOLD))
+            .groupBy("train_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_eval_hits"),
+                F.max("cos").alias("max_eval_cos"),
             )
-        ).alias("band", "bits"),
+        )
+        return (
+            v.filter(~F.col("is_eval"))
+            .select(F.col("vec_id").alias("train_id"))
+            .join(hits, "train_id", "left")
+            .select(
+                "train_id",
+                F.coalesce(F.col("n_eval_hits"), F.lit(0)).alias("n_eval_hits"),
+                (F.col("n_eval_hits").isNotNull()).alias("contaminated"),
+                "max_eval_cos",
+            )
+        )
+
+    tg = (
+        v.filter(~F.col("is_eval"))
+        .groupBy("v", "norm")
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.sort_array(F.collect_list("vec_id")).alias("ids"),
+        )
     )
-    train_b = bands_df.filter(~F.col("is_eval")).select(
-        F.col("vec_id").alias("train_id"), "band", "bits"
+    eg = (
+        v.filter(F.col("is_eval"))
+        .groupBy("v", "norm")
+        .agg(F.min("vec_id").alias("rep"), F.count(F.lit(1)).alias("cnt"))
     )
-    eval_b = bands_df.filter(F.col("is_eval")).select(
-        F.col("vec_id").alias("eval_id"), "band", "bits"
+    tb = (
+        tg.withColumn("bucket", F.expr(_bucket_expr("v", N_PLANES)))
+        .select(F.col("rep").alias("t_rep"), band_explode)
+    )
+    eb = (
+        eg.withColumn("bucket", F.expr(_bucket_expr("v", N_PLANES)))
+        .select(F.col("rep").alias("e_rep"), band_explode)
     )
     cand = (
-        train_b.join(F.broadcast(eval_b), ["band", "bits"])
-        .select("train_id", "eval_id")
+        tb.join(F.broadcast(eb), ["band", "bits"])
+        .select("t_rep", "e_rep")
         .distinct()
     )
-    vt = v.select(
-        F.col("vec_id").alias("train_id"),
+    vt = tg.select(
+        F.col("rep").alias("t_rep"),
         F.col("v").alias("tv"),
         F.col("norm").alias("tn"),
     )
-    ve = v.select(
-        F.col("vec_id").alias("eval_id"),
+    ve = eg.select(
+        F.col("rep").alias("e_rep"),
         F.col("v").alias("ev"),
         F.col("norm").alias("en"),
+        "cnt",
     )
-    hits = (
-        cand.join(vt, "train_id")
-        .join(F.broadcast(ve), "eval_id")
-        .withColumn(
-            "cos",
-            F.round(
-                F.expr(
-                    "aggregate(zip_with(tv, ev, (x, y) -> x * y),"
-                    " cast(0.0 as double), (acc, x) -> acc + x)"
-                )
-                / (F.col("tn") * F.col("en")),
-                6,
-            ),
-        )
+    ghits = (
+        cand.join(vt, "t_rep")
+        .join(F.broadcast(ve), "e_rep")
+        .withColumn("cos", pair_cos)
         .filter(F.col("cos") >= F.lit(EMB_PAIR_THRESHOLD))
-        .groupBy("train_id")
+        .groupBy("t_rep")
         .agg(
-            F.count(F.lit(1)).alias("n_eval_hits"),
+            F.sum("cnt").alias("n_eval_hits"),
             F.max("cos").alias("max_eval_cos"),
         )
     )
     return (
-        v.filter(~F.col("is_eval"))
-        .select(F.col("vec_id").alias("train_id"))
-        .join(hits, "train_id", "left")
+        tg.join(ghits, tg["rep"] == ghits["t_rep"], "left")
+        .select(F.explode("ids").alias("train_id"), "n_eval_hits", "max_eval_cos")
         .select(
             "train_id",
             F.coalesce(F.col("n_eval_hits"), F.lit(0)).alias("n_eval_hits"),
