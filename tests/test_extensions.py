@@ -695,3 +695,50 @@ def test_decontaminate_embedding_collapse_equals_direct(spark):
     # identical copies force hits: every train copy of a vector that has
     # at least one eval-split copy must be contaminated
     assert any(c for (_, _, c, _) in collapsed)
+
+
+def test_estimate_audit_collapse_equals_direct_on_exact_copies(spark):
+    """The distinct-text audit + expansion must reproduce the member
+    audit exactly (all four symmetric metrics) on a corpus with 2 extra
+    byte-identical copies of every document."""
+    import os
+    import tempfile
+
+    from velib_lakehouse_spark.operators.dedup import (
+        _estimate_audit_direct,
+        minhash_estimate_audit,
+    )
+    from velib_lakehouse_spark.catalog import load_table
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 60)
+    corpus = d
+    for k in (1, 2):
+        corpus = corpus.unionByName(
+            d.select(
+                (F.col("doc_id") + 100000 * k).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    direct = {
+        tuple(r)
+        for r in _estimate_audit_direct(
+            corpus.select("doc_id", "text")
+        ).collect()
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            os.symlink(f"{SF_DIR}/{t}.parquet", os.path.join(tmp, f"{t}.parquet"))
+        collapsed = {
+            tuple(r)
+            for r in minhash_estimate_audit(spark, tmp).collect()
+        }
+    assert collapsed == direct
+    # within-group rows must be exact-match constants
+    const = [
+        r for r in collapsed if r[0] % 100000 == r[1] % 100000
+    ]
+    assert const and all(
+        r[3] == 1000000 and r[4] == 1000000 and r[5] == 0 for r in const
+    )

@@ -1544,7 +1544,9 @@ ORACLE["decontaminate_embedding"] = _decon_embedding_oracle()
 QUERIES["decontaminate_embedding"] = decontaminate_embedding
 
 
-def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_estimate_audit(
+    spark: SparkSession, sf_dir: str, collapse: bool = True
+) -> DataFrame:
     """Estimator-quality audit: for every MinHash-LSH candidate pair,
     the K-minhash Jaccard ESTIMATE (share of equal signature positions,
     Broder 1997's unbiased resemblance estimator) next to the EXACT
@@ -1558,16 +1560,73 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-joined to the candidate doc set first, so the exact pass
     touches a candidate-sized corpus slice, not the corpus.  All
     ratios are integer ppm (div), engine-exact.
+
+    ``collapse=True`` (the production default) runs the whole audit
+    over DISTINCT texts and expands afterwards — the measured-scaling
+    harness caught the member-level audit ~58x superlinear at 16x
+    replicated payloads.  Every output metric is a symmetric function
+    of the two texts alone, so cross-group pairs copy their
+    representatives' row, and within-group pairs (identical texts) are
+    the constants est=jaccard=1e6 ppm, err=0, all bands matching —
+    equality-pinned in tests/test_extensions.py.
     """
     d = load_table(spark, sf_dir, "documents")
+    if collapse:
+        groups = d.groupBy("text").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.min("doc_id").alias("rep"),
+        )
+        rep_audit = _estimate_audit_direct(
+            groups.select(F.col("rep").alias("doc_id"), "text")
+        )
+        ga = groups.select(F.col("rep").alias("doc_a"), F.col("ids").alias("ids_a"))
+        gb = groups.select(F.col("rep").alias("doc_b"), F.col("ids").alias("ids_b"))
+        metrics = ["n_bands", "est_ppm", "jaccard_ppm", "err_ppm"]
+        cross = (
+            rep_audit.join(ga, "doc_a")
+            .join(gb, "doc_b")
+            .select(F.explode("ids_a").alias("ia"), "ids_b", *metrics)
+            .select("ia", F.explode("ids_b").alias("ib"), *metrics)
+            .select(
+                F.least("ia", "ib").alias("doc_a"),
+                F.greatest("ia", "ib").alias("doc_b"),
+                *metrics,
+            )
+        )
+        n_bands_total = MINHASH_K // MINHASH_BAND_ROWS
+        within = (
+            groups.filter((F.size("ids") >= 2) & (F.size(_words()) >= 3))
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) ->"
+                        " transform(slice(ids, i + 2, size(ids)),"
+                        " y -> struct(x AS a, y AS b))))"
+                    )
+                ).alias("p")
+            )
+            .select(
+                F.col("p.a").alias("doc_a"),
+                F.col("p.b").alias("doc_b"),
+                F.lit(n_bands_total).cast("long").alias("n_bands"),
+                F.lit(1000000).cast("long").alias("est_ppm"),
+                F.lit(1000000).cast("long").alias("jaccard_ppm"),
+                F.lit(0).cast("long").alias("err_ppm"),
+            )
+        )
+        return cross.unionByName(within)
+    return _estimate_audit_direct(d)
+
+
+def _estimate_audit_direct(d: DataFrame) -> DataFrame:
+    """Member-level audit over ``d`` (doc_id, text): candidate band
+    pairs, signature-equality estimate, exact Jaccard on candidates."""
     # the candidate set feeds FIVE consumers (two signature joins, the
     # doc-set restriction, the pair restriction, the final join) —
     # persist it, or each consumer re-runs the whole LSH pipeline (the
     # plan audit caught the unpersisted version at 38 exchanges).
-    # Direct band join (not the exact-dup-collapsed production path):
-    # same pair set, leaner plan — right for a one-off audit.
     cand = (
-        minhash_band_pairs(load_table(spark, sf_dir, "documents"))
+        minhash_band_pairs(d)
         .select("doc_a", "doc_b", "n_bands")
         .persist()
     )
