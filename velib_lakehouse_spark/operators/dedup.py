@@ -65,6 +65,15 @@ JACCARD_THRESHOLD = 0.2
 COSINE_DUP_THRESHOLD = 0.9
 EMB_PAIR_THRESHOLD = 0.4
 
+# All unordered pairs (a < b) from a sorted `ids` array — the expansion
+# step shared by every exact-duplicate pre-collapse below (slice() is
+# 1-based: element i pairs with everything from position i + 2 on).
+WITHIN_GROUP_PAIRS_EXPR = (
+    "flatten(transform(ids, (x, i) ->"
+    " transform(slice(ids, i + 2, size(ids)),"
+    " y -> struct(x AS a, y AS b))))"
+)
+
 
 def _words(col: str = "text"):
     return F.filter(F.split(F.col(col), " "), lambda w: w != "")
@@ -359,11 +368,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
+                F.expr(WITHIN_GROUP_PAIRS_EXPR)
             ).alias("p")
         )
         .select(
@@ -718,11 +723,7 @@ def banded_cosine_pairs_collapsed(
         .filter(F.col("cos") >= threshold)
         .select(
             F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids)),"
-                    " y -> struct(x AS a, y AS b))))"
-                )
+                F.expr(WITHIN_GROUP_PAIRS_EXPR)
             ).alias("p"),
             "cos",
         )
@@ -1598,11 +1599,7 @@ def minhash_estimate_audit(
             groups.filter((F.size("ids") >= 2) & (F.size(_words()) >= 3))
             .select(
                 F.explode(
-                    F.expr(
-                        "flatten(transform(ids, (x, i) ->"
-                        " transform(slice(ids, i + 2, size(ids)),"
-                        " y -> struct(x AS a, y AS b))))"
-                    )
+                    F.expr(WITHIN_GROUP_PAIRS_EXPR)
                 ).alias("p")
             )
             .select(
