@@ -59,7 +59,9 @@ FACT_OFFSETS = {
 }
 DIMS = ["region", "nation", "part", "supplier"]
 
-# Measured queries: the judged heavy hitters across operator families.
+# Measured queries: the judged heavy hitters across operator families,
+# plus every operator a past sweep caught superlinear (all fixed with
+# exact-dup collapses — keeping them here guards against regressions).
 QUERY_NAMES = [
     "tpch_q1_pricing",          # full-scan agg (map-side partials)
     "join_shuffle_revenue",     # shuffle hash/SMJ join orders x lineitem
@@ -68,9 +70,12 @@ QUERY_NAMES = [
     "event_funnel",             # staged min-ts funnel over events
     "pagerank_user_graph",      # iterative co-activity PageRank
     "dedup_exact",              # hash groupBy over text hashes
-    "dedup_minhash_lsh",        # MinHash band join (R^2 dup pairs)
+    "dedup_minhash_lsh",        # MinHash band join, exact-dup collapsed
     "tfidf_top_terms",          # explode -> vocab shuffle -> topk
     "ann_banded_lsh_topk",      # banded LSH ANN probe (fixed queries)
+    "semdedup",                 # cluster-then-dedup, group-level verdicts
+    "decontaminate_embedding",  # cross-split band join, both sides collapsed
+    "minhash_estimate_audit",   # estimator audit over distinct texts
 ]
 
 
