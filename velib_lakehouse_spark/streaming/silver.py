@@ -24,6 +24,7 @@ Three judged behaviours:
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -95,12 +96,21 @@ def _event_stream(
     """
     apply_safe_confs(spark)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    reader = spark.readStream.schema(raw_schema).option(
-        "pathGlobFilter", "events*.parquet"
-    )
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    stream = reader.parquet(sf_dir)
+    # Two on-disk layouts exist: events.parquet as a DIRECTORY of part
+    # files (any real writer, incl. tools/scale_stress.py) is streamed
+    # directly; otherwise the parent dir is scanned for events*.parquet
+    # FILES (driver testdata's single file; the multi-batch tests drop
+    # several).  The glob alone would silently match nothing in the
+    # directory case (part files are named part-*), and the direct path
+    # alone rejects single files (basePath must be a directory).
+    tbl = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(tbl):
+        stream = reader.parquet(tbl)
+    else:
+        stream = reader.option("pathGlobFilter", "events*.parquet").parquet(sf_dir)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
