@@ -1936,11 +1936,14 @@ def dedup_clusters_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    # persist the edge list: the recursive join references the view once
+    # per recursion level, and an unpersisted view re-runs the whole
+    # MinHash pipeline each level (measured ~4x on this query's bench).
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
-    )
+    ).persist()
     d.select("doc_id").createOrReplaceTempView("rec_docs")
     edges.createOrReplaceTempView("rec_edges")
     return spark.sql(f"""
