@@ -65,14 +65,33 @@ JACCARD_THRESHOLD = 0.2
 COSINE_DUP_THRESHOLD = 0.9
 EMB_PAIR_THRESHOLD = 0.4
 
-# All unordered pairs (a < b) from a sorted `ids` array — the expansion
-# step shared by every exact-duplicate pre-collapse below (slice() is
-# 1-based: element i pairs with everything from position i + 2 on).
-WITHIN_GROUP_PAIRS_EXPR = (
-    "flatten(transform(ids, (x, i) ->"
-    " transform(slice(ids, i + 2, size(ids)),"
-    " y -> struct(x AS a, y AS b))))"
-)
+def within_group_pairs(groups: DataFrame, carry: list[str] | None = None) -> DataFrame:
+    """All unordered (a < b) member pairs of each exact-duplicate group.
+
+    ``groups`` must carry ``rep`` (the group's unique representative id)
+    and ``ids`` (the sorted member-id array); ``carry`` names per-group
+    metric columns copied onto every emitted pair.
+
+    The expansion explodes ``ids`` into two streams and self-joins on
+    the representative, so a crawl-scale dup group (1e5+ byte-identical
+    copies of a viral page) streams its g^2 pairs across join OUTPUT
+    rows the way the direct join would — the previous single-expression
+    expansion (flatten/transform over the array) materialized all
+    O(g^2) pair structs inside ONE task row before the explode, which
+    concentrates ~1e10 structs in a single row at that group size and
+    OOMs the task (r3 ADVICE, medium).  Callers apply their group
+    filters (size >= 2, signature gates) BEFORE calling.
+    """
+    carry = carry or []
+    ea = groups.select(
+        F.col("rep").alias("_gk"), F.explode("ids").alias("a"), *carry
+    )
+    eb = groups.select(F.col("rep").alias("_gk"), F.explode("ids").alias("b"))
+    return (
+        ea.join(eb, "_gk")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", *carry)
+    )
 
 
 def _words(col: str = "text"):
@@ -339,10 +358,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_extensions.py on planted exact copies.
     """
     d = load_table(spark, sf_dir, "documents")
+    # `groups` feeds five consumers (rep signatures, both expansion
+    # sides, and the two within-pair streams); unpersisted, each would
+    # re-run the groupBy over the documents scan (r3 ADVICE).  The
+    # cache is intentionally session-lifetime: the judged/bench
+    # harnesses run each query in a bounded session, and a long-lived
+    # service should call spark.catalog.clearCache() between jobs.
     groups = d.groupBy("text").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
         F.min("doc_id").alias("rep"),
-    )
+    ).persist()
     rep_pairs = minhash_band_pairs(
         groups.select(F.col("rep").alias("doc_id"), "text")
     )
@@ -362,20 +387,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Within a dup group every band matches; the size(words) >= 3 gate
     # mirrors minhash_bands (shorter docs have no signature at all).
     n_bands_total = MINHASH_K // MINHASH_BAND_ROWS
-    within = (
-        groups.filter(
-            (F.size("ids") >= 2) & (F.size(_words()) >= 3)
-        )
-        .select(
-            F.explode(
-                F.expr(WITHIN_GROUP_PAIRS_EXPR)
-            ).alias("p")
-        )
-        .select(
-            F.col("p.a").alias("doc_a"),
-            F.col("p.b").alias("doc_b"),
-            F.lit(n_bands_total).cast("long").alias("n_bands"),
-        )
+    within = within_group_pairs(
+        groups.filter((F.size("ids") >= 2) & (F.size(_words()) >= 3))
+    ).select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.lit(n_bands_total).cast("long").alias("n_bands"),
     )
     return cross.unionByName(within)
 
@@ -688,10 +705,13 @@ def banded_cosine_pairs_collapsed(
     Equality with the direct join is pinned in tests/test_extensions.py
     on a corpus of planted exact copies.
     """
+    # Five consumers (rep LSH, both expansion sides, within streams) —
+    # persist, or each re-runs the groupBy (r3 ADVICE; cache lifetime
+    # note in dedup_minhash_lsh applies here too).
     groups = v.groupBy("v", "norm").agg(
         F.sort_array(F.collect_list("vec_id")).alias("ids"),
         F.min("vec_id").alias("rep"),
-    )
+    ).persist()
     reps = groups.select(F.col("rep").alias("vec_id"), "v", "norm")
     rep_pairs = banded_cosine_pairs(reps, threshold, bands=bands, band_bits=band_bits)
     ga = groups.select(F.col("rep").alias("vec_a"), F.col("ids").alias("ids_a"))
@@ -707,7 +727,7 @@ def banded_cosine_pairs_collapsed(
             "cos",
         )
     )
-    within = (
+    within = within_group_pairs(
         groups.filter(F.size("ids") >= 2)
         .withColumn(
             "cos",
@@ -720,15 +740,9 @@ def banded_cosine_pairs_collapsed(
                 6,
             ),
         )
-        .filter(F.col("cos") >= threshold)
-        .select(
-            F.explode(
-                F.expr(WITHIN_GROUP_PAIRS_EXPR)
-            ).alias("p"),
-            "cos",
-        )
-        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"), "cos")
-    )
+        .filter(F.col("cos") >= threshold),
+        carry=["cos"],
+    ).select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"), "cos")
     return cross.unionByName(within)
 
 
@@ -1573,10 +1587,12 @@ def minhash_estimate_audit(
     """
     d = load_table(spark, sf_dir, "documents")
     if collapse:
+        # persist: five consumers (cache-lifetime note in
+        # dedup_minhash_lsh applies).
         groups = d.groupBy("text").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ids"),
             F.min("doc_id").alias("rep"),
-        )
+        ).persist()
         rep_audit = _estimate_audit_direct(
             groups.select(F.col("rep").alias("doc_id"), "text")
         )
@@ -1595,21 +1611,15 @@ def minhash_estimate_audit(
             )
         )
         n_bands_total = MINHASH_K // MINHASH_BAND_ROWS
-        within = (
+        within = within_group_pairs(
             groups.filter((F.size("ids") >= 2) & (F.size(_words()) >= 3))
-            .select(
-                F.explode(
-                    F.expr(WITHIN_GROUP_PAIRS_EXPR)
-                ).alias("p")
-            )
-            .select(
-                F.col("p.a").alias("doc_a"),
-                F.col("p.b").alias("doc_b"),
-                F.lit(n_bands_total).cast("long").alias("n_bands"),
-                F.lit(1000000).cast("long").alias("est_ppm"),
-                F.lit(1000000).cast("long").alias("jaccard_ppm"),
-                F.lit(0).cast("long").alias("err_ppm"),
-            )
+        ).select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.lit(n_bands_total).cast("long").alias("n_bands"),
+            F.lit(1000000).cast("long").alias("est_ppm"),
+            F.lit(1000000).cast("long").alias("jaccard_ppm"),
+            F.lit(0).cast("long").alias("err_ppm"),
         )
         return cross.unionByName(within)
     return _estimate_audit_direct(d)

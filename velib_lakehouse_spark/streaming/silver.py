@@ -24,6 +24,7 @@ Three judged behaviours:
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 
@@ -43,6 +44,63 @@ WATERMARK_SECONDS = 600
 # driver OOM into a loud error if a future registry query routes real
 # volume through a memory sink.
 MEMORY_SINK_MAX_ROWS = 10_000_000
+
+# Scratch dirs for the parquet drains below, removed at interpreter
+# exit (the drained DataFrame is lazy over these files, so they cannot
+# be deleted before the caller materializes it).
+_DRAIN_DIRS: list[str] = []
+
+
+def _cleanup_drain_dirs() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for d in _DRAIN_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_drain_dirs)
+
+
+def _drain_parquet_sink(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    shuffle_n: int | None = None,
+) -> DataFrame:
+    """Drain a bounded (availableNow) stream through a PARQUET sink in a
+    scratch dir and read it back — the scale-honest drain the judged
+    registry queries use (r3 VERDICT #3).
+
+    The memory sink buffers every emitted row in driver memory, which
+    misrepresented the streaming operators' own scaling: at 64x
+    replicated data the watermarked dedup read 70 s through the memory
+    sink while the stateful operator itself is linear (13.7 s via a
+    noop sink) — the delta was the driver materializing 6.4 M rows.
+    The parquet sink writes distributed, exactly like the production
+    path (run_silver_stream), so the drained timing IS the operator's
+    timing.  ``shuffle_n`` sizes the state-store count, same knob as
+    :func:`_drain_memory_sink` (see its docstring for the measured
+    rationale).
+    """
+    out_dir = tempfile.mkdtemp(prefix=f"drain_{name}_")
+    ckpt = os.path.join(out_dir, "_checkpoint")
+    data = os.path.join(out_dir, "data")
+    _DRAIN_DIRS.append(out_dir)
+    schema = stream_df.schema
+    with tuned_shuffle(spark, shuffle_n):
+        query = (
+            stream_df.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", data)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    # Explicit schema: a zero-row drain leaves no part files to infer
+    # from (the _spark_metadata log alone), and it pins streaming/batch
+    # dtype agreement.
+    return spark.read.schema(schema).parquet(data)
 
 
 def _drain_memory_sink(
@@ -265,7 +323,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
-    return _drain_memory_sink(
+    return _drain_parquet_sink(
         spark, agg, "windowed_counts_sink",
         shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
     ).select(
@@ -338,7 +396,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    return _drain_memory_sink(
+    return _drain_parquet_sink(
         spark, agg, "session_windows_sink",
         shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
     ).select(
@@ -398,7 +456,7 @@ def streaming_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
     # stream-stream joins keep 4 state stores per shuffle partition;
     # size the store count down so per-batch commit overhead doesn't
     # dominate (see _drain_memory_sink docstring — measured 2.4x here)
-    return _drain_memory_sink(
+    return _drain_parquet_sink(
         spark,
         joined,
         "stream_stream_join_sink",
@@ -438,7 +496,7 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("value", "event_id").alias("value"),
         )
     )
-    return _drain_memory_sink(
+    return _drain_parquet_sink(
         spark, deduped, "streaming_dedup_sink",
         shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
     ).select(
@@ -525,7 +583,7 @@ def streaming_stateful_enumerate(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _drain_memory_sink(spark, enumerated, "stateful_enumerate_sink")
+    return _drain_parquet_sink(spark, enumerated, "stateful_enumerate_sink")
 
 
 ORACLE: dict[str, str | None] = {
@@ -738,7 +796,7 @@ def streaming_tws_user_stats(
         outputMode="append",
         timeMode="none",
     )
-    return _drain_memory_sink(
+    return _drain_parquet_sink(
         spark,
         stats,
         "tws_user_stats_sink",
@@ -870,7 +928,7 @@ def streaming_dedup_within_watermark(
         .withWatermark("ts", DEDUP_WM_DELAY)
         .dropDuplicatesWithinWatermark(["user_id", "ts", "event_type"])
     )
-    return _drain_memory_sink(
+    return _drain_parquet_sink(
         spark, deduped, "streaming_dedup_wm_sink",
         shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
     ).select(
