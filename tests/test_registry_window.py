@@ -4,96 +4,155 @@ The driver's correctness harness oracle-checks only the FIRST
 ``registry.DRIVER_WINDOW`` registered queries; a careless reorder or a
 new module appended early could silently evict an operator family from
 the judged window.  These tests pin: the window is exactly ``PRIORITY``,
-every operator family contributes at least one query to it, and no
+every operator family contributes at least one query to it, no
 rows-only (oracle-less) query wastes a judged slot (the driver records
-those as errors).
+those as errors), a query whose code/oracle changed since its last
+driver row must be back in the window (r3 VERDICT #2, via
+tools/fingerprints.py), and every family retains a green driver row
+within the last two committed CORRECTNESS artifacts or a pending slot
+in the current window (r3 VERDICT #7, the coverage ratchet).
 """
 
 from __future__ import annotations
+
+import glob
+import json
+import os
+import re
 
 from velib_lakehouse_spark import registry
 
 WINDOW = list(registry.QUERIES)[: registry.DRIVER_WINDOW]
 
-# At least one judged-window query per operator family.  Round-3
-# rotation: operators that never had a driver row (round-2 training
-# pipeline, round-3 chunking/LM/quantiles/dispersion/session-windows)
-# hold window slots; demoted two-rounds-green showcases are listed in
-# registry.SECONDARY.  Window/top-n/ordered-agg semantics stay covered
-# through velib_sparkline (top-n + ordered collect + semi join);
-# dedup-to-latest (velib_dedup_latest) and the remaining velib
-# showcases rely on their byte-identical r1+r2 green rows.
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# At least one judged-window query per operator family.  Round-4
+# rotation: the 33 never-driver-checked round-3 operators hold window
+# slots, plus every query changed this round (collapse rewrite, parquet
+# drain) and the seven round-4 operators; demoted r3-green showcases
+# head registry.SECONDARY.  A name listed here must EITHER be in the
+# window now OR hold a green row in the last two CORRECTNESS artifacts
+# (enforced by test_family_coverage_ratchet).
 FAMILY_REPRESENTATIVES = {
     "velib": ["velib_sparkline"],
     "chunking": ["chunk_documents", "dedup_chunks"],
-    "relational": ["tpch_q1_pricing"],
-    "windows": ["velib_sparkline", "hypertable_rollup"],
-    # asof/range/session showcases all carry >=2 green rows
-    # (asof_join_latest_state, range_join_periods, pandas_session_gaps);
-    # sessionization semantics stay in-window via
-    # streaming_session_windows and event_funnel.
-    "dedup": [
-        "dedup_embedding_cosine",
-        "dedup_incremental_minhash",
-        "dedup_containment",
-        "dedup_canonicalize",
-        "ngram_novelty",
+    "relational": [
+        "tpch_q3_shipping",
+        "tpch_q1_pricing",
+        "grouping_sets_orders",
+        "bucketed_join_priority_revenue",
+        "unpivot_metrics",
+        "full_outer_activity_reconcile",
+        "join_skew_audit",
+        "fk_integrity_audit",
     ],
-    "decontamination": ["decontaminate_ngram"],
+    "windows": ["velib_sparkline", "pairs_topk_capped", "domain_cap_sample"],
+    "dedup": [
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "semdedup",
+        "minhash_estimate_audit",
+        "dedup_clusters_recursive",
+        "pairs_topk_capped",
+        "editdist_verified_pairs",
+        "dup_span_report",
+    ],
+    "decontamination": ["decontaminate_embedding", "decontaminate_ngram"],
     "similarity": [
+        "contrastive_triplets",
         "ann_ivf_topk",
         "ann_banded_lsh_topk",
-        "ann_recall_audit",
-        "ann_banded_recall_audit",
         "embedding_centroids",
-        "embedding_quantize_int8",
         "embedding_outliers",
     ],
     "retrieval": ["hybrid_rank_fusion", "inverted_index"],
     "text": [
-        "repetition_stats",
-        "gopher_quality_filter",
+        "pmi_collocations",
+        "udtf_sentence_split",
+        "corpus_quality_report",
         "tfidf_top_terms",
         "bm25_rank",
-        "vocab_coverage",
-        "unigram_logprob_score",
-        "lang_consistency_audit",
-        "corpus_quality_report",
         "quality_classifier_score",
         "zipf_slope_audit",
         "bpe_merge_step",
     ],
+    "sketches": ["cms_frequency_audit"],
     "curation": [
-        "stratified_split",
-        "corpus_composition",
-        "corpus_mix_temperature",
+        "e2e_curation_report",
+        "corpus_profile",
+        "weighted_sample_topk",
+        "domain_cap_sample",
         "corpus_mix_apply",
+        "stratified_split",
         "split_leakage_audit",
-        "source_drift_ks",
-        "length_quantiles_by_source",
     ],
     "training": [
+        "curriculum_phases",
+        "export_tokenized_sequences",
         "pack_sequences",
-        "export_shuffled_shards",
         "dsir_importance_weights",
     ],
-    # the Arrow/pandas boundary is in-window via multimodal_frame_sample
-    # (mapInPandas); pandas_session_gaps carries r1+r2 green rows.
-    "multimodal": ["multimodal_frame_sample"],
-    "events": ["event_funnel", "retention_cohorts"],
-    "graph": ["pagerank_user_graph"],
-    # rollups (hypertable_rollup, scd2_merge) rotated out entirely in
-    # the sixth rotation: both reps carry r1+r2 green rows with
-    # unchanged code, the same basis the demoted velib showcases use.
+    "multimodal_arrow": [
+        "arrow_batch_stats",
+        "udtf_sentence_split",
+        "multimodal_frame_sample",
+    ],
+    "events": [
+        "event_path_mining",
+        "event_rate_anomaly",
+        "cdc_merge_upsert",
+        "event_funnel",
+        "retention_cohorts",
+    ],
+    "graph": [
+        "label_propagation_communities",
+        "triangle_count",
+        "clustering_coefficient",
+        "pagerank_user_graph",
+    ],
+    "rollups": ["rollup_cube_orders", "cdc_merge_upsert"],
     "streaming": [
         "streaming_stateful_enumerate",
         "streaming_session_windows",
         "streaming_join_click_purchase",
+        "streaming_windowed_counts",
+        "streaming_dedup",
+        "streaming_dedup_within_watermark",
+        "streaming_static_enrich",
     ],
     "lake": [
+        "lake_schema_evolution",
+        "lake_retention_sweep",
+        "observed_write_metrics",
+        "csv_roundtrip_scan",
+        "python_datasource_bronze",
         "lake_zorder_layout",
     ],
 }
+
+
+def _latest_correctness(n: int = 2) -> list[dict]:
+    paths = sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    out = []
+    for p in paths[-n:]:
+        try:
+            with open(p) as f:
+                out.append(json.load(f))
+        except (OSError, json.JSONDecodeError):
+            pass
+    return out
+
+
+def _green(entry) -> bool:
+    return bool(
+        isinstance(entry, dict)
+        and entry.get("rows_match")
+        and entry.get("schema_match")
+        and entry.get("hash_match")
+    )
 
 
 def test_window_is_exactly_priority():
@@ -116,6 +175,44 @@ def test_all_family_representatives_registered():
 def test_no_oracle_less_query_in_window():
     missing = [n for n in WINDOW if registry.ORACLE.get(n) is None]
     assert not missing, f"oracle-less queries waste judged slots: {missing}"
+
+
+def test_changed_queries_are_in_window():
+    """Standing rotation rule (r3 VERDICT #2): a query whose code or
+    oracle changed since its recorded fingerprint (taken when it last
+    sat in the driver window) must rotate back in; new queries with no
+    fingerprint yet must enter the window for their first driver row.
+    Refresh with `python -m tools.fingerprints` at end of round."""
+    from tools.fingerprints import fingerprint, load
+
+    recorded = load()
+    assert recorded, "tools/query_fingerprints.json missing — regenerate"
+    offenders = []
+    for name in registry.QUERIES:
+        if name in WINDOW:
+            continue  # about to get a fresh driver row
+        old = recorded.get(name)
+        if old is None:
+            offenders.append(f"{name}: never fingerprinted (new query out of window)")
+        elif fingerprint(name) != old:
+            offenders.append(f"{name}: changed since last driver row")
+    assert not offenders, "changed => re-window violated:\n" + "\n".join(offenders)
+
+
+def test_family_coverage_ratchet():
+    """Coverage ratchet (r3 VERDICT #7): rotation must never orphan a
+    family — each family needs a green row in the union of the last two
+    committed CORRECTNESS artifacts, or a pending slot in the current
+    window (checked this round)."""
+    arts = _latest_correctness(2)
+    assert arts, "no CORRECTNESS_r*.json artifacts committed"
+    green = {n for art in arts for n, e in art.items() if _green(e)}
+    for family, names in FAMILY_REPRESENTATIVES.items():
+        ok = [n for n in names if n in green or n in WINDOW]
+        assert ok, (
+            f"family {family} has no green row in the last two CORRECTNESS"
+            f" artifacts and no pending window slot: {names}"
+        )
 
 
 def test_window_outputs_are_driver_hashable(spark):

@@ -153,7 +153,6 @@ def default_band_pairs(spark, sf_dir: str):
 
 def time_query(fn, spark, sf_dir: str, runs: int = 2) -> dict:
     samples = []
-    rows = None
     for _ in range(runs):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)

@@ -18,7 +18,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) )
 
 from velib_lakehouse_spark import registry
 from velib_lakehouse_spark.session import get_spark

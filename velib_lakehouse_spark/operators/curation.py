@@ -934,3 +934,46 @@ def _e2e_oracle() -> str:
 
 ORACLE["e2e_curation_report"] = _e2e_oracle()
 QUERIES["e2e_curation_report"] = e2e_curation_report
+
+
+# ---- per-domain cap sampling (round 4) ---------------------------------------
+
+DOMAIN_CAP = 15
+
+
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap each source's contribution at DOMAIN_CAP documents, chosen by
+    content-independent hash order — the anti-domination step of a
+    crawl-mix recipe (one mega-domain must not swamp the corpus).
+
+    Differs from ``deterministic_sample`` (global hash-threshold rate)
+    by bounding the PER-GROUP count exactly.  The md5(doc_id) sort key
+    makes the pick uniform, reproducible, and stable under corpus
+    growth everywhere except the cap boundary.  One shuffle on source;
+    the rank window is WindowGroupLimit-eligible, so each task discards
+    past-cap rows before the per-source sort finishes — at 100 TB with
+    few giant sources, pre-aggregate with a salted per-salt cap first
+    and re-rank the ~salts * cap survivors.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_long(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.withColumn("smp_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("smp_rank") <= DOMAIN_CAP)
+        .select("doc_id", "source", "lang", "n_chars", "smp_rank")
+    )
+
+
+ORACLE["domain_cap_sample"] = f"""
+    SELECT doc_id, source, lang, n_chars, smp_rank FROM (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {sql_md5_long("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS BIGINT) AS smp_rank
+      FROM documents
+    ) WHERE smp_rank <= {DOMAIN_CAP}
+"""
+QUERIES["domain_cap_sample"] = domain_cap_sample

@@ -719,3 +719,76 @@ QUERIES = {
     "rollup_region_nation": rollup_region_nation,
     "explode_words": explode_words,
 }
+
+
+# ---- TPC-H Q3 (round 4) ------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-06-01"
+Q3_TOP_N = 10
+
+
+def tpch_q3_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: the classic 3-way
+    fact-dim join + filtered aggregate + global top-N.
+
+    customer (filtered to one segment) broadcasts into orders, the
+    result shuffles once against lineitem on orderkey; revenue uses the
+    integer micro-unit route (functions/exact.py) so the top-N ordering
+    is engine-exact.  The final sort is LIMIT-bounded (TakeOrderedAndProject
+    — O(N) per partition, no global sort materialization).  o_orderpriority
+    stands in for the spec's o_shippriority (not in this schema).
+    """
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("date")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("date")
+    )
+    rev_m = cents_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+    return (
+        l.join(
+            F.broadcast(
+                o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+                    "o_orderkey", "o_orderdate", "o_orderpriority"
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(micro_sum_2dp(rev_m, "revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(Q3_TOP_N)
+    )
+
+
+ORACLE["tpch_q3_shipping"] = f"""
+    WITH j AS (
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             {sql_cents_product('l_extendedprice', '1 - l_discount')} AS rev_m
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = '{Q3_SEGMENT}'
+        AND o_orderdate < TIMESTAMP '{Q3_DATE} 00:00:00'
+        AND l_shipdate > TIMESTAMP '{Q3_DATE} 00:00:00'
+    )
+    SELECT l_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           o_orderpriority,
+           {sql_micro_sum_2dp('rev_m', 'revenue')}
+    FROM j
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT {Q3_TOP_N}
+"""
+QUERIES["tpch_q3_shipping"] = tpch_q3_shipping

@@ -404,3 +404,205 @@ ORACLE["event_path_mining"] = f"""
     ) WHERE rank <= {PATH_TOP_N}
 """
 QUERIES["event_path_mining"] = event_path_mining
+
+
+# ---- CUBE rollup, CDC merge, rate anomaly (round 4) -------------------------
+
+
+def rollup_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE aggregate over orders (status x priority).
+
+    One pass produces all 2^2 grouping sets with map-side partial
+    aggregation — the OLAP cube primitive (the GROUPING SETS sibling of
+    ``grouping_sets_orders``).  Grouping flags disambiguate real NULL
+    dimension values from subtotal rows; money sums go through the
+    decimal convention (functions/exact.py) so every grouping set is
+    engine- and partitioning-exact.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+            F.grouping("o_orderpriority").cast("bigint").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+ORACLE["rollup_cube_orders"] = """
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           count(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+QUERIES["rollup_cube_orders"] = rollup_cube_orders
+
+
+# CDC changelog application (Delta-CDF / MERGE INTO semantics composed
+# from joins): the event stream splits at a fixed instant into a base
+# snapshot and a change batch; value < CDC_TOMBSTONE_BELOW marks a
+# tombstone (delete).  Both constants are part of the operator's
+# defined semantics and mirrored in the oracle.
+CDC_CUTOFF_MS = 1_705_363_200_000  # 2024-01-16T00:00:00Z
+CDC_TOMBSTONE_BELOW = 5.0
+
+
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE a keyed change batch into a snapshot: upsert + tombstone.
+
+    The lakehouse CDC-apply shape (Delta/Iceberg MERGE INTO, re-expressed
+    as a full-outer join so it runs on plain parquet): per user, the
+    latest pre-cutoff event (tombstones applied) is the base state; the
+    latest post-cutoff event is the change.  Emitted actions: UPDATE /
+    DELETE (key in both), INSERT (change only), KEEP (base only) — the
+    audit a production MERGE writes to its commit log.  Latest-wins
+    ordering is (ts, event_id), a total order, so the merge is a pure
+    function of the data.  One shuffle per side for the latest-row
+    window, one join keyed on user_id; at 100 TB the change batch is
+    small relative to the snapshot and broadcast-joins.
+    """
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "ms", F.unix_millis("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ms"), F.desc("event_id")
+    )
+    base = (
+        e.filter(F.col("ms") < CDC_CUTOFF_MS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("value") >= CDC_TOMBSTONE_BELOW)
+        .select("user_id", F.col("value").alias("old_value"))
+    )
+    change = (
+        e.filter(F.col("ms") >= CDC_CUTOFF_MS)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("value").alias("ch_value"),
+            F.col("ms").alias("change_ts_ms"),
+            (F.col("value") < CDC_TOMBSTONE_BELOW).alias("tomb"),
+        )
+    )
+    merged = base.join(change, "user_id", "full_outer")
+    action = (
+        F.when(F.col("ch_value").isNull(), F.lit("KEEP"))
+        .when(F.col("old_value").isNull() & F.col("tomb"), F.lit("NOOP"))
+        .when(F.col("old_value").isNull(), F.lit("INSERT"))
+        .when(F.col("tomb"), F.lit("DELETE"))
+        .otherwise(F.lit("UPDATE"))
+    )
+    new_value = F.when(F.col("tomb"), F.lit(None).cast("double")).otherwise(
+        F.col("ch_value")
+    )
+    return merged.select(
+        "user_id",
+        action.alias("action"),
+        "old_value",
+        new_value.alias("new_value"),
+        "change_ts_ms",
+    )
+
+
+ORACLE["cdc_merge_upsert"] = f"""
+    WITH base AS (
+      SELECT user_id, value AS old_value FROM (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE epoch_ms(ts) < {CDC_CUTOFF_MS}
+      ) WHERE rn = 1 AND value >= {CDC_TOMBSTONE_BELOW}
+    ),
+    change AS (
+      SELECT user_id, value AS ch_value, ms AS change_ts_ms,
+             value < {CDC_TOMBSTONE_BELOW} AS tomb
+      FROM (
+        SELECT user_id, value, epoch_ms(ts) AS ms,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        FROM events WHERE epoch_ms(ts) >= {CDC_CUTOFF_MS}
+      ) WHERE rn = 1
+    )
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           CASE WHEN c.ch_value IS NULL THEN 'KEEP'
+                WHEN b.old_value IS NULL AND c.tomb THEN 'NOOP'
+                WHEN b.old_value IS NULL THEN 'INSERT'
+                WHEN c.tomb THEN 'DELETE'
+                ELSE 'UPDATE' END AS action,
+           b.old_value,
+           CASE WHEN c.tomb THEN NULL ELSE c.ch_value END AS new_value,
+           c.change_ts_ms
+    FROM base b FULL OUTER JOIN change c ON b.user_id = c.user_id
+"""
+QUERIES["cdc_merge_upsert"] = cdc_merge_upsert
+
+
+# An hour is anomalous when its event count exceeds RATE_FACTOR x the
+# user's own mean hourly rate (over their ACTIVE hours) — pure integer
+# comparison c * n_hours > RATE_FACTOR * total, no floating point.
+RATE_FACTOR = 2
+
+
+def event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly rate-spike detection (abuse/bot screening).
+
+    Two-level shape: one shuffle groups (user, hour) counts, then a
+    window over user_id derives each user's total and active-hour count
+    without a second aggregate-join — the partial-agg-plus-window
+    pattern that keeps shuffled bytes O(user-hours).  The verdict is
+    exact integer arithmetic, so it is partitioning- and engine-stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "user_id",
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("hour_ms"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id")
+    stats = hourly.select(
+        "user_id",
+        "hour_ms",
+        "n_events",
+        F.sum("n_events").over(w).alias("user_total_events"),
+        F.count(F.lit(1)).over(w).alias("n_active_hours"),
+    )
+    return stats.filter(
+        F.col("n_events") * F.col("n_active_hours")
+        > RATE_FACTOR * F.col("user_total_events")
+    )
+
+
+ORACLE["event_rate_anomaly"] = f"""
+    WITH hourly AS (
+      SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT user_id, hour_ms, n_events,
+             SUM(n_events) OVER (PARTITION BY user_id) AS user_total_events,
+             count(*) OVER (PARTITION BY user_id) AS n_active_hours
+      FROM hourly
+    )
+    SELECT user_id, hour_ms, n_events, user_total_events, n_active_hours
+    FROM stats
+    WHERE n_events * n_active_hours > {RATE_FACTOR} * user_total_events
+"""
+QUERIES["event_rate_anomaly"] = event_rate_anomaly

@@ -31,132 +31,35 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-3 ROTATION (VERDICT r2 next-round #1): the 19 round-2
-# training-pipeline operators had never received a driver CORRECTNESS
-# row (they sat past the window), while many round-1 showcases had two
-# rounds of green rows.  The window now carries every never-checked
-# operator plus the newly oracle-ized ann_ivf_topk; demoted showcases
-# (two green rows each) moved to the head of SECONDARY.  Every §2
-# family keeps at least one in-window representative.
-# SECOND ROTATION (same round): the six operators built in round 3
-# (chunking, block dedup, bigram LM, exact quantiles, embedding
-# dispersion, streaming session windows) take the slots of six velib
-# showcases that are byte-unchanged since their r1+r2 green rows; the
-# velib core stays represented by velib_silver_parse (P1-P3 parse),
-# velib_sparkline (Q1 top-n + ordered agg + semi join) and
-# velib_health (Q2 scalar-agg CTEs + cross join).
-# THIRD ROTATION (same round): four more new operators — hybrid
-# RRF retrieval, duplicate-cluster canonicalization, temperature
-# corpus mixing, and the watermarked stream-stream join — take the
-# slots of four two-rounds-green showcases (join_shuffle_revenue,
-# range_join_periods, scd2_merge, pandas_text_features); each family
-# keeps an in-window representative (joins: tpch_q1 + asof; rollups:
-# hypertable_rollup; pandas/Arrow: pandas_session_gaps).
-# FOURTH ROTATION (same round): DSIR importance weights, inverted
-# index, n-gram novelty, mix application, and embedding outliers
-# replace five r1+r2-green showcases (dedup_exact, dedup_minhash_lsh,
-# json_file_scan, lake_gold_snapshot, streaming_windowed_counts);
-# dedup keeps six reps, lake keeps partition-pruning + z-order,
-# streaming keeps five.
-# FIFTH ROTATION (same round): the logistic quality classifier and the
-# Zipf-slope audit replace asof_join_latest_state + ann_lsh_topk (both
-# r1+r2 green; as-of semantics stay covered by pandas_session_gaps'
-# session machinery and similarity keeps four reps).
-# SIXTH ROTATION (same round): the banded LSH index, its two recall
-# audits, and the split-leakage audit replace four r1+r2-green
-# showcases (dedup_clusters — whose oracle+code dedup_canonicalize
-# composes wholesale — hypertable_rollup, lake_partition_pruned,
-# streaming_dedup).
-# SEVENTH ROTATION (same round): the BPE merge step replaces
-# streaming_silver_availablenow (r1+r2 green; the same file-source +
-# availableNow drain machinery runs inside the three streaming queries
-# still in-window).
-# EIGHTH ROTATION (same round): the event funnel and retention cohorts
-# replace pandas_session_gaps + velib_health (both r1+r2 green; the
-# Arrow/pandas boundary stays in-window via multimodal_frame_sample,
-# and the velib core keeps silver_parse + sparkline).
-# NINTH ROTATION (same round): integer-exact PageRank over the
-# co-activity graph replaces velib_silver_parse (r1+r2 green; the
-# velib core stays represented by velib_sparkline, and P1-P3 parse
-# semantics also run inside the in-window streaming queries'
-# from_json path).  pmi_collocations heads SECONDARY as the single
-# remaining never-driver-checked operator.
+# ROUND-4 ROTATION (VERDICT r3 next-round #1/#2). Standing rule,
+# guarded by tests/test_registry_window.py::test_changed_queries_are_in_window
+# via tools/query_fingerprints.json: a query whose code or oracle
+# changed since its last green driver row MUST rotate back into the
+# window ("changed => re-window").  This round's window composition:
+# * velib_sparkline — the reference-core representative (r3 green, kept
+#   in-window as the §2 anchor).
+# * the 33 round-3 operators that never had a driver CORRECTNESS row
+#   (judge-verified green at sf0.01 in the r3 verdict; pre-queued at
+#   the head of SECONDARY since r3).
+# * changed => re-window: dedup_minhash_lsh + dedup_embedding_cosine
+#   (the within-group pair expansion was rewritten from a single-row
+#   O(g^2) array to an explode+self-join, and the multi-consumer
+#   groups frames gained persist(); semdedup, decontaminate_embedding
+#   and minhash_estimate_audit share that rewrite and sit in the 33
+#   above) and the five memory-sink streaming queries rerouted through
+#   the distributed parquet drain (_drain_parquet_sink).
+# * chunk_documents + hybrid_rank_fusion — family representatives for
+#   chunking and retrieval (their r3-green siblings rotated out).
+# * the seven round-4 operators (first driver check): capped top-k
+#   near-dup pairs, edit-distance verification, CUBE rollup, CDC merge
+#   apply, hourly rate anomaly, TPC-H Q3, per-domain cap sampling.
+# Demoted r3-green showcases head SECONDARY in rotation order; every
+# §2 family keeps an in-window representative AND a green row within
+# the last two CORRECTNESS artifacts (the coverage ratchet test).
 PRIORITY: tuple[str, ...] = (
-    # reference (velib) semantics — the §2 core representatives
+    # reference (velib) semantics — the §2 core representative
     "velib_sparkline",
-    # round-3 operators (first driver check)
-    "chunk_documents",
-    "dedup_chunks",
-    "length_quantiles_by_source",
-    "bigram_lm_top",
-    "embedding_dispersion",
-    "streaming_session_windows",
-    # relational representatives (semi/anti/count-if/top-n/ordered-agg
-    # families are covered inside the velib queries above; their
-    # standalone two-rounds-green showcases yielded their slots)
-    "tpch_q1_pricing",
-    "corpus_quality_report",
-    # LLM-pipeline: dedup
-    "dedup_embedding_cosine",
-    "dedup_incremental_minhash",
-    "dedup_containment",
-    "dedup_canonicalize",
-    "ngram_novelty",
-    "decontaminate_ngram",
-    # similarity / embeddings / retrieval
-    "hybrid_rank_fusion",
-    "inverted_index",
-    "ann_ivf_topk",
-    "ann_banded_lsh_topk",
-    "ann_recall_audit",
-    "ann_banded_recall_audit",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "embedding_outliers",
-    # text analysis
-    "repetition_stats",
-    "gopher_quality_filter",
-    "tfidf_top_terms",
-    "bm25_rank",
-    "vocab_coverage",
-    "unigram_logprob_score",
-    "lang_consistency_audit",
-    "quality_classifier_score",
-    "zipf_slope_audit",
-    "bpe_merge_step",
-    # curation
-    "stratified_split",
-    "corpus_composition",
-    "corpus_mix_temperature",
-    "corpus_mix_apply",
-    "split_leakage_audit",
-    "source_drift_ks",
-    # training export
-    "pack_sequences",
-    "export_shuffled_shards",
-    "dsir_importance_weights",
-    # Arrow boundary + multimodal plumbing
-    "multimodal_frame_sample",
-    # event analytics + graph
-    "event_funnel",
-    "retention_cohorts",
-    "pagerank_user_graph",
-    # streaming
-    "streaming_stateful_enumerate",
-    "streaming_join_click_purchase",
-    # lake layout
-    "lake_zorder_layout",
-)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.  All of these have green driver rows from
-# rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
-# whose batch-mirror oracle landed in round 3.
-SECONDARY: tuple[str, ...] = (
-    # never driver-checked yet — first in line if the window grows
-    # (pytest oracle-parity + fuzz green; window slots are exhausted by
-    # operators whose remaining in-window peers have <2 green rows)
+    # round-3 operators with no driver row yet (VERDICT r3 #1)
     "pmi_collocations",
     "dup_span_report",
     "label_propagation_communities",
@@ -190,41 +93,97 @@ SECONDARY: tuple[str, ...] = (
     "corpus_profile",
     "export_tokenized_sequences",
     "weighted_sample_topk",
-    # showcase demoted by the round-3 ninth rotation (r1+r2 green)
+    # changed => re-window (VERDICT r3 #2: collapse rewrite + parquet drain)
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "streaming_session_windows",
+    "streaming_stateful_enumerate",
+    "streaming_join_click_purchase",
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    # family representatives (chunking, retrieval)
+    "chunk_documents",
+    "hybrid_rank_fusion",
+    # round-4 operators (first driver check)
+    "pairs_topk_capped",
+    "editdist_verified_pairs",
+    "rollup_cube_orders",
+    "cdc_merge_upsert",
+    "event_rate_anomaly",
+    "tpch_q3_shipping",
+    "domain_cap_sample",
+)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.  All of these have green driver rows from
+# rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
+# whose batch-mirror oracle landed in round 3.
+SECONDARY: tuple[str, ...] = (
+    # showcases demoted by the round-4 rotation — every one holds an
+    # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
+    # since; first in line if the window grows
+    "dedup_chunks",
+    "length_quantiles_by_source",
+    "bigram_lm_top",
+    "embedding_dispersion",
+    "tpch_q1_pricing",
+    "corpus_quality_report",
+    "dedup_incremental_minhash",
+    "dedup_containment",
+    "dedup_canonicalize",
+    "ngram_novelty",
+    "decontaminate_ngram",
+    "inverted_index",
+    "ann_ivf_topk",
+    "ann_banded_lsh_topk",
+    "ann_recall_audit",
+    "ann_banded_recall_audit",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "embedding_outliers",
+    "repetition_stats",
+    "gopher_quality_filter",
+    "tfidf_top_terms",
+    "bm25_rank",
+    "vocab_coverage",
+    "unigram_logprob_score",
+    "lang_consistency_audit",
+    "quality_classifier_score",
+    "zipf_slope_audit",
+    "bpe_merge_step",
+    "stratified_split",
+    "corpus_composition",
+    "corpus_mix_temperature",
+    "corpus_mix_apply",
+    "split_leakage_audit",
+    "source_drift_ks",
+    "pack_sequences",
+    "export_shuffled_shards",
+    "dsir_importance_weights",
+    "multimodal_frame_sample",
+    "event_funnel",
+    "retention_cohorts",
+    "pagerank_user_graph",
+    "lake_zorder_layout",
+    # earlier-round demotions (r1+r2 green rows, code unchanged since;
+    # rotation provenance in the r1-r3 registry history, git log)
     "velib_silver_parse",
-    # showcases demoted by the round-3 eighth rotation (r1+r2 green,
-    # code unchanged)
     "pandas_session_gaps",
     "velib_health",
-    # showcase demoted by the round-3 seventh rotation (r1+r2 green,
-    # code unchanged)
     "streaming_silver_availablenow",
-    # showcases demoted by the round-3 sixth rotation (r1+r2 green,
-    # code unchanged; dedup_clusters additionally runs inside the
-    # in-window dedup_canonicalize)
     "dedup_clusters",
     "hypertable_rollup",
     "lake_partition_pruned",
-    "streaming_dedup",
-    # showcases demoted by the round-3 fifth rotation (r1+r2 green,
-    # code unchanged)
     "asof_join_latest_state",
     "ann_lsh_topk",
-    # showcases demoted by the round-3 fourth rotation (r1+r2 green,
-    # code unchanged)
     "dedup_exact",
-    "dedup_minhash_lsh",
     "json_file_scan",
     "lake_gold_snapshot",
-    "streaming_windowed_counts",
-    # showcases demoted by the round-3 third rotation (two green rows
-    # each, code unchanged)
     "join_shuffle_revenue",
     "range_join_periods",
     "scd2_merge",
     "pandas_text_features",
-    # velib showcases demoted by the round-3 second rotation: each has
-    # identical code to its r1+r2 green driver rows
     "velib_history_enrich",
     "velib_dedup_latest",
     "velib_alerts",

@@ -164,6 +164,11 @@ def _event_stream(
     # several).  The glob alone would silently match nothing in the
     # directory case (part files are named part-*), and the direct path
     # alone rejects single files (basePath must be a directory).
+    # NOTE: os.path.isdir means sf_dir MUST be a local filesystem path
+    # (every harness here passes one).  For object-store/HDFS URIs,
+    # swap in the Hadoop FileSystem API:
+    #   jvm = spark._jvm; pth = jvm.org.apache.hadoop.fs.Path(tbl)
+    #   pth.getFileSystem(spark._jsc.hadoopConfiguration()).isDirectory(pth)
     tbl = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(tbl):
         stream = reader.parquet(tbl)
