@@ -11,7 +11,9 @@ corpus is the adversarial case for dedup operators (dup-group pair
 counts grow R^2), exactly what a crawl-scale corpus looks like.
 
 Scales: 1x, 4x, 16x, 64x of sf0.1 (64x ~ TPC-H sf6.4: 38.4 M lineitem,
-6.4 M events, 320 k documents, 128 k embeddings).  For the embedding
+6.4 M events, 320 k documents, 128 k embeddings); --scales 256 builds
+the output-bound proof point (153.6 M lineitem, 1.28 M documents with
+256-deep exact-dup groups).  For the embedding
 near-dup family the judged small-fixture band profile (4 bands x 4
 bits, collision p ~ 0.23) is measured next to the documented
 wide-corpus profile (8 bands x 8 bits, p ~ 0.031, the recall-pinned profile) — the knob
@@ -151,14 +153,20 @@ def default_band_pairs(spark, sf_dir: str):
     return banded_cosine_pairs(v, EMB_PAIR_THRESHOLD)
 
 
-def time_query(fn, spark, sf_dir: str, runs: int = 2) -> dict:
+def time_query(fn, spark, sf_dir: str, runs: int = 2, count_rows: bool = False) -> dict:
     samples = []
     for _ in range(runs):
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         samples.append(round(time.perf_counter() - t0, 3))
-    return {"min_s": min(samples), "first_s": samples[0]}
+    out = {"min_s": min(samples), "first_s": samples[0]}
+    if count_rows:
+        # Output cardinality measured OUTSIDE the timed runs: the
+        # output-bound claim (r3 VERDICT #4) needs rows next to
+        # wall-time to show growth is required pair output, not compute.
+        out["rows"] = fn(spark, sf_dir).count()
+    return out
 
 
 def main() -> None:
@@ -170,6 +178,11 @@ def main() -> None:
         "--queries",
         default=None,
         help="comma list to restrict the registry queries measured",
+    )
+    ap.add_argument(
+        "--count-rows",
+        action="store_true",
+        help="also count each query's output rows (outside the timed runs)",
     )
     ap.add_argument(
         "--emb",
@@ -191,7 +204,10 @@ def main() -> None:
     for r in scales:
         sf_dir = os.path.join(OUT, f"x{r}")
         for name in query_names:
-            res = time_query(registry.QUERIES[name], spark, sf_dir, args.runs)
+            res = time_query(
+                registry.QUERIES[name], spark, sf_dir, args.runs,
+                count_rows=args.count_rows,
+            )
             results.setdefault(name, {})[r] = res
             print(json.dumps({"query": name, "scale": r, **res}))
             sys.stdout.flush()

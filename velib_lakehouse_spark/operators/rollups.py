@@ -597,7 +597,8 @@ ORACLE["event_rate_anomaly"] = f"""
     ),
     stats AS (
       SELECT user_id, hour_ms, n_events,
-             SUM(n_events) OVER (PARTITION BY user_id) AS user_total_events,
+             CAST(SUM(n_events) OVER (PARTITION BY user_id) AS BIGINT)
+               AS user_total_events,
              count(*) OVER (PARTITION BY user_id) AS n_active_hours
       FROM hourly
     )
