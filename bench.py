@@ -140,6 +140,7 @@ HEADLINE = [
     "bucketed_join_priority_revenue",
     "python_datasource_bronze",
     # round 4
+    "streaming_session_windows",
     "streaming_windowed_counts",
     "streaming_dedup",
     "streaming_static_enrich",
