@@ -81,16 +81,18 @@ QUERY_NAMES = [
 ]
 
 
-def build(spark, scales: list[int]) -> None:
+def build(spark, scales: list[int], tables: list[str] | None = None) -> None:
     for r in scales:
         dst = os.path.join(OUT, f"x{r}")
-        if os.path.isdir(dst):
+        if tables is None and os.path.isdir(dst):
             shutil.rmtree(dst)
         os.makedirs(dst, exist_ok=True)
         copies = F.broadcast(
             spark.range(r).select(F.col("id").alias("__copy"))
         )
         for t, keys in FACT_OFFSETS.items():
+            if tables is not None and t not in tables:
+                continue
             df = spark.read.parquet(f"{SRC}/{t}.parquet")
             if r == 1:
                 out = df
@@ -172,6 +174,12 @@ def time_query(fn, spark, sf_dir: str, runs: int = 2, count_rows: bool = False) 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--build", action="store_true")
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma list restricting which fact tables --build replicates"
+        " (dims always copied); partial builds land in the same dir",
+    )
     ap.add_argument("--scales", default="1,4,16,64")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
@@ -198,7 +206,10 @@ def main() -> None:
 
     spark = get_spark(app_name="scale-stress")
     if args.build:
-        build(spark, scales)
+        build(
+            spark, scales,
+            tables=[t for t in args.tables.split(",") if t] if args.tables else None,
+        )
 
     results: dict[str, dict[int, dict]] = {}
     for r in scales:
