@@ -1827,8 +1827,16 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     * position cover-back is a second shuffle joining gram positions
       to the duplicated hash set (linear, key-balanced: gram hashes
       are uniform);
-    * span union per doc is ``explode(sequence(pos, pos+K-1))`` +
-      distinct — fan-out K per duplicated gram, bounded.
+    * span union per doc is an interval merge over one doc-partitioned
+      window pass: every gram covers ``[pos, pos+K-1]`` and positions
+      are unique per doc, so the union length is
+      ``sum(min(K, pos - lag(pos)))``.  (An earlier formulation
+      exploded ``sequence(pos, pos+K-1)`` and took a corpus-wide
+      ``distinct`` — a K-fold row fan-out into the job's biggest
+      shuffle; on the 256x all-duplicate corpus, where EVERY gram is
+      cross-doc duplicated, that distinct processed ~1e9 rows and
+      dominated end-to-end time.  The window pass shuffles each
+      position once, partitioned by doc, bounded by doc length.)
 
     No doc-frequency cap is needed: unlike pair generation (O(df²)),
     every stage here is linear in the number of gram occurrences.
@@ -1861,17 +1869,25 @@ def dup_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mn") != F.col("mx"))
         .select("h")
     )
+    # Interval union per doc: grams are sorted by pos within the doc
+    # partition and all spans share width K, so span ends are monotone
+    # and each gram adds min(K, pos - prev_pos) new covered tokens.
+    # The groupBy reuses the window's doc_id hash partitioning — one
+    # exchange total after the dup join.
+    mwin = Window.partitionBy("doc_id").orderBy("pos")
     covered = (
         grams.join(dup, "h")
+        .select("doc_id", "pos")
+        .withColumn("gap", F.col("pos") - F.lag("pos").over(mwin))
         .select(
             "doc_id",
-            F.explode(
-                F.expr(f"sequence(pos, pos + {DUP_SPAN_K - 1})")
-            ).alias("p"),
+            F.least(
+                F.coalesce(F.col("gap"), F.lit(DUP_SPAN_K)),
+                F.lit(DUP_SPAN_K),
+            ).alias("add"),
         )
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+        .agg(F.sum("add").cast("bigint").alias("dup_tokens"))
     )
     return (
         w.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
