@@ -2145,3 +2145,93 @@ ORACLE["editdist_verified_pairs"] = f"""
     WHERE ((max_len - dist) * 1000000) // max_len >= {EDITSIM_MIN_PPM}
 """
 QUERIES["editdist_verified_pairs"] = editdist_verified_pairs
+
+
+# ---- Sorted-neighborhood blocking (Hernandez & Stolfo 1995) ----
+
+SNM_WINDOW = 3  # neighbor window: pair ranks within this gap
+SNM_KEY_LEN = 16  # sort key: first chars of the text
+SNM_BLOCK_LEN = 4  # block prefix: bounds each sorted run
+
+
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate generation (the classic
+    merge/purge blocking of Hernandez & Stolfo 1995): sort records by
+    a key, slide a fixed window down the sorted list, and emit every
+    pair inside the window — O(n*w) candidates instead of O(n^2).
+
+    Distributed adaptation: the sort is per BLOCK (a prefix of the
+    sort key), not global — a global row_number would serialize the
+    corpus through one task.  Pairs never straddle blocks; the
+    documented trade (standard in distributed SNM) is that key-adjacent
+    records in different blocks are not paired, in exchange for fully
+    parallel runs bounded by block size.  The window join itself is an
+    EQUI-join: each record explodes into `w` (block, rank+g) anchors
+    that hash-join against (block, rank) — no range predicate, no
+    band join, so Catalyst plans a plain shuffle hash join at any
+    scale.  Only doc ids, ranks, lengths, and 60-bit text hashes move;
+    text never shuffles.
+
+    Output: one row per in-window pair with the rank gap, the char-
+    length delta, and whether the two texts are byte-identical — the
+    cheap verify stage downstream edit-distance verification
+    (`editdist_verified_pairs`) would consume.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.substring("text", 1, SNM_BLOCK_LEN).alias("block"),
+        F.substring("text", 1, SNM_KEY_LEN).alias("sort_key"),
+        md5_long(F.col("text")).alias("text_h"),
+    )
+    rw = Window.partitionBy("block").orderBy("sort_key", "doc_id")
+    ranked = base.select(
+        "doc_id", "n_chars", "block", "text_h",
+        F.row_number().over(rw).alias("rnk"),
+    )
+    gaps = spark.range(1, SNM_WINDOW + 1).select(F.col("id").alias("g"))
+    probes = ranked.crossJoin(F.broadcast(gaps)).select(
+        F.col("block"),
+        (F.col("rnk") + F.col("g")).alias("rnk"),
+        F.col("g").alias("rank_gap"),
+        F.col("doc_id").alias("a_id"),
+        F.col("n_chars").alias("a_chars"),
+        F.col("text_h").alias("a_h"),
+    )
+    right = ranked.select(
+        "block", "rnk",
+        F.col("doc_id").alias("b_id"),
+        F.col("n_chars").alias("b_chars"),
+        F.col("text_h").alias("b_h"),
+    )
+    return probes.join(right, ["block", "rnk"]).select(
+        "block",
+        "a_id",
+        "b_id",
+        "rank_gap",
+        F.abs(F.col("a_chars") - F.col("b_chars")).alias("len_diff"),
+        (F.col("a_h") == F.col("b_h")).alias("exact_dup"),
+    )
+
+
+ORACLE["sorted_neighborhood_pairs"] = f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             substr(text, 1, {SNM_BLOCK_LEN}) AS block,
+             {sql_md5_long('text')} AS text_h,
+             row_number() OVER (
+               PARTITION BY substr(text, 1, {SNM_BLOCK_LEN})
+               ORDER BY substr(text, 1, {SNM_KEY_LEN}), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT a.block, a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+           CAST(abs(a.n_chars - b.n_chars) AS BIGINT) AS len_diff,
+           a.text_h = b.text_h AS exact_dup
+    FROM ranked a
+    JOIN ranked b
+      ON a.block = b.block
+     AND b.rnk - a.rnk BETWEEN 1 AND {SNM_WINDOW}
+"""
+QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs

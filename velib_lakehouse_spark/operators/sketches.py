@@ -36,9 +36,12 @@ from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
 from velib_lakehouse_spark.functions.hashing import (
+    md5_long,
     seeded_md5_long,
+    sql_md5_long,
     sql_seeded_md5_long,
 )
+from velib_lakehouse_spark.operators.dedup import _SQL_SHINGLES, _shingles
 
 CMS_D = 4  # hash rows (depth): P(overcount > eps) ~ exp(-d)
 # Width 16 is sized for the test corpora (a ~30-term vocabulary), so
@@ -102,6 +105,182 @@ def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HLL_P = 4  # register-index bits
+HLL_M = 1 << HLL_P  # 16 registers; std error ~ 1.04/sqrt(m) ~ 26%
+# alpha_16 * m^2 = 0.673 * 256 (Flajolet et al. 2007 constant for m=16)
+HLL_ALPHA_M2 = "172.288"
+# 2^57: the harmonic sum is kept as the INTEGER sum(2^(57 - r_j)) so it
+# is bit-exact under any partitioning/merge order (r_j <= 57, so every
+# term is a non-negative power of two and the total stays < 2^61).
+HLL_SCALE = 1 << 57
+
+
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-word estimate, audited against the exact
+    count (Flajolet et al. 2007, without the small/large-range
+    corrections — the raw estimator, plus the zero-register count the
+    corrections key off, so the audit shows WHEN they would kick in).
+
+    Register build: bucket = low p bits of the 60-bit word hash,
+    rho = leading-zero count of the remaining 56 bits + 1, register =
+    max(rho) per bucket.  Emits ONE row: the ordered 16-register
+    vector, the integer-scaled harmonic sum, the estimate, the exact
+    distinct count, and the signed error in ppm.
+
+    Scale shape: the register build is a map-side partial ``max`` onto
+    exactly m = 16 reduce rows NO MATTER the corpus size — the
+    mergeable-sketch shape (registers merge by elementwise max, so
+    executor-local sketches combine without reshuffling tokens).  The
+    exact pass (the audit half) is the one real shuffle: distinct over
+    word strings, Zipf-bounded.  All arithmetic is integer except the
+    single final estimate division, which both engines evaluate from
+    identical IEEE-754 inputs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(F.explode(_words()).alias("w"))
+    h = md5_long(F.col("w"))
+    regs = (
+        words.select(
+            (h % HLL_M).alias("bucket"),
+            F.expr(
+                # rho over the top 56 bits: 57 - bitlength(h div 16),
+                # with the all-zero suffix pinned to 57
+                f"""CASE WHEN ({_H_SQL} div {HLL_M}) = 0 THEN 57
+                    ELSE 57 - length(bin({_H_SQL} div {HLL_M})) END"""
+            ).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    all_regs = (
+        spark.range(HLL_M)
+        .select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left")
+        .select("bucket", F.coalesce("r", F.lit(0)).cast("int").alias("r"))
+    )
+    summary = all_regs.agg(
+        F.expr("array_sort(collect_list(struct(bucket, r)))").alias("br"),
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 57 - r)")).alias(
+            "harmonic_scaled"
+        ),
+        F.sum(F.when(F.col("r") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    ).select(
+        F.expr("transform(br, x -> x.r)").alias("registers"),
+        "harmonic_scaled",
+        "n_zero_registers",
+        # explicit floor: DuckDB's double->BIGINT cast rounds while
+        # Spark's truncates, so pin the rounding mode in both engines
+        F.expr(
+            f"CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)}"
+            " / harmonic_scaled) AS BIGINT)"
+        ).alias("hll_estimate"),
+    )
+    exact = words.agg(F.count_distinct("w").alias("exact_distinct"))
+    return summary.crossJoin(F.broadcast(exact)).select(
+        "registers",
+        "harmonic_scaled",
+        "n_zero_registers",
+        "hll_estimate",
+        "exact_distinct",
+        F.expr(
+            "(hll_estimate - exact_distinct) * 1000000 div exact_distinct"
+        ).alias("err_ppm"),
+    )
+
+
+# Spark-side hash expression for the word column (mirrors md5_long)
+_H_SQL = "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"
+
+
+BLOOM_M = 512  # bits; sized so the test corpus shows real FPs
+BLOOM_K = 3  # probes per key
+BLOOM_EVAL_MOD = 11  # same held-out convention as training.EVAL_MOD
+
+
+def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination audit: rebuild the eval-shingle
+    membership test as an m-bit / k-probe Bloom filter and report, per
+    training document, how many of its shingles the filter flags vs the
+    exact semi-join — i.e. the filter's false-positive tax (Bloom
+    filters have no false negatives, so ``n_bloom_hits >=
+    n_exact_hits`` always; the delta is what a production pipeline
+    trades for a constant-size membership structure).
+
+    Scale shape: the SET-BITS table is at most m = 512 rows no matter
+    how many eval shingles exist (bits merge by union — mergeable like
+    every sketch here) and is broadcast; the probe pass is map-side
+    fan-out of k rows per train shingle joined against the broadcast
+    bitset, then one per-(doc, shingle) count and one per-doc rollup.
+    The exact pass reuses the same broadcast eval-shingle set as
+    ``decontaminate_ngram``.  At 100 TB the filter would be sized
+    m ~ 10 bits/key; the audit's shuffles stay one-row-per-shingle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    seeds = spark.range(BLOOM_K).select(F.col("id").alias("seed"))
+    bits = (
+        eval_sh.crossJoin(F.broadcast(seeds))
+        .select(
+            (seeded_md5_long(F.col("seed"), F.col("shingle")) % BLOOM_M)
+            .alias("bit")
+        )
+        .distinct()
+    )
+    train_sh = sh.filter(F.col("doc_id") % BLOOM_EVAL_MOD != 0)
+    probe_hits = (
+        train_sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "shingle",
+            (seeded_md5_long(F.col("seed"), F.col("shingle")) % BLOOM_M)
+            .alias("bit"),
+        )
+        .join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "shingle")
+        # k probe rows per shingle; a shingle is a Bloom member iff all
+        # k landed on set bits (seed collisions double-count a bit, so
+        # count distinct seeds is NOT needed — each seed row either
+        # joins or doesn't)
+        .agg(F.count(F.lit(1)).alias("nk"))
+        .filter(F.col("nk") == BLOOM_K)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    exact_hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_exact_hits"))
+    )
+    base = train_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        base.join(probe_hits, "doc_id", "left")
+        .join(exact_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_bloom_hits", F.lit(0)).alias("n_bloom_hits"),
+            F.coalesce("n_exact_hits", F.lit(0)).alias("n_exact_hits"),
+            (
+                F.coalesce("n_bloom_hits", F.lit(0))
+                - F.coalesce("n_exact_hits", F.lit(0))
+            ).alias("n_false_positives"),
+            F.expr(
+                "(coalesce(n_bloom_hits, 0) - coalesce(n_exact_hits, 0))"
+                " * 1000000 div n_shingles"
+            ).alias("fp_ppm"),
+        )
+    )
+
+
 _SQL_WORDS = """
   SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
   FROM documents
@@ -138,8 +317,102 @@ ORACLE: dict[str, str | None] = {
         JOIN sketch sk ON sk.seed = p.seed AND sk.bucket = p.bucket
         GROUP BY p.w, p.exact_cnt
     """,
+    "hll_distinct_audit": f"""
+        WITH words AS ({_SQL_WORDS}),
+        hv AS (SELECT {sql_md5_long('w')} AS h, w FROM words),
+        regs AS (
+          SELECT bucket, max(rho) AS r FROM (
+            SELECT h % {HLL_M} AS bucket,
+                   CASE WHEN (h // {HLL_M}) = 0 THEN 57
+                        ELSE 57 - length(bin(h // {HLL_M})) END AS rho
+            FROM hv
+          ) GROUP BY bucket
+        ),
+        allr AS (
+          SELECT g.bucket, CAST(COALESCE(r.r, 0) AS INT) AS r
+          FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) g
+          LEFT JOIN regs r USING (bucket)
+        ),
+        summ AS (
+          SELECT list(r ORDER BY bucket) AS registers,
+                 CAST(sum(CAST(1 AS BIGINT) << (57 - r)) AS BIGINT)
+                   AS harmonic_scaled,
+                 CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_registers
+          FROM allr
+        ),
+        est AS (
+          SELECT *,
+                 CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)}
+                      / harmonic_scaled) AS BIGINT) AS hll_estimate
+          FROM summ
+        ),
+        ex AS (
+          SELECT CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+          FROM words
+        )
+        SELECT registers, harmonic_scaled, n_zero_registers, hll_estimate,
+               exact_distinct,
+               (hll_estimate - exact_distinct) * 1000000 // exact_distinct
+                 AS err_ppm
+        FROM est CROSS JOIN ex
+    """,
+    "bloom_membership_audit": f"""
+        WITH sh AS ({_SQL_SHINGLES}),
+        eval_sh AS (
+          SELECT DISTINCT shingle FROM sh
+          WHERE doc_id % {BLOOM_EVAL_MOD} = 0
+        ),
+        seeds AS (
+          SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS seed
+        ),
+        bits AS (
+          SELECT DISTINCT
+                 {sql_seeded_md5_long('seed', 'shingle')} % {BLOOM_M} AS bit
+          FROM eval_sh CROSS JOIN seeds
+        ),
+        train_sh AS (
+          SELECT doc_id, shingle FROM sh
+          WHERE doc_id % {BLOOM_EVAL_MOD} <> 0
+        ),
+        probes AS (
+          SELECT t.doc_id, t.shingle,
+                 {sql_seeded_md5_long('s.seed', 't.shingle')} % {BLOOM_M}
+                   AS bit
+          FROM train_sh t CROSS JOIN seeds s
+        ),
+        memb AS (
+          SELECT doc_id, shingle FROM probes JOIN bits USING (bit)
+          GROUP BY doc_id, shingle HAVING count(*) = {BLOOM_K}
+        ),
+        bloom AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+          FROM memb GROUP BY doc_id
+        ),
+        exact AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_exact_hits
+          FROM train_sh WHERE shingle IN (SELECT shingle FROM eval_sh)
+          GROUP BY doc_id
+        ),
+        base AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+          FROM train_sh GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_shingles,
+               COALESCE(bl.n_bloom_hits, CAST(0 AS BIGINT)) AS n_bloom_hits,
+               COALESCE(e.n_exact_hits, CAST(0 AS BIGINT)) AS n_exact_hits,
+               COALESCE(bl.n_bloom_hits, 0) - COALESCE(e.n_exact_hits, 0)
+                 AS n_false_positives,
+               (COALESCE(bl.n_bloom_hits, 0) - COALESCE(e.n_exact_hits, 0))
+                 * 1000000 // b.n_shingles AS fp_ppm
+        FROM base b
+        LEFT JOIN bloom bl USING (doc_id)
+        LEFT JOIN exact e USING (doc_id)
+    """,
 }
 
 QUERIES = {
     "cms_frequency_audit": cms_frequency_audit,
+    "hll_distinct_audit": hll_distinct_audit,
+    "bloom_membership_audit": bloom_membership_audit,
 }

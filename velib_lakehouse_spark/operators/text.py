@@ -1266,3 +1266,119 @@ ORACLE["pmi_collocations"] = f"""
     LIMIT {PMI_TOP_K}
 """
 QUERIES["pmi_collocations"] = pmi_collocations
+
+
+# ---- Winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003) ----
+
+WINNOW_K = 3  # gram width in words
+WINNOW_W = 4  # winnowing window: guarantee = any match >= w+k-1 grams shares a fp
+# positions are packed into the low 20 bits of the selection key so the
+# (hash asc, position desc) tie-break is a single bigint min; 40-bit
+# gram hash * 2^20 stays far inside int64
+_WINNOW_POS_SPAN = 1 << 20
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm, Schleimer
+    et al. SIGMOD 2003): slide a window of ``w`` consecutive k-gram
+    hashes over each document and keep the window minimum (rightmost
+    position on hash ties — the standard rule, encoded here as min over
+    ``hash * 2^20 + (2^20-1 - pos)``), deduplicated.  The selected set
+    is the document's fingerprint: ~2/(w+1) of the grams, with the
+    winnowing guarantee that any shared substring of at least
+    ``w + k - 1`` words produces at least one shared fingerprint —
+    local similarity detection that document-level MinHash misses.
+
+    Emits per doc: gram count, fingerprint count, and the fingerprint
+    hash sum (an order-insensitive checksum of the selected set; two
+    docs sharing fingerprints share summands).
+
+    Scale shape: grams never leave the row until ONE exchange hash-
+    partitions positions by doc_id; the windowed min, the distinct,
+    and the final rollup all reuse that partitioning (window and
+    groupBy keys are prefixes of the exchange key).  Per-partition
+    state is bounded by doc length.  No corpus-wide shuffle of gram
+    text — only 60-bit packed keys move.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        d.repartition(n, "doc_id")
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") >= WINNOW_K)
+    )
+    grams = w.select(
+        "doc_id",
+        (F.size("w") - WINNOW_K + 1).cast("bigint").alias("n_grams"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(w) - {WINNOW_K}),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("pos", "gram"),
+    ).select(
+        "doc_id",
+        "n_grams",
+        "pos",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("bigint")
+            * _WINNOW_POS_SPAN
+            + (F.lit(_WINNOW_POS_SPAN - 1) - F.col("pos"))
+        ).alias("key"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    sel = (
+        grams.withColumn("mk", F.min("key").over(win))
+        # every valid window start; short docs (< w grams) winnow as a
+        # single window starting at 0 (the frame clips at partition end)
+        .filter(
+            F.col("pos") <= F.greatest(F.lit(0), F.col("n_grams") - WINNOW_W)
+        )
+        .select("doc_id", "n_grams", "mk")
+        .distinct()
+    )
+    return sel.groupBy("doc_id", "n_grams").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum(F.expr(f"mk div {_WINNOW_POS_SPAN}")).alias("fp_hash_sum"),
+    )
+
+
+ORACLE["winnow_fingerprints"] = f"""
+    WITH wd AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(len(w) - {WINNOW_K} + 1 AS BIGINT) AS n_grams,
+             i - 1 AS pos,
+             ('0x' || substr(md5(concat_ws(' ', w[i], w[i+1], w[i+2])),
+                             1, 10))::BIGINT
+               * {_WINNOW_POS_SPAN} + ({_WINNOW_POS_SPAN - 1} - (i - 1))
+               AS key
+      FROM (
+        SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {WINNOW_K} + 1)) AS i
+        FROM wd WHERE len(w) >= {WINNOW_K}
+      )
+    ),
+    mins AS (
+      SELECT doc_id, n_grams, pos,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS mk
+      FROM g
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, n_grams, mk FROM mins
+      WHERE pos <= greatest(0, n_grams - {WINNOW_W})
+    )
+    SELECT doc_id, n_grams,
+           CAST(count(*) AS BIGINT) AS n_fingerprints,
+           CAST(sum(mk // {_WINNOW_POS_SPAN}) AS BIGINT) AS fp_hash_sum
+    FROM sel GROUP BY doc_id, n_grams
+"""
+QUERIES["winnow_fingerprints"] = winnow_fingerprints

@@ -24,7 +24,7 @@ from __future__ import annotations
 import shutil
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
@@ -534,3 +534,92 @@ ORACLE["bucketed_join_priority_revenue"] = """
     GROUP BY 1
 """
 QUERIES["bucketed_join_priority_revenue"] = bucketed_join_priority_revenue
+
+
+# ---- Compaction bin-packing plan (Delta OPTIMIZE / Iceberg rewrite) ----
+
+COMPACT_TARGET_BYTES = 16_384  # target compacted-file size (test-scaled;
+# production Delta OPTIMIZE targets 1 GB — the knob, not the shape)
+COMPACT_SOURCE_FILES = 16  # small-files-per-source in the modeled inventory
+
+
+def compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction plan: assign each small file to a target-
+    size output bin, per lake partition — the planning half of Delta
+    ``OPTIMIZE`` / Iceberg ``rewrite_data_files`` (the execute half is
+    the repo's existing coalesce-rewrite, `sources/snapshots.py`).
+
+    The file inventory is modeled from the documents table (one "file"
+    per (source, doc_id % 16) ingestion slice, sized by character
+    count).  Packing is cumulative-size slicing in file order:
+    ``bin = floor(preceding_bytes / target)`` — the same
+    concat-then-chunk discipline Spark's own ``FilePartition`` packing
+    and this repo's ``pack_sequences`` use; bins land within one file
+    of the target, deterministically, with no sequential fold.
+
+    Scale shape: the inventory aggregation is one shuffle keyed by
+    (partition, file); the plan itself is two window passes
+    partitioned BY LAKE PARTITION (cumulative bytes, then per-bin
+    totals), so planning parallelizes across partitions and per-task
+    state is one partition's file list — exactly how OPTIMIZE
+    schedules at warehouse scale.  No global sort, no driver loop.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    files = d.groupBy(
+        F.col("source").alias("part_key"),
+        (F.col("doc_id") % COMPACT_SOURCE_FILES).alias("file_idx"),
+    ).agg(
+        F.sum("n_chars").cast("bigint").alias("file_bytes"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    before = (
+        Window.partitionBy("part_key")
+        .orderBy("file_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "part_key",
+        "file_idx",
+        "file_bytes",
+        "n_rows",
+        F.expr(
+            f"coalesce(sum(file_bytes) over (partition by part_key"
+            f" order by file_idx rows between unbounded preceding and"
+            f" 1 preceding), 0) div {COMPACT_TARGET_BYTES}"
+        ).alias("bin_id"),
+    )
+    binw = Window.partitionBy("part_key", "bin_id")
+    return planned.select(
+        "part_key",
+        "file_idx",
+        "file_bytes",
+        "n_rows",
+        "bin_id",
+        F.count(F.lit(1)).over(binw).alias("n_files_in_bin"),
+        F.sum("file_bytes").over(binw).alias("bin_bytes"),
+    )
+
+
+ORACLE["compaction_binpack_plan"] = f"""
+    WITH files AS (
+      SELECT source AS part_key, doc_id % {COMPACT_SOURCE_FILES} AS file_idx,
+             CAST(sum(n_chars) AS BIGINT) AS file_bytes,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM documents GROUP BY 1, 2
+    ),
+    planned AS (
+      SELECT part_key, file_idx, file_bytes, n_rows,
+             CAST(COALESCE(sum(file_bytes) OVER (
+                    PARTITION BY part_key ORDER BY file_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) // {COMPACT_TARGET_BYTES} AS bin_id
+      FROM files
+    )
+    SELECT part_key, file_idx, file_bytes, n_rows, bin_id,
+           CAST(count(*) OVER (PARTITION BY part_key, bin_id) AS BIGINT)
+             AS n_files_in_bin,
+           CAST(sum(file_bytes) OVER (PARTITION BY part_key, bin_id)
+                AS BIGINT) AS bin_bytes
+    FROM planned
+"""
+QUERIES["compaction_binpack_plan"] = compaction_binpack_plan
