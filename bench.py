@@ -151,6 +151,11 @@ HEADLINE = [
     "event_rate_anomaly",
     "tpch_q3_shipping",
     "domain_cap_sample",
+    "hll_distinct_audit",
+    "bloom_membership_audit",
+    "winnow_fingerprints",
+    "compaction_binpack_plan",
+    "sorted_neighborhood_pairs",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -224,3 +224,33 @@ def test_arrow_batch_stats_is_shuffle_free(spark):
     plan = _plan(registry.QUERIES["arrow_batch_stats"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan or "MapInArrow" in plan or "PythonMapInArrow" in plan
+
+
+def test_winnow_single_exchange(spark):
+    """Winnowing's window, distinct, and rollup must all reuse the one
+    doc_id hash partitioning — a second exchange would mean the packed
+    keys reshuffle between stages."""
+    plan = _plan(registry.QUERIES["winnow_fingerprints"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_snm_window_join_is_equi_not_range(spark):
+    """Sorted-neighborhood pairing must plan the PAIR join as a keyed
+    equi join on (block, rank) — a range predicate would force the
+    corpus through a nested loop.  (The 3-row gaps fan-out is a
+    broadcast nested loop BY DESIGN — tiny constant side, like every
+    broadcast-scalar crossJoin in the repo — so it is allowed.)"""
+    plan = _plan(registry.QUERIES["sorted_neighborhood_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the keyed pair join exists (any hash/merge strategy qualifies)
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_bloom_bitset_and_eval_set_broadcast(spark):
+    """The Bloom set-bits table (<= m rows) and the eval shingle set
+    must broadcast; the probe stream must never shuffle on shingle
+    text."""
+    plan = _plan(registry.QUERIES["bloom_membership_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

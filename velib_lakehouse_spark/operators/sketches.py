@@ -218,7 +218,10 @@ def bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     m ~ 10 bits/key; the audit's shuffles stay one-row-per-shingle.
     """
     d = load_table(spark, sf_dir, "documents")
-    sh = _shingles(d)
+    # four consumers (eval set, probe stream, exact pass, per-doc base):
+    # persist the shingle scan once, same cache-lifetime convention as
+    # operators/dedup.py (module docstring there)
+    sh = _shingles(d).persist()
     eval_sh = (
         sh.filter(F.col("doc_id") % BLOOM_EVAL_MOD == 0)
         .select("shingle")
