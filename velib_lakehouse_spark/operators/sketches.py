@@ -127,26 +127,30 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector, the integer-scaled harmonic sum, the estimate, the exact
     distinct count, and the signed error in ppm.
 
-    Scale shape: the register build is a map-side partial ``max`` onto
-    exactly m = 16 reduce rows NO MATTER the corpus size — the
-    mergeable-sketch shape (registers merge by elementwise max, so
-    executor-local sketches combine without reshuffling tokens).  The
-    exact pass (the audit half) is the one real shuffle: distinct over
-    word strings, Zipf-bounded.  All arithmetic is integer except the
-    single final estimate division, which both engines evaluate from
-    identical IEEE-754 inputs.
+    Scale shape: a PRODUCTION HLL streams raw tokens into a map-side
+    partial ``max`` onto exactly m = 16 reduce rows (registers merge by
+    elementwise max — the mergeable-sketch shape).  The AUDIT, though,
+    must also produce the exact distinct count, whose word-level
+    distinct shuffle subsumes the register build's input: so here ONE
+    Zipf-bounded distinct (persisted) feeds both the registers
+    (max(rho) over a multiset equals max over its support, so
+    registers built from the distinct set are identical to the raw-
+    stream sketch) and the exact count — the whole query costs one
+    word shuffle, measured linear at 64x replicated corpus.  All
+    arithmetic is integer except the single final estimate division,
+    which both engines evaluate from identical IEEE-754 inputs.
     """
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(F.explode(_words()).alias("w"))
-    h = md5_long(F.col("w"))
+    words = d.select(F.explode(_words()).alias("w")).distinct().persist()
     regs = (
-        words.select(
-            (h % HLL_M).alias("bucket"),
+        words.select(md5_long(F.col("w")).alias("h"))
+        .select(
+            (F.col("h") % HLL_M).alias("bucket"),
             F.expr(
                 # rho over the top 56 bits: 57 - bitlength(h div 16),
                 # with the all-zero suffix pinned to 57
-                f"""CASE WHEN ({_H_SQL} div {HLL_M}) = 0 THEN 57
-                    ELSE 57 - length(bin({_H_SQL} div {HLL_M})) END"""
+                f"""CASE WHEN (h div {HLL_M}) = 0 THEN 57
+                    ELSE 57 - length(bin(h div {HLL_M})) END"""
             ).alias("rho"),
         )
         .groupBy("bucket")
@@ -177,7 +181,7 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / harmonic_scaled) AS BIGINT)"
         ).alias("hll_estimate"),
     )
-    exact = words.agg(F.count_distinct("w").alias("exact_distinct"))
+    exact = words.agg(F.count(F.lit(1)).alias("exact_distinct"))
     return summary.crossJoin(F.broadcast(exact)).select(
         "registers",
         "harmonic_scaled",
@@ -188,10 +192,6 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(hll_estimate - exact_distinct) * 1000000 div exact_distinct"
         ).alias("err_ppm"),
     )
-
-
-# Spark-side hash expression for the word column (mirrors md5_long)
-_H_SQL = "cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"
 
 
 BLOOM_M = 512  # bits; sized so the test corpus shows real FPs
