@@ -156,6 +156,9 @@ HEADLINE = [
     "winnow_fingerprints",
     "compaction_binpack_plan",
     "sorted_neighborhood_pairs",
+    "tpch_q5_local_supplier",
+    "snapshot_diff_cdc",
+    "ivm_incremental_rollup",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -792,3 +792,80 @@ ORACLE["tpch_q3_shipping"] = f"""
     LIMIT {Q3_TOP_N}
 """
 QUERIES["tpch_q3_shipping"] = tpch_q3_shipping
+
+
+# ---- TPC-H Q5: local-supplier volume (6-table star join) ----
+
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1997-01-01"
+
+
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation from
+    line items where the CUSTOMER and the SUPPLIER sit in the same
+    nation of one region, for one order-date year.
+
+    The six-table join is declared flat and left to Catalyst; the only
+    hints are broadcasts of the two true dimensions (region-filtered
+    nation, 25 rows at any TPC-H scale).  customer and supplier are
+    semi-reduced by the broadcast nation BEFORE the fact joins, so at
+    cluster scale the plan is: lineitem shuffles once on suppkey
+    against the nation-pruned supplier, orders shuffles on custkey
+    against the nation-pruned customer, the two meet on orderkey, and
+    the co-nation predicate (c_nationkey = s_nationkey) filters the
+    join output — the canonical distributed Q5.  Revenue uses the
+    integer micro-unit route so the per-nation ordering is
+    engine-exact.
+    """
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q5_REGION)
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q5_DATE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(Q5_DATE_HI).cast("date"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    rev_m = cents_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+    return (
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            o.join(c, F.col("o_custkey") == F.col("c_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(micro_sum_2dp(rev_m, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+ORACLE["tpch_q5_local_supplier"] = f"""
+    SELECT n_name, {sql_micro_sum_2dp(
+        sql_cents_product('l_extendedprice', '1 - l_discount'), 'revenue')}
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+      AND r_name = '{Q5_REGION}'
+      AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q5_DATE_HI} 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+"""
+QUERIES["tpch_q5_local_supplier"] = tpch_q5_local_supplier

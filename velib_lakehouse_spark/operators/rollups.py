@@ -607,3 +607,78 @@ ORACLE["event_rate_anomaly"] = f"""
     WHERE n_events * n_active_hours > {RATE_FACTOR} * user_total_events
 """
 QUERIES["event_rate_anomaly"] = event_rate_anomaly
+
+
+# ---- Incremental view maintenance: partial-agg merge vs recompute ----
+
+IVM_CUT_BASE = "2000-01-01"  # view materialized over orders before this
+IVM_CUT_NEW = "2001-01-01"  # delta batch: orders in [base, new)
+
+
+def ivm_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: refresh a per-customer
+    order rollup by MERGING the stored view with the delta batch's
+    partial aggregates — never re-reading history.
+
+    The base view (orders before ``IVM_CUT_BASE``) is materialized to
+    parquet; the refresh unions it with the delta rollup (orders in
+    [base, new)) and re-aggregates — sums and counts merge by addition
+    (algebraic aggregates), and the average is DERIVED from the merged
+    sums, the classic IVM rule (avg itself does not merge).  The query
+    returns the refreshed view; the oracle recomputes it from scratch
+    over the full range, so the driver's compare IS the
+    incremental-equals-full identity.
+
+    Scale shape: refresh cost is O(|view| + |delta|), independent of
+    history size — the reason warehouses maintain views incrementally.
+    One scan of the stored view, one pruned scan of the delta window
+    (the date filter reaches the parquet scan), one merge shuffle on
+    the view key.  Money stays integer cents end to end.
+    """
+    import tempfile
+
+    from velib_lakehouse_spark.functions.exact import cents
+
+    def rollup(lo: str | None, hi: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit(hi).cast("date")
+        )
+        if lo is not None:
+            o = o.filter(F.col("o_orderdate") >= F.lit(lo).cast("date"))
+        return o.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+
+    view_path = tempfile.mkdtemp(prefix="ivm_view_")
+    rollup(None, IVM_CUT_BASE).write.mode("overwrite").parquet(view_path)
+    stored = spark.read.parquet(view_path)
+    delta = rollup(IVM_CUT_BASE, IVM_CUT_NEW)
+    merged = (
+        stored.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        "revenue_cents",
+        F.expr("revenue_cents div n_orders").alias("avg_order_cents"),
+    )
+
+
+ORACLE["ivm_incremental_rollup"] = f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             // count(*) AS avg_order_cents
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{IVM_CUT_NEW} 00:00:00'
+    GROUP BY o_custkey
+"""
+QUERIES["ivm_incremental_rollup"] = ivm_incremental_rollup

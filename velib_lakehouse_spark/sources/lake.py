@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.exact import sql_cents
 from velib_lakehouse_spark.session import apply_safe_confs
 
 
@@ -623,3 +624,109 @@ ORACLE["compaction_binpack_plan"] = f"""
     FROM planned
 """
 QUERIES["compaction_binpack_plan"] = compaction_binpack_plan
+
+
+# ---- Snapshot diff / CDC read between table versions ----
+
+SNAPDIFF_CUT0 = "1999-01-01"
+SNAPDIFF_CUT1 = "2000-01-01"
+
+
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed versions of a versioned
+    gold table — the read half of CDC (Delta's ``table_changes`` /
+    Iceberg's changelog scan), complementing `cdc_merge_upsert` which
+    APPLIES a changelog.
+
+    Two per-customer order rollups (order cutoffs a year apart) are
+    committed as snapshot versions v0 and v1 of one table
+    (`sources/snapshots.py` — atomic manifest, time travel); the diff
+    time-travels to both versions and full-outer joins them on the
+    key, classifying each row INSERT / UPDATE / KEEP (DELETE cannot
+    occur under a growing cutoff but the branch is in the plan — a
+    changelog reader must emit it).
+
+    Scale shape: version directories are immutable parquet, so both
+    sides are plain pruned scans; the diff is ONE shuffle join on the
+    table key with null-safe value comparison.  Money is integer cents
+    end to end.  At warehouse scale this query is how downstream
+    consumers incrementally sync a gold table without re-reading it —
+    the diff's cost is the two snapshots, not the fact table.
+    """
+    import tempfile
+
+    from velib_lakehouse_spark.sources.snapshots import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from velib_lakehouse_spark.functions.exact import cents
+
+    def gold(cut: str) -> DataFrame:
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderdate") < F.lit(cut).cast("date")
+        )
+        return o.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"),
+        )
+
+    tbl = tempfile.mkdtemp(prefix="snap_diff_")
+    v0 = write_snapshot(gold(SNAPDIFF_CUT0), tbl)
+    v1 = write_snapshot(gold(SNAPDIFF_CUT1), tbl)
+    old = read_snapshot(spark, tbl, version=v0).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("old_n_orders"),
+        F.col("revenue_cents").alias("old_revenue_cents"),
+    )
+    new = read_snapshot(spark, tbl, version=v1).select(
+        F.col("o_custkey").alias("k"),
+        F.col("n_orders").alias("new_n_orders"),
+        F.col("revenue_cents").alias("new_revenue_cents"),
+    )
+    j = old.join(new, "k", "full_outer")
+    return j.select(
+        F.col("k").alias("o_custkey"),
+        "old_n_orders",
+        "old_revenue_cents",
+        "new_n_orders",
+        "new_revenue_cents",
+        F.when(F.col("old_n_orders").isNull(), F.lit("INSERT"))
+        .when(F.col("new_n_orders").isNull(), F.lit("DELETE"))
+        .when(
+            (F.col("old_n_orders") == F.col("new_n_orders"))
+            & (F.col("old_revenue_cents") == F.col("new_revenue_cents")),
+            F.lit("KEEP"),
+        )
+        .otherwise(F.lit("UPDATE"))
+        .alias("change_type"),
+    )
+
+
+ORACLE["snapshot_diff_cdc"] = f"""
+    WITH old AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS old_n_orders,
+             CAST(sum({sql_cents('o_totalprice')}) AS BIGINT)
+               AS old_revenue_cents
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{SNAPDIFF_CUT0} 00:00:00'
+      GROUP BY o_custkey
+    ),
+    new AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS new_n_orders,
+             CAST(sum({sql_cents('o_totalprice')}) AS BIGINT)
+               AS new_revenue_cents
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{SNAPDIFF_CUT1} 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(old.k, new.k) AS o_custkey,
+           old_n_orders, old_revenue_cents,
+           new_n_orders, new_revenue_cents,
+           CASE WHEN old_n_orders IS NULL THEN 'INSERT'
+                WHEN new_n_orders IS NULL THEN 'DELETE'
+                WHEN old_n_orders = new_n_orders
+                 AND old_revenue_cents = new_revenue_cents THEN 'KEEP'
+                ELSE 'UPDATE' END AS change_type
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+"""
+QUERIES["snapshot_diff_cdc"] = snapshot_diff_cdc
