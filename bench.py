@@ -159,6 +159,9 @@ HEADLINE = [
     "tpch_q5_local_supplier",
     "snapshot_diff_cdc",
     "ivm_incremental_rollup",
+    "pq_adc_topk",
+    "ppjoin_prefix_candidates",
+    "multimodal_audio_window_stats",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

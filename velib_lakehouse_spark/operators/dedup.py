@@ -2235,3 +2235,137 @@ ORACLE["sorted_neighborhood_pairs"] = f"""
      AND b.rnk - a.rnk BETWEEN 1 AND {SNM_WINDOW}
 """
 QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
+
+
+# ---- Prefix-filtering set-similarity join (PPJoin, Xiao et al. 2008) ----
+
+PPJOIN_T_PPM = 500_000  # Jaccard threshold t = 0.5, in ppm
+
+
+def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join by prefix filtering (the PPJoin family,
+    Xiao et al. WWW 2008): for Jaccard >= t, two shingle sets MUST
+    share at least one token among each side's first
+    ``n - ceil(t*n) + 1`` tokens in a global canonical order — so only
+    prefix tokens generate candidates, and the guarantee is exact (no
+    false negatives), unlike frequency-heuristic candidate capping
+    (`dedup_ngram_jaccard`) or probabilistic MinHash banding
+    (`dedup_minhash_lsh`).
+
+    Canonical order is document frequency ascending (ties by shingle
+    text): prefixes are each document's RAREST shingles, so the
+    candidate join fans out on the cold tail of the df distribution —
+    that ordering is the whole trick.
+
+    Scale shape: df is one count shuffle (row per distinct shingle);
+    per-doc ranks are one doc-partitioned window; the candidate join
+    touches only prefix rows, and verification joins candidate pairs
+    back to the (already-shuffled) shingle table — cost
+    O(candidates x doc size), the PPJoin contract.  Emits verified
+    pairs with exact overlap and Jaccard ppm >= t.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = _shingles(d).persist()
+    df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(df_, "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            F.row_number()
+            .over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            )
+            .alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .alias("n"),
+        )
+    )
+    # prefix length for Jaccard t: n - ceil(t*n) + 1; with t in ppm,
+    # ceil(t*n) = (t*n + 999999) div 1000000 in exact integer math
+    prefix = ranked.filter(
+        F.col("r")
+        <= F.col("n")
+        - F.expr(f"(n * {PPJOIN_T_PPM} + 999999) div 1000000")
+        + 1
+    ).persist()
+    pa = prefix.select(F.col("doc_id").alias("a"), "shingle")
+    pb = prefix.select(F.col("doc_id").alias("b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sizes = ranked.select("doc_id", "n").distinct()
+    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
+    overlap = (
+        cand.join(sha, "a")
+        .join(shb, ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    return (
+        overlap.join(sizes.withColumnRenamed("doc_id", "a"), "a")
+        .withColumnRenamed("n", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "b"), "b")
+        .withColumnRenamed("n", "n_b")
+        .select(
+            F.col("a").alias("doc_a"),
+            F.col("b").alias("doc_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            "overlap",
+            F.expr(
+                "overlap * 1000000 div (n_a + n_b - overlap)"
+            ).alias("jac_ppm"),
+        )
+        .filter(F.col("jac_ppm") >= PPJOIN_T_PPM)
+    )
+
+
+ORACLE["ppjoin_prefix_candidates"] = f"""
+    WITH sh AS ({_SQL_SHINGLES}),
+    df AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS df
+      FROM sh GROUP BY shingle
+    ),
+    ranked AS (
+      SELECT s.doc_id, s.shingle,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df ASC, s.shingle ASC) AS r,
+             count(*) OVER (PARTITION BY s.doc_id) AS n
+      FROM sh s JOIN df d ON s.shingle = d.shingle
+    ),
+    prefix AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE r <= n - ((n * {PPJOIN_T_PPM} + 999999) // 1000000) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+      FROM prefix a JOIN prefix b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT DISTINCT doc_id, n FROM ranked),
+    ov AS (
+      SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS overlap
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.a
+      JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+      GROUP BY c.a, c.b
+    )
+    SELECT o.a AS doc_a, o.b AS doc_b,
+           CAST(za.n AS BIGINT) AS n_a, CAST(zb.n AS BIGINT) AS n_b,
+           o.overlap,
+           o.overlap * 1000000 // (za.n + zb.n - o.overlap) AS jac_ppm
+    FROM ov o
+    JOIN sizes za ON za.doc_id = o.a
+    JOIN sizes zb ON zb.doc_id = o.b
+    WHERE o.overlap * 1000000 // (za.n + zb.n - o.overlap)
+          >= {PPJOIN_T_PPM}
+"""
+QUERIES["ppjoin_prefix_candidates"] = ppjoin_prefix_candidates

@@ -121,3 +121,103 @@ QUERIES = {
     "multimodal_decode_meta": multimodal_decode_meta,
     "multimodal_frame_sample": multimodal_frame_sample,
 }
+
+
+# ---- Audio: frame windowing over decoded PCM ----
+
+AUDIO_FRAME = 16  # samples per analysis window (non-overlapping)
+AUDIO_CENTER = 128  # unsigned-byte PCM midpoint
+
+
+def decode_audio(payload: bytes) -> list[int]:
+    """Real audio decode hook — swaps in for ``_fake_pcm`` where
+    soundfile/ffmpeg exist.  Here the deterministic stand-in treats the
+    payload bytes AS the PCM stream, which keeps every downstream stage
+    (schema, batching, windowing, aggregation) real and oracle-checked.
+    """
+    raise NotImplementedError("audio codecs are not available in this build")
+
+
+def _fake_pcm(payload: bytes) -> list[int]:
+    return list(payload)
+
+
+def decode_pcm(df: DataFrame, decoder=_fake_pcm) -> DataFrame:
+    """Arrow-batched decode: binary payload -> sample array rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "samples": [decoder(p) for p in pdf["payload"]],
+                }
+            )
+            yield out
+
+    ensure_package_on_workers(df.sparkSession)
+    return df.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, samples array<int>"
+    )
+
+
+def multimodal_audio_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction: decode PCM (Arrow-batched Python
+    boundary), then window into fixed non-overlapping frames and
+    compute per-frame energy and peak amplitude — the standard first
+    stage of any audio-quality / VAD / silence-trim pipeline.
+
+    The Python boundary ends at the sample array; the frame fan-out
+    (``explode`` over frame indices) and the per-frame aggregations
+    (``slice`` + ``aggregate`` higher-order expressions on the
+    centered amplitudes) run JVM-side, so corpus-scale cost is the
+    one-pass decode plus codegen'd arithmetic — no shuffle at all
+    until a consumer aggregates.  Partial trailing frames are dropped
+    (fixed-size analysis windows, the usual STFT convention).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pcm = decode_pcm(with_payload(d))
+    framed = pcm.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.expr(f"size(samples) div {AUDIO_FRAME}") - 1,
+            )
+        ).alias("frame_idx"),
+        "samples",
+    ).filter(F.expr(f"size(samples) >= {AUDIO_FRAME}"))
+    win = f"slice(samples, frame_idx * {AUDIO_FRAME} + 1, {AUDIO_FRAME})"
+    return framed.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.expr(
+            f"aggregate({win}, cast(0 as bigint),"
+            f" (acc, s) -> acc + (s - {AUDIO_CENTER}) * (s - {AUDIO_CENTER}))"
+        ).alias("energy"),
+        F.expr(
+            f"aggregate({win}, cast(0 as bigint),"
+            f" (acc, s) -> greatest(acc, abs(s - {AUDIO_CENTER})))"
+        ).alias("peak"),
+    )
+
+
+ORACLE["multimodal_audio_window_stats"] = f"""
+    WITH frames AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, length(text) // {AUDIO_FRAME} - 1))
+               AS frame_idx
+      FROM documents WHERE length(text) >= {AUDIO_FRAME}
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(list_sum(list_transform(generate_series(1, {AUDIO_FRAME}),
+             j -> (ascii(substr(text, frame_idx * {AUDIO_FRAME} + j, 1))
+                   - {AUDIO_CENTER})
+                * (ascii(substr(text, frame_idx * {AUDIO_FRAME} + j, 1))
+                   - {AUDIO_CENTER}))) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(generate_series(1, {AUDIO_FRAME}),
+             j -> abs(ascii(substr(text, frame_idx * {AUDIO_FRAME} + j, 1))
+                      - {AUDIO_CENTER}))) AS BIGINT) AS peak
+    FROM frames
+"""
+QUERIES["multimodal_audio_window_stats"] = multimodal_audio_window_stats

@@ -1103,3 +1103,144 @@ ORACLE["contrastive_triplets"] = f"""
     FROM pos JOIN neg USING (q_vec_id)
 """
 QUERIES["contrastive_triplets"] = contrastive_triplets
+
+
+# ---- Product quantization with ADC (Jegou et al. 2011) ----
+
+PQ_M = 4  # subspaces
+PQ_SUBDIM = DIM // PQ_M  # 16 dims per subspace
+PQ_NCODES = 8  # codebook entries per subspace (k*)
+
+
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou, Douze, Schmid 2011): each vector is compressed to M
+    per-subspace codebook codes; a query computes one M x k* distance
+    table against the codebooks and scores every candidate as the sum
+    of M table lookups — never touching the original vectors.
+
+    The codebook here is the untrained baseline (entries = the first
+    k* vectors' subvectors); the distributed Lloyd refinement the
+    trained codebook needs is exactly `ann_ivf_topk`'s training loop,
+    one subspace at a time — this operator pins the ENCODE + ADC
+    machinery.  Everything is integer: components quantize to the 1e-6
+    micro-grid, so squared distances, code assignments, and the final
+    ranking are bit-exact in any partitioning and on both engines (no
+    float op anywhere).
+
+    Scale shape: encoding is one broadcast join (codebook: M x k* rows)
+    + a map-side-partial min per (vector, subspace) — linear, and the
+    stored index is M small ints per vector (the 64x compression PQ
+    exists for).  Scoring joins the broadcast M x k* x |Q| distance
+    tables on (subspace, code) — each code row fans out once per
+    query — then one (query, vector) sum and a WindowGroupLimit top-k.
+    At warehouse scale the same ADC join runs per IVF cell
+    (IVF-PQ); the fixed-query contract here matches the other judged
+    ANN baselines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    mq = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> cast(floor(x * 1e6) as bigint))"
+        ).alias("mq"),
+    )
+    subs = spark.range(PQ_M).select(F.col("id").cast("int").alias("s"))
+    sv = mq.crossJoin(F.broadcast(subs)).select(
+        "vec_id",
+        "s",
+        F.expr(f"slice(mq, s * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("sub"),
+    )
+    cb = sv.filter(F.col("vec_id") < PQ_NCODES).select(
+        F.col("vec_id").cast("int").alias("code"),
+        "s",
+        F.col("sub").alias("csub"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sub, csub, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+    codes = (
+        sv.join(F.broadcast(cb), "s")
+        .select("vec_id", "s", d2.alias("d2"), "code")
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "code")).alias("m"))
+        .select("vec_id", "s", F.col("m.code").alias("code"))
+    )
+    dtab = (
+        sv.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("q_vec_id"), "s", "sub")
+        .join(F.broadcast(cb), "s")
+        .select("q_vec_id", "s", "code", d2.alias("d2p"))
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .groupBy("q_vec_id", "vec_id")
+        .agg(F.sum("d2p").alias("adc_d2"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "q_vec_id", "vec_id", "adc_d2",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+ORACLE["pq_adc_topk"] = f"""
+    WITH mq AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(x * 1e6) AS BIGINT)) AS mq
+      FROM embeddings
+    ),
+    subs AS (SELECT unnest(generate_series(0, {PQ_M - 1})) AS s),
+    sv AS (
+      SELECT vec_id, s,
+             mq[s * {PQ_SUBDIM} + 1 : s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sub
+      FROM mq CROSS JOIN subs
+    ),
+    cb AS (
+      SELECT vec_id AS code, s, sub AS csub FROM sv
+      WHERE vec_id < {PQ_NCODES}
+    ),
+    asg AS (
+      SELECT v.vec_id, v.s, c.code,
+             list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+               j -> (v.sub[j] - c.csub[j]) * (v.sub[j] - c.csub[j]))) AS d2
+      FROM sv v JOIN cb c ON v.s = c.s
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2 ASC, code ASC) AS rn
+        FROM asg
+      ) WHERE rn = 1
+    ),
+    dtab AS (
+      SELECT q.vec_id AS q_vec_id, q.s, c.code,
+             list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+               j -> (q.sub[j] - c.csub[j]) * (q.sub[j] - c.csub[j]))) AS d2p
+      FROM sv q JOIN cb c ON q.s = c.s
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT d.q_vec_id, co.vec_id, CAST(sum(d.d2p) AS BIGINT) AS adc_d2
+      FROM codes co
+      JOIN dtab d ON d.s = co.s AND d.code = co.code
+      WHERE co.vec_id <> d.q_vec_id
+      GROUP BY 1, 2
+    )
+    SELECT q_vec_id, vec_id, adc_d2, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_vec_id
+                                   ORDER BY adc_d2 ASC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+"""
+QUERIES["pq_adc_topk"] = pq_adc_topk
