@@ -162,6 +162,7 @@ HEADLINE = [
     "pq_adc_topk",
     "ppjoin_prefix_candidates",
     "multimodal_audio_window_stats",
+    "pareto_frontier_orders",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

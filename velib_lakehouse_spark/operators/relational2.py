@@ -1011,3 +1011,87 @@ ORACLE["full_outer_activity_reconcile"] = """
     FROM v FULL OUTER JOIN p ON v.user_id = p.user_id
 """
 QUERIES["full_outer_activity_reconcile"] = full_outer_activity_reconcile
+
+
+# ---- Skyline / Pareto frontier (Borzsony, Kossmann, Stocker 2001) ----
+
+
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query: per order priority, the Pareto frontier of orders
+    under (order date MAXIMIZED, price MINIMIZED) — "the latest cheap
+    orders"; an order is dominated iff some other order in the group is
+    at least as late AND at least as cheap, strictly better in one.
+
+    The Spark side runs the LINEAR sort-scan skyline: within each
+    group, sorted by date descending, a point survives iff its price
+    is (a) strictly below the running minimum over all strictly-later
+    dates (a later order at the same price dominates) and (b) equal to
+    its own date's minimum (a same-date cheaper order dominates;
+    same-date same-price points tie and all survive).  Two window
+    passes, no self-join.  The ORACLE is the quadratic NOT EXISTS
+    *definition* of dominance — so the driver's compare proves the
+    O(n log n) algorithm equals the declarative spec, the same
+    algorithm-vs-definition differential the minhash/IVF audits use.
+
+    Scale shape: one shuffle on the group key; both windows and the
+    per-date min reuse it.  The RANGE frame on the negated day number
+    excludes the current date band from the running min — frame
+    arithmetic, not a join.  Money is integer cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+            "price_cents"
+        ),
+    ).withColumn("neg_day", -F.datediff(F.col("d"), F.lit("1990-01-01")))
+    strict_later = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("neg_day")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    same_date = Window.partitionBy("o_orderpriority", "d")
+    flagged = base.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "d",
+        "price_cents",
+        F.min("price_cents").over(strict_later).alias("m_later"),
+        F.min("price_cents").over(same_date).alias("m_date"),
+    )
+    return (
+        flagged.filter(
+            (F.col("m_later").isNull() | (F.col("price_cents") < F.col("m_later")))
+            & (F.col("price_cents") == F.col("m_date"))
+        )
+        .select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+            "price_cents",
+        )
+    )
+
+
+ORACLE["pareto_frontier_orders"] = """
+    WITH o AS (
+      SELECT o_orderpriority, o_orderkey, o_orderdate,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+      FROM orders
+    )
+    SELECT a.o_orderpriority, a.o_orderkey,
+           strftime(a.o_orderdate, '%Y-%m-%d') AS order_date,
+           a.price_cents
+    FROM o a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM o b
+      WHERE b.o_orderpriority = a.o_orderpriority
+        AND b.o_orderdate >= a.o_orderdate
+        AND b.price_cents <= a.price_cents
+        AND (b.o_orderdate > a.o_orderdate
+             OR b.price_cents < a.price_cents)
+    )
+"""
+QUERIES["pareto_frontier_orders"] = pareto_frontier_orders
