@@ -2267,6 +2267,8 @@ def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = _shingles(d).persist()
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # ranked feeds both the prefix filter and the size lookup — persist
+    # it or the df join + double window recompute per consumer
     ranked = (
         sh.join(df_, "shingle")
         .select(
@@ -2283,7 +2285,7 @@ def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .over(Window.partitionBy("doc_id"))
             .alias("n"),
         )
-    )
+    ).persist()
     # prefix length for Jaccard t: n - ceil(t*n) + 1; with t in ppm,
     # ceil(t*n) = (t*n + 999999) div 1000000 in exact integer math
     prefix = ranked.filter(
