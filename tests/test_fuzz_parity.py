@@ -80,6 +80,14 @@ FUZZED_QUERIES = [
     "minhash_estimate_audit",
     "arrow_batch_stats",
     "e2e_curation_report",
+    # round-4 additions
+    "winnow_fingerprints",
+    "hll_distinct_audit",
+    "bloom_membership_audit",
+    "ppjoin_prefix_candidates",
+    "sorted_neighborhood_pairs",
+    "compaction_binpack_plan",
+    "multimodal_audio_window_stats",
 ]
 
 
@@ -312,6 +320,7 @@ def test_random_batch_events_match_oracle(spark, stream_fuzz_dir, events):
 # every ANN variant incl. the IVF Lloyd loop — against the oracles.
 
 EMBEDDING_FUZZED = [
+    "pq_adc_topk",
     "embedding_centroids",
     "embedding_quantize_int8",
     "embedding_dispersion",

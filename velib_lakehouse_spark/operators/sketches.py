@@ -188,8 +188,11 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_zero_registers",
         "hll_estimate",
         "exact_distinct",
+        # nullif: an empty corpus has exact_distinct = 0; the error is
+        # undefined there (NULL), and DuckDB would raise on // 0
         F.expr(
-            "(hll_estimate - exact_distinct) * 1000000 div exact_distinct"
+            "(hll_estimate - exact_distinct) * 1000000"
+            " div nullif(exact_distinct, 0)"
         ).alias("err_ppm"),
     )
 
@@ -356,8 +359,8 @@ ORACLE: dict[str, str | None] = {
         )
         SELECT registers, harmonic_scaled, n_zero_registers, hll_estimate,
                exact_distinct,
-               (hll_estimate - exact_distinct) * 1000000 // exact_distinct
-                 AS err_ppm
+               (hll_estimate - exact_distinct) * 1000000
+                 // nullif(exact_distinct, 0) AS err_ppm
         FROM est CROSS JOIN ex
     """,
     "bloom_membership_audit": f"""
