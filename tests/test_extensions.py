@@ -742,3 +742,46 @@ def test_estimate_audit_collapse_equals_direct_on_exact_copies(spark):
     assert const and all(
         r[3] == 1000000 and r[4] == 1000000 and r[5] == 0 for r in const
     )
+
+
+def test_ppjoin_collapse_equals_direct_on_exact_copies(spark):
+    """PPJoin collapse: the direct prefix-filter join over a corpus
+    with byte-identical copies == collapse-then-expand, including the
+    jaccard=1 within-group pairs and the <3-words shingle gate."""
+    from velib_lakehouse_spark.operators.dedup import _ppjoin_verified_pairs
+    from velib_lakehouse_spark.catalog import load_table
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 60)
+    short = spark.createDataFrame(
+        [(900000, "two words", "en", "crafted", 9),
+         (900001, "two words", "en", "crafted", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+    ).unionByName(short)
+    direct = {
+        (r.doc_a, r.doc_b, r.n_a, r.n_b, r.overlap, r.jac_ppm)
+        for r in _ppjoin_verified_pairs(corpus).collect()
+    }
+
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus.write.mode("overwrite").parquet(
+            os.path.join(tmp, "documents.parquet")
+        )
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "embeddings"):
+            os.symlink(f"{SF_DIR}/{t}.parquet", os.path.join(tmp, f"{t}.parquet"))
+        collapsed = {
+            (r.doc_a, r.doc_b, r.n_a, r.n_b, r.overlap, r.jac_ppm)
+            for r in registry.QUERIES["ppjoin_prefix_candidates"](
+                spark, tmp
+            ).collect()
+        }
+    assert collapsed == direct
+    # the 2-word duplicate pair must NOT appear: no shingles, no sets
+    assert not any(a == 900000 for (a, b, *_) in collapsed)

@@ -2242,29 +2242,10 @@ QUERIES["sorted_neighborhood_pairs"] = sorted_neighborhood_pairs
 PPJOIN_T_PPM = 500_000  # Jaccard threshold t = 0.5, in ppm
 
 
-def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set-similarity self-join by prefix filtering (the PPJoin family,
-    Xiao et al. WWW 2008): for Jaccard >= t, two shingle sets MUST
-    share at least one token among each side's first
-    ``n - ceil(t*n) + 1`` tokens in a global canonical order — so only
-    prefix tokens generate candidates, and the guarantee is exact (no
-    false negatives), unlike frequency-heuristic candidate capping
-    (`dedup_ngram_jaccard`) or probabilistic MinHash banding
-    (`dedup_minhash_lsh`).
-
-    Canonical order is document frequency ascending (ties by shingle
-    text): prefixes are each document's RAREST shingles, so the
-    candidate join fans out on the cold tail of the df distribution —
-    that ordering is the whole trick.
-
-    Scale shape: df is one count shuffle (row per distinct shingle);
-    per-doc ranks are one doc-partitioned window; the candidate join
-    touches only prefix rows, and verification joins candidate pairs
-    back to the (already-shuffled) shingle table — cost
-    O(candidates x doc size), the PPJoin contract.  Emits verified
-    pairs with exact overlap and Jaccard ppm >= t.
-    """
-    d = load_table(spark, sf_dir, "documents")
+def _ppjoin_verified_pairs(d: DataFrame) -> DataFrame:
+    """PPJoin core over a (doc_id, text) frame: prefix-filtered
+    candidates, exact-overlap verification, Jaccard >= t output.
+    See :func:`ppjoin_prefix_candidates` for the public contract."""
     sh = _shingles(d).persist()
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     # ranked feeds both the prefix filter and the size lookup — persist
@@ -2328,6 +2309,97 @@ def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jac_ppm") >= PPJOIN_T_PPM)
     )
+
+
+def ppjoin_prefix_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join by prefix filtering (the PPJoin family,
+    Xiao et al. WWW 2008): for Jaccard >= t, two shingle sets MUST
+    share at least one token among each side's first
+    ``n - ceil(t*n) + 1`` tokens in a global canonical order — so only
+    prefix tokens generate candidates, and the guarantee is exact (no
+    false negatives), unlike frequency-heuristic candidate capping
+    (`dedup_ngram_jaccard`) or probabilistic MinHash banding
+    (`dedup_minhash_lsh`).  Canonical order is document frequency
+    ascending (ties by shingle text): prefixes are each document's
+    RAREST shingles, so the candidate join fans out on the cold tail
+    of the df distribution.
+
+    WITH exact-duplicate pre-collapse: the scale harness measured the
+    direct form dying at 16x replicated data — byte-identical copies
+    share every prefix token, so candidate volume grows R^2 per dup
+    group, the same cliff semdedup/minhash hit in r3.  The core
+    (:func:`_ppjoin_verified_pairs`) therefore runs over DISTINCT
+    texts only (the prefix guarantee holds under ANY fixed canonical
+    order, so running it on the representative corpus loses nothing);
+    representative pairs re-expand to doc pairs (identical sets =>
+    identical n/overlap/jaccard), and within-group pairs are emitted
+    directly with jaccard = 1 — provably the direct join's output.
+
+    Scale shape: df is one count shuffle (row per distinct shingle of
+    the DISTINCT corpus); per-doc ranks one doc-partitioned window;
+    candidate + verification joins touch representative shingles only;
+    the R^2 dup-group output streams through the explode+self-join
+    expansion (`within_group_pairs`), never concentrating in one task.
+    """
+    groups = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.min("doc_id").alias("rep"),
+        )
+        .persist()
+    )
+    rep_pairs = _ppjoin_verified_pairs(
+        groups.select(F.col("rep").alias("doc_id"), "text")
+    )
+    ga = groups.select(F.col("rep").alias("doc_a"), F.col("ids").alias("ids_a"))
+    gb = groups.select(F.col("rep").alias("doc_b"), F.col("ids").alias("ids_b"))
+    cross = (
+        rep_pairs.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            F.explode("ids_a").alias("ia"),
+            "ids_b", "n_a", "n_b", "overlap", "jac_ppm",
+        )
+        .select(
+            "ia", F.explode("ids_b").alias("ib"),
+            "n_a", "n_b", "overlap", "jac_ppm",
+        )
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            # n_a follows the lesser id's side of the pair
+            F.when(F.col("ia") < F.col("ib"), F.col("n_a"))
+            .otherwise(F.col("n_b"))
+            .alias("n_a"),
+            F.when(F.col("ia") < F.col("ib"), F.col("n_b"))
+            .otherwise(F.col("n_a"))
+            .alias("n_b"),
+            "overlap",
+            "jac_ppm",
+        )
+    )
+    # within a dup group: identical shingle sets, jaccard = 1 (docs with
+    # < 3 words have no shingles and never pair — same gate as the core)
+    n_sh = F.expr(
+        "size(array_distinct(transform(sequence(0, size(w) - 3),"
+        " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))))"
+    )
+    within = within_group_pairs(
+        groups.filter((F.size("ids") >= 2) & (F.size(_words()) >= 3))
+        .withColumn("w", _words())
+        .withColumn("n", n_sh.cast("bigint")),
+        carry=["n"],
+    ).select(
+        F.col("a").alias("doc_a"),
+        F.col("b").alias("doc_b"),
+        F.col("n").alias("n_a"),
+        F.col("n").alias("n_b"),
+        F.col("n").alias("overlap"),
+        F.lit(1_000_000).cast("bigint").alias("jac_ppm"),
+    )
+    return cross.unionByName(within)
 
 
 ORACLE["ppjoin_prefix_candidates"] = f"""
