@@ -116,13 +116,28 @@ PRIORITY: tuple[str, ...] = (
 
 # Registered immediately AFTER the window, highest value first: if a
 # future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.  All of these have green driver rows from
-# rounds 1-2 (CORRECTNESS_r01/r02) except streaming_session_windows,
-# whose batch-mirror oracle landed in round 3.
+# ones it should reach next.
 SECONDARY: tuple[str, ...] = (
+    # ROUND-5 ROTATION QUEUE, in order: the 12 operators added after
+    # the round-4 window froze — never driver-checked; all preflighted
+    # green at sf0.01 (tools/verify_sf001.py, 174/174) and fuzz-tested.
+    # Per the standing changed=>re-window / never-checked rule these
+    # take round-5 window slots first.
+    "hll_distinct_audit",
+    "bloom_membership_audit",
+    "winnow_fingerprints",
+    "compaction_binpack_plan",
+    "sorted_neighborhood_pairs",
+    "tpch_q5_local_supplier",
+    "snapshot_diff_cdc",
+    "ivm_incremental_rollup",
+    "pq_adc_topk",
+    "ppjoin_prefix_candidates",
+    "multimodal_audio_window_stats",
+    "pareto_frontier_orders",
     # showcases demoted by the round-4 rotation — every one holds an
     # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
-    # since; first in line if the window grows
+    # since; first in line after the r5 rotation queue
     "dedup_chunks",
     "length_quantiles_by_source",
     "bigram_lm_top",
