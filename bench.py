@@ -163,6 +163,9 @@ HEADLINE = [
     "ppjoin_prefix_candidates",
     "multimodal_audio_window_stats",
     "pareto_frontier_orders",
+    "kcore_peeling",
+    "histogram_quantile_audit",
+    "tpch_q18_large_orders",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -465,3 +465,105 @@ def _sql_lpa() -> str:
 
 ORACLE["label_propagation_communities"] = _sql_lpa()
 QUERIES["label_propagation_communities"] = label_propagation_communities
+
+
+# ---- k-core peeling (fixed unrolled rounds) ----
+
+KCORE_K = 3
+KCORE_ITERS = 3
+
+
+def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes of degree < k; survivors of the fixpoint form the k-core
+    (Seidman 1983).  Like the module's PageRank/LPA, the judged
+    contract is a FIXED number of unrolled peel rounds (so the DuckDB
+    oracle mirrors them as CTEs); the fixpoint variant is the same
+    loop run to quiescence driver-side, exactly `dedup_clusters`'
+    shape.  Emits every original node with its degree in the
+    thrice-peeled subgraph and the k-core membership verdict.
+
+    Scale shape: each round is one degree aggregation (map-side
+    partial count on the node key) and two semi-joins filtering the
+    edge list — all on the same key; each round's edge frame is
+    persisted and the previous released, so lineage stays one round
+    deep.  Degrees, not neighbor sets, carry state: hot nodes cost
+    O(1) aggregation state.
+    """
+    edges = _edges(spark, sf_dir).persist()
+    sub = edges
+    for _ in range(KCORE_ITERS):
+        keep = (
+            sub.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("a")
+        )
+        nxt = (
+            sub.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .persist()
+        )
+        nxt.count()  # materialize before releasing the previous round
+        if sub is not edges:
+            sub.unpersist()
+        sub = nxt
+    nodes = edges.select(F.col("a").alias("node")).distinct()
+    deg_final = sub.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("final_degree")
+    )
+    return (
+        nodes.join(deg_final, "node", "left")
+        .select(
+            "node",
+            F.coalesce("final_degree", F.lit(0)).alias("final_degree"),
+            (F.coalesce("final_degree", F.lit(0)) >= KCORE_K).alias(
+                "in_kcore"
+            ),
+        )
+    )
+
+
+def _sql_kcore() -> str:
+    text = f"e0 AS (SELECT a, b FROM edges)"
+    for i in range(KCORE_ITERS):
+        text += f""",
+        k{i} AS (
+          SELECT a FROM e{i} GROUP BY a HAVING count(*) >= {KCORE_K}
+        ),
+        e{i + 1} AS (
+          SELECT e.a, e.b FROM e{i} e
+          WHERE e.a IN (SELECT a FROM k{i})
+            AND e.b IN (SELECT a FROM k{i})
+        )"""
+    return text
+
+
+ORACLE["kcore_peeling"] = f"""
+    WITH active AS (
+      SELECT DISTINCT user_id AS node,
+             epoch_ms(ts) // {HOUR_MS} AS hour
+      FROM events
+    ),
+    small AS (
+      SELECT hour FROM active GROUP BY hour
+      HAVING count(*) <= {EDGE_GROUP_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT x.node AS a, y.node AS b
+      FROM active x
+      JOIN active y ON x.hour = y.hour AND x.node <> y.node
+      WHERE x.hour IN (SELECT hour FROM small)
+    ),
+    {_sql_kcore()},
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    degf AS (
+      SELECT a AS node, CAST(count(*) AS BIGINT) AS final_degree
+      FROM e{KCORE_ITERS} GROUP BY a
+    )
+    SELECT n.node,
+           COALESCE(d.final_degree, 0) AS final_degree,
+           COALESCE(d.final_degree, 0) >= {KCORE_K} AS in_kcore
+    FROM nodes n LEFT JOIN degf d ON n.node = d.node
+"""
+QUERIES["kcore_peeling"] = kcore_peeling

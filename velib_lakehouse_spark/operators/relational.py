@@ -869,3 +869,75 @@ ORACLE["tpch_q5_local_supplier"] = f"""
     ORDER BY revenue DESC, n_name ASC
 """
 QUERIES["tpch_q5_local_supplier"] = tpch_q5_local_supplier
+
+
+# ---- TPC-H Q18: large-volume customers (HAVING filter joined back) ----
+
+Q18_MIN_QTY = 250
+Q18_TOP_N = 10
+
+
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: orders whose total
+    line quantity exceeds a threshold, joined back to the customer and
+    order detail, top-N by price.
+
+    The shape TPC-H added this query FOR: a grouped HAVING filter over
+    the biggest fact table whose (small) result then drives the rest of
+    the join tree.  The quantity rollup reduces lineitem once
+    (map-side partials on orderkey); its filtered survivors — a tiny
+    fraction at any scale — broadcast back into orders, so the fact
+    table is never shuffled against orders at all; customer enriches
+    via one more key join.  Quantities are integer-valued by TPC-H
+    construction and summed as longs; the final top-N is
+    TakeOrderedAndProject, never a global sort.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.expr("cast(round(l_quantity) as bigint)")).alias(
+                "total_qty"
+            )
+        )
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.expr("cast(round(o_totalprice * 100) as bigint)").alias(
+                "price_cents"
+            ),
+            "total_qty",
+        )
+        .orderBy(F.desc("price_cents"), F.asc("o_orderkey"))
+        .limit(Q18_TOP_N)
+    )
+
+
+ORACLE["tpch_q18_large_orders"] = f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > {Q18_MIN_QTY}
+    )
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+           total_qty
+    FROM orders
+    JOIN big ON o_orderkey = big.l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY price_cents DESC, o_orderkey ASC
+    LIMIT {Q18_TOP_N}
+"""
+QUERIES["tpch_q18_large_orders"] = tpch_q18_large_orders

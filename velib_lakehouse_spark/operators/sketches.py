@@ -31,7 +31,7 @@ Scale shape:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
@@ -422,3 +422,162 @@ QUERIES = {
     "hll_distinct_audit": hll_distinct_audit,
     "bloom_membership_audit": bloom_membership_audit,
 }
+
+
+# ---- Equi-width histogram quantile sketch + exactness audit ----
+
+HIST_BINS = 64
+HIST_QS = (50, 90, 99)  # audited percentiles
+
+
+def histogram_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from a fixed equi-width histogram, audited
+    against the exact order statistic — the third mergeable sketch in
+    this module (bins merge by addition like CMS counts and HLL
+    registers merge by max).
+
+    For each audited percentile q the estimate is the upper edge of
+    the first bin whose cumulative count reaches rank
+    ``ceil(q*n/100)``; the exact value is the true rank-th smallest
+    price (percentile_disc semantics).  The estimate is one-sided
+    (>= exact, within one bin width) — both properties surface as
+    audit columns.  All arithmetic is integer cents.
+
+    Scale shape: the histogram build is ONE map-side-combined shuffle
+    onto exactly B = 64 reduce rows regardless of row count — at
+    100 TB the bins stay a broadcast table and executor-local partial
+    histograms merge by addition.  The audit's exact pass aggregates
+    per distinct price then walks the cumulative counts — one shuffle,
+    value-distinct-bounded, present only because this is an audit.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    prices = o.select(
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("p")
+    )
+    stats = prices.agg(
+        F.min("p").alias("mn"),
+        F.max("p").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = prices.crossJoin(F.broadcast(stats)).select(
+        F.expr(f"(p - mn) * {HIST_BINS} div (mx - mn + 1)").alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cumw = (
+        Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select("bin", F.sum("c").over(cumw).alias("cum"))
+    qs = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(q) for q in HIST_QS])
+            ).alias("q")
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q", "mn", "mx",
+            F.expr("(q * n + 99) div 100").alias("target_rank"),
+        )
+    )
+    est = (
+        qs.join(F.broadcast(cum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "mn", "mx", "target_rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "q",
+            "target_rank",
+            F.expr(
+                f"mn + (bin + 1) * (mx - mn + 1) div {HIST_BINS}"
+            ).alias("est_cents"),
+            F.expr(f"(mx - mn + 1) div {HIST_BINS} + 1").alias("bin_width"),
+        )
+    )
+    vals = prices.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    cumv = vals.select(
+        "p",
+        F.sum("c")
+        .over(
+            Window.orderBy("p").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    exact = (
+        est.select("q", "target_rank")
+        .join(F.broadcast(cumv), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "target_rank")
+        .agg(F.min("p").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, ["q", "target_rank"])
+        .select(
+            F.col("q").cast("bigint").alias("q"),
+            "target_rank",
+            "est_cents",
+            "exact_cents",
+            (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+            (
+                (F.col("est_cents") - F.col("exact_cents")) >= 0
+            ).alias("one_sided"),
+            (
+                F.col("est_cents") - F.col("exact_cents")
+                <= F.col("bin_width")
+            ).alias("within_bin"),
+        )
+    )
+
+
+ORACLE["histogram_quantile_audit"] = f"""
+    WITH prices AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p FROM orders
+    ),
+    stats AS (
+      SELECT min(p) AS mn, max(p) AS mx, CAST(count(*) AS BIGINT) AS n
+      FROM prices
+    ),
+    hist AS (
+      SELECT (p - mn) * {HIST_BINS} // (mx - mn + 1) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM prices CROSS JOIN stats GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, CAST(sum(c) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM hist
+    ),
+    qs AS (
+      SELECT q, mn, mx, (q * n + 99) // 100 AS target_rank
+      FROM (SELECT unnest([{', '.join(str(q) for q in HIST_QS)}]) AS q)
+      CROSS JOIN stats
+    ),
+    est AS (
+      SELECT q, target_rank,
+             mn + (min(bin) + 1) * (mx - mn + 1) // {HIST_BINS}
+               AS est_cents,
+             (mx - mn + 1) // {HIST_BINS} + 1 AS bin_width
+      FROM qs JOIN cum ON cum.cum >= qs.target_rank
+      GROUP BY q, target_rank, mn, mx
+    ),
+    cumv AS (
+      SELECT p, CAST(sum(c) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cum
+      FROM (SELECT p, CAST(count(*) AS BIGINT) AS c
+            FROM prices GROUP BY p)
+    ),
+    exact AS (
+      SELECT q, target_rank, min(p) AS exact_cents
+      FROM est JOIN cumv ON cumv.cum >= est.target_rank
+      GROUP BY q, target_rank
+    )
+    SELECT CAST(e.q AS BIGINT) AS q, e.target_rank, e.est_cents,
+           x.exact_cents,
+           e.est_cents - x.exact_cents AS err_cents,
+           e.est_cents - x.exact_cents >= 0 AS one_sided,
+           e.est_cents - x.exact_cents <= e.bin_width AS within_bin
+    FROM est e JOIN exact x
+      ON e.q = x.q AND e.target_rank = x.target_rank
+"""
+QUERIES["histogram_quantile_audit"] = histogram_quantile_audit
