@@ -166,6 +166,8 @@ HEADLINE = [
     "kcore_peeling",
     "histogram_quantile_audit",
     "tpch_q18_large_orders",
+    "rolling_active_users",
+    "expectation_suite_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

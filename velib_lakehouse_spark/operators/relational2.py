@@ -1095,3 +1095,127 @@ ORACLE["pareto_frontier_orders"] = """
     )
 """
 QUERIES["pareto_frontier_orders"] = pareto_frontier_orders
+
+
+# ---- Declarative data-quality expectation suite ----
+
+DQ_STATUS_VALUES = ("O", "F", "P")
+DQ_DATE_LO = "1990-01-01"
+DQ_DATE_HI = "2035-01-01"
+
+
+def expectation_suite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level data-quality expectation suite (the
+    Great-Expectations / dbt-test pattern as one query): one row per
+    check with violation count, checked count, and a pass verdict.
+
+    Checks: column non-null, value range, accepted value set, date
+    bounds, key uniqueness, and cross-table referential integrity.
+    Everything except the referential check evaluates in ONE pass over
+    orders (conditional counts — map-side partials onto a single
+    reduce row); uniqueness compares count vs approx-free exact
+    distinct on the key; the referential check is one anti-join
+    probe count from lineitem.  The suite is a union of tiny scalar
+    frames — at 100 TB the cost is one scan per table touched, which
+    is the floor for any audit that must read the data.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    status_in = F.col("o_orderstatus").isin(*DQ_STATUS_VALUES)
+    one_pass = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpos_price"
+        ),
+        F.sum(F.when(~status_in, 1).otherwise(0)).alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit(DQ_DATE_LO).cast("date"))
+                | (F.col("o_orderdate") >= F.lit(DQ_DATE_HI).cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_date"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+    )
+    orphans = l.join(
+        o.select("o_orderkey"),
+        l.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    n_lines = l.agg(F.count(F.lit(1)).alias("n_lines"))
+    base = one_pass.crossJoin(F.broadcast(orphans)).crossJoin(
+        F.broadcast(n_lines)
+    )
+
+    def check(name: str, viol, total) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            viol.cast("bigint").alias("n_violations"),
+            total.cast("bigint").alias("n_checked"),
+            (viol == 0).alias("passed"),
+        )
+
+    return base.select(
+        F.explode(
+            F.array(
+                check("orders.custkey_not_null", F.col("null_custkey"), F.col("n")),
+                check("orders.totalprice_positive", F.col("nonpos_price"), F.col("n")),
+                check("orders.status_in_set", F.col("bad_status"), F.col("n")),
+                check("orders.orderdate_in_bounds", F.col("bad_date"), F.col("n")),
+                check(
+                    "orders.orderkey_unique",
+                    F.col("n") - F.col("n_keys"),
+                    F.col("n"),
+                ),
+                check(
+                    "lineitem.orderkey_references_orders",
+                    F.col("n_orphans"),
+                    F.col("n_lines"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.check_name", "c.n_violations", "c.n_checked", "c.passed")
+
+
+ORACLE["expectation_suite_audit"] = f"""
+    WITH op AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS null_custkey,
+             CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nonpos_price,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN
+                  ({', '.join("'" + s + "'" for s in DQ_STATUS_VALUES)})
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+             CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{DQ_DATE_LO} 00:00:00'
+                        OR o_orderdate >= TIMESTAMP '{DQ_DATE_HI} 00:00:00'
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bad_date,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys
+      FROM orders
+    ),
+    orph AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orphans
+      FROM lineitem WHERE l_orderkey NOT IN
+        (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+    ),
+    nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lines FROM lineitem)
+    SELECT 'orders.custkey_not_null' AS check_name,
+           null_custkey AS n_violations, n AS n_checked,
+           null_custkey = 0 AS passed FROM op
+    UNION ALL
+    SELECT 'orders.totalprice_positive', nonpos_price, n,
+           nonpos_price = 0 FROM op
+    UNION ALL
+    SELECT 'orders.status_in_set', bad_status, n, bad_status = 0 FROM op
+    UNION ALL
+    SELECT 'orders.orderdate_in_bounds', bad_date, n, bad_date = 0 FROM op
+    UNION ALL
+    SELECT 'orders.orderkey_unique', n - n_keys, n, n - n_keys = 0 FROM op
+    UNION ALL
+    SELECT 'lineitem.orderkey_references_orders', n_orphans, n_lines,
+           n_orphans = 0 FROM orph CROSS JOIN nl
+"""
+QUERIES["expectation_suite_audit"] = expectation_suite_audit

@@ -682,3 +682,65 @@ ORACLE["ivm_incremental_rollup"] = f"""
     GROUP BY o_custkey
 """
 QUERIES["ivm_incremental_rollup"] = ivm_incremental_rollup
+
+
+# ---- Rolling distinct active users (7-day sliding MAU/DAU) ----
+
+ROLL_DAYS = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day rolling distinct active users over a trailing
+    ``ROLL_DAYS``-day window, with the same-day count alongside — the
+    DAU/WAU pair every activity dashboard is built on.
+
+    Distinct-count does NOT compose over sliding windows (a user active
+    on two days must count once), so the window cannot be a frame over
+    a pre-aggregated daily series.  The scale-correct shape: dedup
+    activity to (user, day) once, then join against the DAY SPINE — a
+    calendar-bounded frame that stays broadcastable at ANY corpus
+    scale (10 years = 3 653 rows) — with a range predicate, and count
+    distinct users per spine day.  Fan-out is exactly ROLL_DAYS rows
+    per (user, day): linear, partitioned by spine day.
+    """
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("day")
+    ).distinct()
+    spine = activity.select(F.col("day").alias("d")).distinct()
+    joined = activity.join(
+        F.broadcast(spine),
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") >= F.date_sub(F.col("d"), ROLL_DAYS - 1)),
+    )
+    return (
+        joined.groupBy("d")
+        .agg(
+            F.count_distinct("u").alias("active_7d"),
+            F.count_distinct(
+                F.when(F.col("day") == F.col("d"), F.col("u"))
+            ).alias("active_1d"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "active_7d",
+            "active_1d",
+        )
+    )
+
+
+ORACLE["rolling_active_users"] = f"""
+    WITH activity AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+    ),
+    spine AS (SELECT DISTINCT day AS d FROM activity)
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT a.u) AS BIGINT) AS active_7d,
+           CAST(count(DISTINCT CASE WHEN a.day = s.d THEN a.u END)
+                AS BIGINT) AS active_1d
+    FROM spine s
+    JOIN activity a
+      ON a.day <= s.d AND a.day >= s.d - {ROLL_DAYS - 1}
+    GROUP BY d
+"""
+QUERIES["rolling_active_users"] = rolling_active_users
