@@ -168,6 +168,7 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "rolling_active_users",
     "expectation_suite_audit",
+    "peak_concurrency_daily",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

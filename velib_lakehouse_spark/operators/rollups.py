@@ -744,3 +744,95 @@ ORACLE["rolling_active_users"] = f"""
     GROUP BY d
 """
 QUERIES["rolling_active_users"] = rolling_active_users
+
+
+# ---- Sweep-line peak concurrency ----
+
+
+def peak_concurrency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent users per day, by sweep line: each user's daily
+    activity interval [first event, last event] contributes a +1 at its
+    start and a -1 after its end; the running sum over the
+    time-ordered deltas is the instantaneous concurrency, whose max is
+    the day's peak — the classic interval-overlap counting algorithm,
+    impossible to express as a plain groupBy (overlap is an ORDER
+    property).
+
+    Tie policy: touching intervals count as concurrent — at equal
+    timestamps +1 sorts before -1 (delta descending), with user id as
+    the final tiebreak so the running sum is deterministic under any
+    partitioning.
+
+    Scale shape: the interval build is one (user, day) aggregation;
+    the sweep is one window partitioned BY DAY — a day's deltas are
+    2 x daily-active-users, so partitions stay bounded and days
+    parallelize.  Output: one row per day with peak concurrency and
+    the number of active users (peak <= active always).
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.to_date("ts").alias("day"),
+            F.col("ts").alias("t"),
+        )
+        .groupBy("u", "day")
+        .agg(F.min("t").alias("lo"), F.max("t").alias("hi"))
+    )
+    deltas = iv.select(
+        "day", F.col("lo").alias("t"), F.lit(1).alias("delta"), "u"
+    ).unionByName(
+        iv.select(
+            "day", F.col("hi").alias("t"), F.lit(-1).alias("delta"), "u"
+        )
+    )
+    sweep = Window.partitionBy("day").orderBy(
+        F.col("t").asc(), F.col("delta").desc(), F.col("u").asc()
+    )
+    running = deltas.select(
+        "day", F.sum("delta").over(sweep).alias("conc")
+    )
+    return (
+        running.groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+        .join(
+            iv.groupBy("day").agg(
+                F.count(F.lit(1)).alias("n_active_users")
+            ),
+            "day",
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "peak_concurrent",
+            "n_active_users",
+        )
+    )
+
+
+ORACLE["peak_concurrency_daily"] = """
+    WITH iv AS (
+      SELECT user_id AS u, CAST(ts AS DATE) AS day,
+             min(ts) AS lo, max(ts) AS hi
+      FROM events GROUP BY 1, 2
+    ),
+    deltas AS (
+      SELECT day, lo AS t, 1 AS delta, u FROM iv
+      UNION ALL
+      SELECT day, hi AS t, -1 AS delta, u FROM iv
+    ),
+    running AS (
+      SELECT day,
+             sum(delta) OVER (PARTITION BY day
+                              ORDER BY t ASC, delta DESC, u ASC
+                              ROWS UNBOUNDED PRECEDING) AS conc
+      FROM deltas
+    )
+    SELECT strftime(r.day, '%Y-%m-%d') AS day,
+           CAST(max(r.conc) AS BIGINT) AS peak_concurrent,
+           CAST(a.n AS BIGINT) AS n_active_users
+    FROM running r
+    JOIN (SELECT day, count(*) AS n FROM iv GROUP BY day) a
+      ON a.day = r.day
+    GROUP BY r.day, a.n
+"""
+QUERIES["peak_concurrency_daily"] = peak_concurrency_daily
