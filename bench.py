@@ -169,6 +169,9 @@ HEADLINE = [
     "rolling_active_users",
     "expectation_suite_audit",
     "peak_concurrency_daily",
+    "rake_keyphrases",
+    "cusum_changepoint_audit",
+    "basket_affinity_pairs",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

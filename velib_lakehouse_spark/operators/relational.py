@@ -941,3 +941,93 @@ ORACLE["tpch_q18_large_orders"] = f"""
     LIMIT {Q18_TOP_N}
 """
 QUERIES["tpch_q18_large_orders"] = tpch_q18_large_orders
+
+
+# ---- Market-basket affinity (support / confidence / lift) ----
+
+BASKET_MIN_SUPPORT = 2
+
+
+def basket_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over orders: for every pair of parts
+    co-purchased in at least ``BASKET_MIN_SUPPORT`` orders, the
+    support, directional confidence, and lift — the A-priori first
+    level plus association metrics, in integer ppm.
+
+    Scale shape: baskets are (order, part) distinct rows; the pair
+    generation self-joins WITHIN an order key, so fan-out per order is
+    C(items, 2) with items bounded by order size (TPC-H max 7 lines;
+    a DF cap would bound pathological baskets the same way
+    `dedup_ngram_jaccard` caps hot shingles).  Item and pair supports
+    are two key-bounded aggregations; the metric join broadcasts the
+    item-support table (one row per distinct part — catalog-bounded,
+    not order-bounded).
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.select("o").distinct().count()
+    ia = items.select("o", F.col("p").alias("a"))
+    ib = items.select("o", F.col("p").alias("b"))
+    pair_supp = (
+        ia.join(ib, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support_ab"))
+        .filter(F.col("support_ab") >= BASKET_MIN_SUPPORT)
+    )
+    item_supp = items.groupBy("p").agg(F.count(F.lit(1)).alias("supp"))
+    return (
+        pair_supp.join(
+            F.broadcast(item_supp.select(F.col("p").alias("a"),
+                                         F.col("supp").alias("supp_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(item_supp.select(F.col("p").alias("b"),
+                                         F.col("supp").alias("supp_b"))),
+            "b",
+        )
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "support_ab",
+            "supp_a",
+            "supp_b",
+            F.expr("support_ab * 1000000 div supp_a").alias("conf_a_to_b_ppm"),
+            F.expr("support_ab * 1000000 div supp_b").alias("conf_b_to_a_ppm"),
+            F.expr(
+                f"support_ab * {n_orders}L * 1000000 div (supp_a * supp_b)"
+            ).alias("lift_ppm"),
+        )
+    )
+
+
+ORACLE["basket_affinity_pairs"] = f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+    pair_supp AS (
+      SELECT a.p AS part_a, b.p AS part_b,
+             CAST(count(*) AS BIGINT) AS support_ab
+      FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING count(*) >= {BASKET_MIN_SUPPORT}
+    ),
+    item_supp AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS supp FROM items GROUP BY p
+    )
+    SELECT ps.part_a, ps.part_b, ps.support_ab,
+           sa.supp AS supp_a, sb.supp AS supp_b,
+           ps.support_ab * 1000000 // sa.supp AS conf_a_to_b_ppm,
+           ps.support_ab * 1000000 // sb.supp AS conf_b_to_a_ppm,
+           ps.support_ab * n.n_orders * 1000000 // (sa.supp * sb.supp)
+             AS lift_ppm
+    FROM pair_supp ps
+    JOIN item_supp sa ON sa.p = ps.part_a
+    JOIN item_supp sb ON sb.p = ps.part_b
+    CROSS JOIN n
+"""
+QUERIES["basket_affinity_pairs"] = basket_affinity_pairs

@@ -836,3 +836,100 @@ ORACLE["peak_concurrency_daily"] = """
     GROUP BY r.day, a.n
 """
 QUERIES["peak_concurrency_daily"] = peak_concurrency_daily
+
+
+# ---- CUSUM change-point audit (Page 1954) ----
+
+
+def cusum_changepoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user change-point detection by the CUSUM statistic: the
+    maximum deviation of the running sum from its linear interpolation,
+    ``D_t = |S_t * n - t * S_n|`` — large when the series' mean shifts
+    partway through (the statistic behind Page's cumulative-sum control
+    chart).  Emits per user the series length, the total, the max
+    deviation (scaled by n to stay integer — no division), and the
+    earliest index attaining it.
+
+    Scale shape: values centify map-side; ONE shuffle on user_id
+    drives the ordering window (row_number + running sum + the full-
+    partition n/S_n aggregates all share it), then a per-user argmax
+    aggregation over (D, -t) structs — O(1) state per user.  Ordering
+    carries event_id as the unique tiebreak.
+    """
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        F.col("user_id").alias("u"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("v"),
+    )
+    ow = Window.partitionBy("u").orderBy("t", "event_id")
+    full = Window.partitionBy("u").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = Window.partitionBy("u").orderBy("t", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = base.select(
+        "u",
+        F.row_number().over(ow).alias("rn"),
+        F.sum("v").over(cum).alias("s_t"),
+        F.count(F.lit(1)).over(full).alias("n"),
+        F.sum("v").over(full).alias("s_n"),
+    ).select(
+        "u",
+        "rn",
+        "n",
+        "s_n",
+        F.abs(F.col("s_t") * F.col("n") - F.col("rn") * F.col("s_n")).alias(
+            "d"
+        ),
+    )
+    return (
+        scored.groupBy("u")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("s_n").alias("total_centi"),
+            F.max("d").alias("d_max_scaled"),
+            F.min(F.struct(F.negate(F.col("d")).alias("nd"), F.col("rn")))
+            .getField("rn")
+            .alias("t_star"),
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            "n_events",
+            "total_centi",
+            "d_max_scaled",
+            F.col("t_star").cast("bigint").alias("t_star"),
+        )
+    )
+
+
+ORACLE["cusum_changepoint_audit"] = """
+    WITH base AS (
+      SELECT user_id AS u, ts AS t, event_id,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    scored AS (
+      SELECT u,
+             row_number() OVER w AS rn,
+             sum(v) OVER (PARTITION BY u ORDER BY t, event_id
+                          ROWS UNBOUNDED PRECEDING) AS s_t,
+             CAST(count(*) OVER (PARTITION BY u) AS BIGINT) AS n,
+             CAST(sum(v) OVER (PARTITION BY u) AS BIGINT) AS s_n
+      FROM base
+      WINDOW w AS (PARTITION BY u ORDER BY t, event_id)
+    ),
+    dd AS (
+      SELECT u, rn, n, s_n, abs(s_t * n - rn * s_n) AS d FROM scored
+    )
+    SELECT u AS user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(max(s_n) AS BIGINT) AS total_centi,
+           CAST(max(d) AS BIGINT) AS d_max_scaled,
+           CAST(min(CASE WHEN d = md THEN rn END) AS BIGINT) AS t_star
+    FROM (SELECT *, max(d) OVER (PARTITION BY u) AS md FROM dd)
+    GROUP BY u
+"""
+QUERIES["cusum_changepoint_audit"] = cusum_changepoint_audit

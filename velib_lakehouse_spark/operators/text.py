@@ -1382,3 +1382,144 @@ ORACLE["winnow_fingerprints"] = f"""
     FROM sel GROUP BY doc_id, n_grams
 """
 QUERIES["winnow_fingerprints"] = winnow_fingerprints
+
+
+# ---- RAKE keyphrase extraction (Rose et al. 2010) ----
+
+RAKE_TOP_K = 25
+
+
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE (Rapid Automatic Keyword Extraction): split text into
+    candidate phrases at stopword boundaries, score each word by
+    degree/frequency (degree = total length of phrases it appears in —
+    co-occurrence favors words that travel in long phrases), and score
+    a phrase as the sum of its word scores.  Top-K corpus keyphrases.
+
+    Integer contract: word score is ``degree * 1e6 div freq`` ppm and
+    phrase score sums those — deterministic on both engines.
+
+    Scale shape: phrase segmentation is a per-doc cumulative count of
+    stopword boundaries (one doc-partitioned window over token
+    positions); word statistics are one vocabulary-bounded shuffle;
+    phrase assembly sorts positions inside each (doc, phrase) group —
+    partitions bounded by phrase length.  The final top-K is
+    TakeOrdered.  Stopwords are a broadcast literal set folded into
+    codegen.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stop_set = ", ".join(f"'{w}'" for w in ALL_STOPWORDS)
+    toks = (
+        d.repartition(
+            spark.sparkContext.defaultParallelism, "doc_id"
+        )
+        .select("doc_id", F.posexplode(_words()).alias("pos", "w"))
+        .withColumn("is_stop", F.expr(f"w IN ({stop_set})"))
+    )
+    segw = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    content = (
+        toks.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("int")).over(segw)
+        )
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "phrase_id", "pos", "w")
+    )
+    plen = content.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    wstats = (
+        content.join(plen, ["doc_id", "phrase_id"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("degree"),
+        )
+        .select(
+            "w", F.expr("degree * 1000000 div freq").alias("wscore_ppm")
+        )
+    )
+    phrases = (
+        content.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "concat_ws(' ', transform(array_sort("
+                "collect_list(struct(pos, w))), x -> x.w))"
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+    )
+    scored = (
+        content.join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore_ppm").alias("score_ppm"))
+        .join(phrases, ["doc_id", "phrase_id"])
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.max("n_words").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score_ppm").alias("score_ppm"),
+        )
+        .orderBy(F.desc("score_ppm"), F.asc("phrase"))
+        .limit(RAKE_TOP_K)
+    )
+
+
+ORACLE["rake_keyphrases"] = f"""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS w,
+             w[i] IN ({', '.join("'" + s + "'" for s in ALL_STOPWORDS)})
+               AS is_stop
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS w
+        FROM documents
+      ), unnest(generate_series(1, len(w))) AS t(i)
+    ),
+    seg AS (
+      SELECT doc_id, pos, w, is_stop,
+             sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM toks
+    ),
+    content AS (
+      SELECT doc_id, phrase_id, pos, w FROM seg WHERE NOT is_stop
+    ),
+    plen AS (
+      SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen
+      FROM content GROUP BY 1, 2
+    ),
+    wstats AS (
+      SELECT w, CAST(sum(plen) AS BIGINT) * 1000000
+                  // CAST(count(*) AS BIGINT) AS wscore_ppm
+      FROM content JOIN plen USING (doc_id, phrase_id)
+      GROUP BY w
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words
+      FROM content GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.doc_id, c.phrase_id,
+             CAST(sum(s.wscore_ppm) AS BIGINT) AS score_ppm
+      FROM content c JOIN wstats s ON c.w = s.w
+      GROUP BY 1, 2
+    )
+    SELECT p.phrase,
+           CAST(max(p.n_words) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(s.score_ppm) AS BIGINT) AS score_ppm
+    FROM scored s JOIN phrases p USING (doc_id, phrase_id)
+    GROUP BY p.phrase
+    ORDER BY score_ppm DESC, phrase ASC
+    LIMIT {RAKE_TOP_K}
+"""
+QUERIES["rake_keyphrases"] = rake_keyphrases
