@@ -172,6 +172,8 @@ HEADLINE = [
     "rake_keyphrases",
     "cusum_changepoint_audit",
     "basket_affinity_pairs",
+    "seasonal_naive_backtest",
+    "link_prediction_common_neighbors",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

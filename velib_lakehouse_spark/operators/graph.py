@@ -567,3 +567,102 @@ ORACLE["kcore_peeling"] = f"""
     FROM nodes n LEFT JOIN degf d ON n.node = d.node
 """
 QUERIES["kcore_peeling"] = kcore_peeling
+
+
+# ---- Common-neighbors link prediction ----
+
+LINKPRED_MIN_CN = 2
+
+
+def link_prediction_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Link prediction by common-neighbor counting (Liben-Nowell &
+    Kleinberg 2003): score every NON-edge pair reachable in two hops
+    by its common-neighbor count and neighborhood Jaccard — the
+    classical baselines for "who should be connected".
+
+    Scale shape: candidate generation is the 2-hop path join
+    e(a,x) ⋈ e(x,b) — bounded because the underlying co-activity
+    graph caps group fan-out (`EDGE_GROUP_CAP`), so per-node degree
+    is bounded and paths per node are O(deg²); existing edges are
+    removed with one anti-join; degrees broadcast (one row per node).
+    Scores are integer ppm (bit-exact).  Pairs below
+    ``LINKPRED_MIN_CN`` common neighbors are dropped — the score has
+    no signal there and the cut bounds output.
+    """
+    edges = _edges(spark, sf_dir).persist()
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    hop = (
+        edges.select(F.col("a").alias("x"), F.col("b").alias("p"))
+        .join(edges.select(F.col("a").alias("x"), F.col("b").alias("q")), "x")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy("p", "q")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= LINKPRED_MIN_CN)
+    )
+    non_edges = hop.join(
+        edges.select(F.col("a").alias("p"), F.col("b").alias("q")),
+        ["p", "q"],
+        "left_anti",
+    )
+    return (
+        non_edges.join(
+            F.broadcast(deg.select(F.col("a").alias("p"),
+                                   F.col("deg").alias("deg_p"))),
+            "p",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("a").alias("q"),
+                                   F.col("deg").alias("deg_q"))),
+            "q",
+        )
+        .select(
+            F.col("p").alias("node_a"),
+            F.col("q").alias("node_b"),
+            "cn",
+            "deg_p",
+            "deg_q",
+            F.expr("cn * 1000000 div (deg_p + deg_q - cn)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+
+
+ORACLE["link_prediction_common_neighbors"] = f"""
+    WITH active AS (
+      SELECT DISTINCT user_id AS node,
+             epoch_ms(ts) // {HOUR_MS} AS hour
+      FROM events
+    ),
+    small AS (
+      SELECT hour FROM active GROUP BY hour
+      HAVING count(*) <= {EDGE_GROUP_CAP}
+    ),
+    edges AS (
+      SELECT DISTINCT x.node AS a, y.node AS b
+      FROM active x
+      JOIN active y ON x.hour = y.hour AND x.node <> y.node
+      WHERE x.hour IN (SELECT hour FROM small)
+    ),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+    hop AS (
+      SELECT e1.b AS p, e2.b AS q, CAST(count(*) AS BIGINT) AS cn
+      FROM edges e1 JOIN edges e2 ON e1.a = e2.a AND e1.b < e2.b
+      GROUP BY 1, 2 HAVING count(*) >= {LINKPRED_MIN_CN}
+    ),
+    non_edges AS (
+      SELECT h.* FROM hop h
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = h.p AND e.b = h.q
+      )
+    )
+    SELECT n.p AS node_a, n.q AS node_b, n.cn,
+           dp.deg AS deg_p, dq.deg AS deg_q,
+           n.cn * 1000000 // (dp.deg + dq.deg - n.cn) AS jaccard_ppm
+    FROM non_edges n
+    JOIN deg dp ON dp.a = n.p
+    JOIN deg dq ON dq.a = n.q
+"""
+QUERIES["link_prediction_common_neighbors"] = link_prediction_common_neighbors

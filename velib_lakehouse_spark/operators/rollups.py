@@ -933,3 +933,82 @@ ORACLE["cusum_changepoint_audit"] = """
     GROUP BY u
 """
 QUERIES["cusum_changepoint_audit"] = cusum_changepoint_audit
+
+
+# ---- Seasonal-naive forecast backtest ----
+
+SEASON_MS = 24 * 3600 * 1000  # daily seasonality
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecast (predict this hour =
+    same hour yesterday) over each user's hourly value series — the
+    baseline every forecasting system must beat, and the standard
+    data-quality probe for seasonality (a small MAE means the series
+    IS daily-periodic).
+
+    Emits per user: hours scored (those with a same-hour-yesterday
+    observation), MAE and mean bias in integer centi-units
+    (truncated), computed over hourly TOTALS so the arithmetic stays
+    exact.
+
+    Scale shape: the hourly rollup is one (user, hour) aggregation;
+    the forecast is a SHIFTED-KEY EQUI-JOIN of the series onto itself
+    (hour = hour - 24h) — no window, no range join, co-partitioned on
+    the same key, so the whole backtest is two shuffles of one compact
+    series regardless of raw event volume.
+    """
+    e = load_table(spark, sf_dir, "events")
+    series = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.expr(f"unix_millis(ts) div {SEASON_MS // 24}").alias("hour"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("u", "hour")
+        .agg(F.sum("v").alias("total"))
+    )
+    fc = series.select(
+        "u",
+        (F.col("hour") + 24).alias("hour"),
+        F.col("total").alias("forecast"),
+    )
+    scored = series.join(fc, ["u", "hour"]).select(
+        "u",
+        (F.col("total") - F.col("forecast")).alias("err"),
+    )
+    return (
+        scored.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours_scored"),
+            F.sum(F.abs(F.col("err"))).alias("abs_err_sum"),
+            F.sum("err").alias("err_sum"),
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            "n_hours_scored",
+            F.expr("abs_err_sum div n_hours_scored").alias("mae_centi"),
+            F.expr("err_sum div n_hours_scored").alias("bias_centi"),
+        )
+    )
+
+
+ORACLE["seasonal_naive_backtest"] = f"""
+    WITH series AS (
+      SELECT user_id AS u, epoch_ms(ts) // {SEASON_MS // 24} AS hour,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT s.u, s.total - f.total AS err
+      FROM series s
+      JOIN series f ON f.u = s.u AND f.hour = s.hour - 24
+    )
+    SELECT u AS user_id,
+           CAST(count(*) AS BIGINT) AS n_hours_scored,
+           CAST(sum(abs(err)) AS BIGINT) // count(*) AS mae_centi,
+           CAST(sum(err) AS BIGINT) // count(*) AS bias_centi
+    FROM scored GROUP BY u
+"""
+QUERIES["seasonal_naive_backtest"] = seasonal_naive_backtest
