@@ -81,6 +81,7 @@ FUZZED_QUERIES = [
     "arrow_batch_stats",
     "e2e_curation_report",
     # round-4 additions
+    "rake_keyphrases",
     "winnow_fingerprints",
     "hll_distinct_audit",
     "bloom_membership_audit",
@@ -242,6 +243,14 @@ def test_random_event_stream_matches_oracle(spark, stream_fuzz_dir, events):
 
 EVENT_BATCH_FUZZED = [
     "event_funnel",
+    # round-4 event analytics
+    "peak_concurrency_daily",
+    "cusum_changepoint_audit",
+    "seasonal_naive_backtest",
+    "kcore_peeling",
+    "link_prediction_common_neighbors",
+    "rolling_active_users",
+    "event_rate_anomaly",
     "retention_cohorts",
     "pagerank_user_graph",
     "triangle_count",
