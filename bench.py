@@ -174,6 +174,8 @@ HEADLINE = [
     "basket_affinity_pairs",
     "seasonal_naive_backtest",
     "link_prediction_common_neighbors",
+    "psi_drift_audit",
+    "source_concentration_gini",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

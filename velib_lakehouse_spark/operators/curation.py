@@ -977,3 +977,175 @@ ORACLE["domain_cap_sample"] = f"""
     ) WHERE smp_rank <= {DOMAIN_CAP}
 """
 QUERIES["domain_cap_sample"] = domain_cap_sample
+
+
+# ---- PSI drift + Gini concentration audits ----
+
+PSI_BINS = 8
+
+
+def psi_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source: how far each source's
+    doc-length distribution drifts from the corpus-wide one —
+    ``PSI = sum_i (q_i - p_i) * ln(q_i / p_i)`` over equi-width length
+    bins, the standard model-monitoring drift score (PSI > 0.2 =
+    investigate) and the binned complement to the rank-based KS audit
+    (`source_drift_ks`).
+
+    Laplace-smoothed bin shares ((count+1)/(total+B)) keep empty bins
+    finite; each bin term is floor-quantized to integer micro units
+    before the sum — both engines derive the doubles from identical
+    integer counts, so the result is bit-stable (the `pmi_collocations`
+    ln convention).
+
+    Scale shape: ONE pass builds (source, bin) counts (the global
+    min/max broadcast from a 2-value agg); source totals and corpus
+    bin shares derive from that same tiny (sources x B)-row frame.
+    Nothing after the first aggregation touches the corpus.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.min("n_chars").alias("mn"), F.max("n_chars").alias("mx")
+    )
+    binned = (
+        d.crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            F.expr(
+                f"(n_chars - mn) * {PSI_BINS} div (mx - mn + 1)"
+            ).alias("bin"),
+        )
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    src_tot = binned.groupBy("source").agg(F.sum("c").alias("src_n"))
+    corp = binned.groupBy("bin").agg(F.sum("c").alias("corp_c"))
+    corp_tot = binned.agg(F.sum("c").alias("corp_n"))
+    grid = (
+        src_tot.crossJoin(
+            F.broadcast(
+                spark.range(PSI_BINS).select(F.col("id").alias("bin"))
+            )
+        )
+        .join(binned, ["source", "bin"], "left")
+        .join(F.broadcast(corp), "bin", "left")
+        .crossJoin(F.broadcast(corp_tot))
+        .select(
+            "source",
+            "src_n",
+            F.expr(
+                f"(coalesce(c, 0) + 1) / cast(src_n + {PSI_BINS} as double)"
+            ).alias("q"),
+            F.expr(
+                f"(coalesce(corp_c, 0) + 1)"
+                f" / cast(corp_n + {PSI_BINS} as double)"
+            ).alias("p"),
+        )
+    )
+    return (
+        grid.select(
+            "source",
+            "src_n",
+            F.expr(
+                "cast(floor((q - p) * ln(q / p) * 1e6) as bigint)"
+            ).alias("term_micro"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("src_n").alias("n_docs"),
+            F.sum("term_micro").alias("psi_micro"),
+        )
+    )
+
+
+ORACLE["psi_drift_audit"] = f"""
+    WITH stats AS (
+      SELECT min(n_chars) AS mn, max(n_chars) AS mx FROM documents
+    ),
+    binned AS (
+      SELECT source,
+             (n_chars - mn) * {PSI_BINS} // (mx - mn + 1) AS bin,
+             CAST(count(*) AS BIGINT) AS c
+      FROM documents CROSS JOIN stats GROUP BY 1, 2
+    ),
+    src_tot AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS src_n
+      FROM binned GROUP BY source
+    ),
+    corp AS (
+      SELECT bin, CAST(sum(c) AS BIGINT) AS corp_c FROM binned GROUP BY bin
+    ),
+    corp_tot AS (SELECT CAST(sum(c) AS BIGINT) AS corp_n FROM binned),
+    grid AS (
+      SELECT s.source, s.src_n,
+             (COALESCE(b.c, 0) + 1)
+               / CAST(s.src_n + {PSI_BINS} AS DOUBLE) AS q,
+             (COALESCE(cp.corp_c, 0) + 1)
+               / CAST(ct.corp_n + {PSI_BINS} AS DOUBLE) AS p
+      FROM src_tot s
+      CROSS JOIN (SELECT unnest(generate_series(0, {PSI_BINS - 1}))
+                  AS bin) g
+      LEFT JOIN binned b ON b.source = s.source AND b.bin = g.bin
+      LEFT JOIN corp cp ON cp.bin = g.bin
+      CROSS JOIN corp_tot ct
+    )
+    SELECT source,
+           CAST(max(src_n) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor((q - p) * ln(q / p) * 1e6) AS BIGINT))
+                AS BIGINT) AS psi_micro
+    FROM grid GROUP BY source
+"""
+QUERIES["psi_drift_audit"] = psi_drift_audit
+
+
+def source_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the corpus's per-source document counts —
+    the one-number answer to "is this corpus dominated by a few
+    domains?" (0 = perfectly even, ->1 = one source owns everything);
+    the measurement whose remediation is `domain_cap_sample`.
+
+    Exact integer form over counts sorted ascending (rank tiebreak by
+    source name): ``G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x))``,
+    emitted in ppm by integer division — no floats anywhere.
+
+    Scale shape: one aggregation to per-source counts, then a window
+    over ONE ROW PER SOURCE (domain-catalog-bounded, not corpus-
+    bounded) — the global order is over thousands of domains at any
+    corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("x"))
+    ranked = counts.select(
+        "x",
+        F.row_number()
+        .over(Window.orderBy(F.col("x").asc(), F.col("source").asc()))
+        .alias("i"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("x").alias("total_docs"),
+        F.expr(
+            "(2 * sum(i * x) - (count(1) + 1) * sum(x)) * 1000000"
+            " div (count(1) * sum(x))"
+        ).alias("gini_ppm"),
+    )
+
+
+ORACLE["source_concentration_gini"] = """
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS x
+      FROM documents GROUP BY source
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i
+      FROM counts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(x) AS BIGINT) AS total_docs,
+           (2 * CAST(sum(i * x) AS BIGINT)
+             - (count(*) + 1) * CAST(sum(x) AS BIGINT)) * 1000000
+             // (count(*) * CAST(sum(x) AS BIGINT)) AS gini_ppm
+    FROM ranked
+"""
+QUERIES["source_concentration_gini"] = source_concentration_gini
