@@ -176,6 +176,8 @@ HEADLINE = [
     "link_prediction_common_neighbors",
     "psi_drift_audit",
     "source_concentration_gini",
+    "streaming_sliding_counts",
+    "trend_slope_per_user",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -1012,3 +1012,87 @@ ORACLE["seasonal_naive_backtest"] = f"""
     FROM scored GROUP BY u
 """
 QUERIES["seasonal_naive_backtest"] = seasonal_naive_backtest
+
+
+# ---- Integer-exact OLS trend slope per series ----
+
+
+def trend_slope_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of the hourly value series: the exact OLS
+    slope in closed form,
+    ``slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2)``, computed ENTIRELY in
+    integer arithmetic (x = hour index, y = centi totals) with the
+    division as a single integer div on the 1e6-scaled numerator — so
+    the emitted micro-slope is bit-exact under any partitioning, unlike
+    a float covariance.  Slope sign and magnitude answer "is this
+    series growing?" — the screening step before any real forecaster.
+
+    Scale shape: one (user, hour) rollup, then ONE aggregation per user
+    accumulating the four sums — O(1) state per series, map-side
+    partials.  Degenerate series (n < 2 or zero x-variance) emit NULL
+    slope rather than a fake 0.
+    """
+    e = load_table(spark, sf_dir, "events")
+    series = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.expr("unix_millis(ts) div 3600000").alias("x"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("u", "x")
+        .agg(F.sum("v").alias("y"))
+    )
+    # rebase x per user so products stay far from int64 range
+    sums = (
+        series.join(
+            series.groupBy("u").agg(F.min("x").alias("x0")), "u"
+        )
+        .select("u", (F.col("x") - F.col("x0")).alias("x"), "y")
+        .groupBy("u")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        )
+    )
+    return sums.select(
+        F.col("u").alias("user_id"),
+        F.col("n").alias("n_hours"),
+        "sy",
+        F.expr(
+            "CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0"
+            " THEN (n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+            " END"
+        ).alias("slope_micro_centi_per_hour"),
+    )
+
+
+ORACLE["trend_slope_per_user"] = """
+    WITH series AS (
+      SELECT user_id AS u, epoch_ms(ts) // 3600000 AS x,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    rb AS (
+      SELECT s.u, s.x - m.x0 AS x, s.y
+      FROM series s
+      JOIN (SELECT u, min(x) AS x0 FROM series GROUP BY u) m ON m.u = s.u
+    ),
+    sums AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM rb GROUP BY u
+    )
+    SELECT u AS user_id, n AS n_hours, sy,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0
+                THEN (n * sxy - sx * sy) * 1000000
+                       // (n * sxx - sx * sx)
+           END AS slope_micro_centi_per_hour
+    FROM sums
+"""
+QUERIES["trend_slope_per_user"] = trend_slope_per_user

@@ -950,3 +950,83 @@ ORACLE["streaming_dedup_within_watermark"] = """
     FROM events
 """
 QUERIES["streaming_dedup_within_watermark"] = streaming_dedup_within_watermark
+
+
+# ---- Sliding (hopping) windows: the overlap variant of T6 ----
+
+SLIDE_SECONDS = 300
+SLIDE_DUR_SECONDS = 600  # each event lands in DUR/SLIDE = 2 windows
+
+
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregation (hopping windows: 10 min
+    duration, 5 min hop) drained with AvailableNow — the overlap
+    variant `streaming_windowed_counts`' tumbling windows cannot
+    express (a rate chart that updates every 5 minutes over the last
+    10).  Each event contributes to exactly DUR/SLIDE = 2 windows;
+    append mode emits the windows closed by the final watermark.
+
+    The oracle reproduces Spark's epoch-aligned window assignment
+    arithmetically: an event at t belongs to start times
+    ``(t div slide - k) * slide`` for k in 0..DUR/SLIDE-1 (each start
+    is > t - DUR by construction when DUR = 2*slide), then applies the
+    same closed-window cutoff as the tumbling query.
+
+    Scale: state is bounded by (watermark horizon / slide) x key
+    cardinality window panes; the 2x per-event fan-out happens inside
+    the streaming agg's partial aggregation, not as a shuffle
+    multiplier.
+    """
+    ev = _event_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", f"{WATERMARK_SECONDS} seconds")
+        .groupBy(
+            F.window(
+                "ts",
+                f"{SLIDE_DUR_SECONDS} seconds",
+                f"{SLIDE_SECONDS} seconds",
+            ).alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    return _drain_parquet_sink(
+        spark, agg, "sliding_counts_sink",
+        shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
+    ).select(
+        F.unix_millis("win.start").alias("window_start_ms"),
+        F.unix_millis("win.end").alias("window_end_ms"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+ORACLE["streaming_sliding_counts"] = f"""
+    WITH panes AS (
+      SELECT ((epoch_ms(ts) // {SLIDE_SECONDS * 1000}) - k.k)
+               * {SLIDE_SECONDS * 1000} AS window_start_ms,
+             event_type, value
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0,
+          {SLIDE_DUR_SECONDS // SLIDE_SECONDS - 1})) AS k) k
+    ),
+    w AS (
+      SELECT window_start_ms,
+             window_start_ms + {SLIDE_DUR_SECONDS * 1000} AS window_end_ms,
+             event_type,
+             count(*) AS n_events,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total_value
+      FROM panes GROUP BY 1, 2, 3
+    )
+    SELECT w.* FROM w
+    CROSS JOIN (SELECT max(epoch_ms(ts)) AS mx FROM events) m
+    WHERE w.window_end_ms <= m.mx - {WATERMARK_SECONDS * 1000}
+"""
+QUERIES["streaming_sliding_counts"] = streaming_sliding_counts
