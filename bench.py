@@ -178,6 +178,8 @@ HEADLINE = [
     "source_concentration_gini",
     "streaming_sliding_counts",
     "trend_slope_per_user",
+    "tpch_q10_returned_items",
+    "multimodal_image_patches",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -221,3 +221,78 @@ ORACLE["multimodal_audio_window_stats"] = f"""
     FROM frames
 """
 QUERIES["multimodal_audio_window_stats"] = multimodal_audio_window_stats
+
+
+# ---- Image patch-grid extraction geometry ----
+
+PATCH = 32  # square patch edge, ViT-style
+
+
+def multimodal_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid extraction plan for images: from each decoded image's
+    (width, height), emit one row per PATCH x PATCH tile with its pixel
+    rectangle, edge tiles clipped — the geometry every ViT-style
+    vision pipeline computes before the crop kernels run.  The decode
+    boundary is the Arrow-batched metadata pass (`decode_media`, codec
+    honestly stubbed); the grid fan-out is a JVM-side double explode
+    over ceil(w/P) x ceil(h/P) indices, so per-image work is pure
+    codegen arithmetic and a downstream cropper consumes (doc_id,
+    rectangle) work units at whatever parallelism the cluster has.
+    """
+    meta = multimodal_decode_meta(spark, sf_dir)
+    return (
+        meta.select(
+            "doc_id",
+            "width",
+            "height",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr(f"(width + {PATCH} - 1) div {PATCH} - 1")
+                )
+            ).alias("px"),
+        )
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "px",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"(height + {PATCH} - 1) div {PATCH} - 1"),
+                )
+            ).alias("py"),
+        )
+        .select(
+            "doc_id",
+            "px",
+            "py",
+            (F.col("px") * PATCH).alias("x0"),
+            (F.col("py") * PATCH).alias("y0"),
+            F.expr(f"least({PATCH}, width - px * {PATCH})").alias("pw"),
+            F.expr(f"least({PATCH}, height - py * {PATCH})").alias("ph"),
+        )
+    )
+
+
+ORACLE["multimodal_image_patches"] = f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(64 + octet_length(encode(text)) % 576 AS BIGINT) AS width,
+             CAST(64 + (octet_length(encode(text)) * 7) % 416 AS BIGINT)
+               AS height
+      FROM documents
+    )
+    SELECT doc_id, px, py,
+           px * {PATCH} AS x0, py * {PATCH} AS y0,
+           least({PATCH}, width - px * {PATCH}) AS pw,
+           least({PATCH}, height - py * {PATCH}) AS ph
+    FROM (
+      SELECT doc_id, width, height,
+             unnest(generate_series(0,
+               (width + {PATCH} - 1) // {PATCH} - 1)) AS px
+      FROM meta
+    ), unnest(generate_series(0, (height + {PATCH} - 1) // {PATCH} - 1))
+         AS t(py)
+"""
+QUERIES["multimodal_image_patches"] = multimodal_image_patches

@@ -1031,3 +1031,63 @@ ORACLE["basket_affinity_pairs"] = f"""
     CROSS JOIN n
 """
 QUERIES["basket_affinity_pairs"] = basket_affinity_pairs
+
+
+# ---- TPC-H Q10: returned-item revenue (top customers by loss) ----
+
+Q10_DATE_LO = "1997-01-01"
+Q10_DATE_HI = "1998-01-01"
+Q10_TOP_N = 20
+
+
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: customers who returned
+    the most revenue in one order-date year, enriched with their
+    nation — the classic "who is hurting us" join tree.
+
+    Shape: the returnflag filter reaches the lineitem scan (pushed
+    predicate); date-filtered orders join customers on the shuffled
+    key; nation broadcasts; revenue uses the integer micro-unit route;
+    top-N is TakeOrderedAndProject.  Unlike Q18 the fact side cannot
+    pre-reduce (the group key includes customer attributes), so this
+    pins the orders⋈lineitem⋈customer shuffle tree Catalyst should
+    pick when no side collapses.
+    """
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(Q10_DATE_LO).cast("date"))
+        & (F.col("o_orderdate") < F.lit(Q10_DATE_HI).cast("date"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev_m = cents_product(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(micro_sum_2dp(rev_m, "returned_revenue"))
+        .orderBy(F.desc("returned_revenue"), F.asc("c_custkey"))
+        .limit(Q10_TOP_N)
+    )
+
+
+ORACLE["tpch_q10_returned_items"] = f"""
+    SELECT c_custkey, c_name, n_name, c_mktsegment,
+           {sql_micro_sum_2dp(
+               sql_cents_product('l_extendedprice', '1 - l_discount'),
+               'returned_revenue')}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{Q10_DATE_LO} 00:00:00'
+      AND o_orderdate < TIMESTAMP '{Q10_DATE_HI} 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, c_mktsegment
+    ORDER BY returned_revenue DESC, c_custkey ASC
+    LIMIT {Q10_TOP_N}
+"""
+QUERIES["tpch_q10_returned_items"] = tpch_q10_returned_items
