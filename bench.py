@@ -180,6 +180,8 @@ HEADLINE = [
     "trend_slope_per_user",
     "tpch_q10_returned_items",
     "multimodal_image_patches",
+    "tpch_q6_forecast_revenue",
+    "rfm_segmentation",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -1091,3 +1091,57 @@ ORACLE["tpch_q10_returned_items"] = f"""
     LIMIT {Q10_TOP_N}
 """
 QUERIES["tpch_q10_returned_items"] = tpch_q10_returned_items
+
+
+# ---- TPC-H Q6: forecast revenue change (pure scan-filter-agg) ----
+
+Q6_DATE_LO = "1996-01-01"
+Q6_DATE_HI = "1997-01-01"
+Q6_DISC_LO_BP = 5   # discount band in basis points of 100 (0.05..0.07)
+Q6_DISC_HI_BP = 7
+Q6_MAX_QTY = 24
+
+
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue query: one full-scan
+    filter-aggregate with NO join and NO group key — the purest test
+    that predicates reach the parquet scan (all three filters show in
+    PushedFilters) and that a 100 TB scan reduces map-side to a single
+    row per partition before one tiny final merge.
+
+    The discount band compares exact integer cents (the double column
+    is 2-decimal by TPC-H construction), so the filter is bit-precise
+    on both engines rather than a float epsilon test.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_cents = F.expr("cast(round(l_discount * 100) as bigint)")
+    rev_m = cents_product(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_DATE_LO).cast("date"))
+            & (F.col("l_shipdate") < F.lit(Q6_DATE_HI).cast("date"))
+            & (F.col("l_quantity") < Q6_MAX_QTY)
+        )
+        .filter(
+            (disc_cents >= Q6_DISC_LO_BP) & (disc_cents <= Q6_DISC_HI_BP)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            micro_sum_2dp(rev_m, "forecast_revenue"),
+        )
+    )
+
+
+ORACLE["tpch_q6_forecast_revenue"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           {sql_micro_sum_2dp(
+               sql_cents_product('l_extendedprice', 'l_discount'),
+               'forecast_revenue')}
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_DATE_LO} 00:00:00'
+      AND l_shipdate < TIMESTAMP '{Q6_DATE_HI} 00:00:00'
+      AND l_quantity < {Q6_MAX_QTY}
+      AND CAST(round(l_discount * 100) AS BIGINT)
+            BETWEEN {Q6_DISC_LO_BP} AND {Q6_DISC_HI_BP}
+"""
+QUERIES["tpch_q6_forecast_revenue"] = tpch_q6_forecast_revenue

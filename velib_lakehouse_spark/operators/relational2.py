@@ -1219,3 +1219,82 @@ ORACLE["expectation_suite_audit"] = f"""
            n_orphans = 0 FROM orph CROSS JOIN nl
 """
 QUERIES["expectation_suite_audit"] = expectation_suite_audit
+
+
+# ---- RFM customer segmentation ----
+
+RFM_TILES = 5
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: score every customer 1-5 on Recency
+    (latest order date), Frequency (order count), and Monetary (total
+    spend in cents) via ntile quintiles, and emit the composite segment
+    code — the classic marketing-analytics operator (a 555 is your best
+    customer).
+
+    Determinism: every ntile ordering carries c_custkey as the final
+    tiebreak, so tile boundaries are identical on both engines and
+    under any partitioning.  Scale shape: one aggregation to a
+    one-row-per-customer frame, then three ntile windows over that
+    (customer-cardinality, not order-cardinality) frame; global-order
+    windows over per-entity aggregates are the standard quantile-
+    scoring shape (same class as the zipf rank audit), and the heavy
+    table is touched exactly once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias(
+            "monetary_cents"
+        ),
+    )
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("o_custkey").asc()
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.date_format("last_order", "yyyy-MM-dd").alias("last_order_date"),
+        "frequency",
+        "monetary_cents",
+        F.ntile(RFM_TILES).over(r_w).alias("r_score"),
+        F.ntile(RFM_TILES).over(f_w).alias("f_score"),
+        F.ntile(RFM_TILES).over(m_w).alias("m_score"),
+    ).withColumn(
+        "rfm_code",
+        F.expr("cast(r_score * 100 + f_score * 10 + m_score as bigint)"),
+    )
+
+
+ORACLE["rfm_segmentation"] = f"""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           strftime(last_order, '%Y-%m-%d') AS last_order_date,
+           frequency,
+           monetary_cents,
+           ntile({RFM_TILES}) OVER (ORDER BY last_order DESC, o_custkey ASC)
+             AS r_score,
+           ntile({RFM_TILES}) OVER (ORDER BY frequency DESC, o_custkey ASC)
+             AS f_score,
+           ntile({RFM_TILES}) OVER (ORDER BY monetary_cents DESC,
+                                    o_custkey ASC) AS m_score,
+           CAST(ntile({RFM_TILES}) OVER (ORDER BY last_order DESC,
+                                         o_custkey ASC) * 100
+              + ntile({RFM_TILES}) OVER (ORDER BY frequency DESC,
+                                         o_custkey ASC) * 10
+              + ntile({RFM_TILES}) OVER (ORDER BY monetary_cents DESC,
+                                         o_custkey ASC) AS BIGINT)
+             AS rfm_code
+    FROM per_cust
+"""
+QUERIES["rfm_segmentation"] = rfm_segmentation
