@@ -182,6 +182,7 @@ HEADLINE = [
     "multimodal_image_patches",
     "tpch_q6_forecast_revenue",
     "rfm_segmentation",
+    "zscore_outlier_days",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

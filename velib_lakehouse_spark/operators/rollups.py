@@ -1096,3 +1096,79 @@ ORACLE["trend_slope_per_user"] = """
     FROM sums
 """
 QUERIES["trend_slope_per_user"] = trend_slope_per_user
+
+
+# ---- Integer-exact z-score outlier days ----
+
+ZSCORE_K = 2  # flag days beyond K sigma
+
+
+def zscore_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-total outlier detection at |z| > K sigma, decided
+    ENTIRELY in integer arithmetic: |x - mean| > K*sigma is equivalent
+    to ``(x*n - S)^2 * n > K^2 * (n*Q - S^2) * n`` ... reduced to the
+    cross-multiplied form ``(x*n - S)^2 > K^2 * (n*Q - S^2)`` with
+    S = sum, Q = sum of squares — no division, no sqrt, no float, so
+    the verdict is bit-exact under any partitioning (a float z-score
+    flips marginal days between engines).
+
+    Emits flagged (user, day) rows with the day total and the two
+    exact comparison sides.  Scale shape: one (user, day) rollup, one
+    per-user aggregate joined back broadcast-light on the user key —
+    two key-bounded shuffles; population stats use n >= 2 days.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.to_date("ts").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("u", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    stats = daily.groupBy("u").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    return (
+        daily.join(stats, "u")
+        .filter(F.col("n") >= 2)
+        .select(
+            F.col("u").alias("user_id"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("day_total_centi"),
+            F.expr("(x * n - s) * (x * n - s)").alias("dev_sq_scaled"),
+            F.expr(f"{ZSCORE_K * ZSCORE_K} * (n * q - s * s)").alias(
+                "threshold_scaled"
+            ),
+        )
+        .filter(F.col("dev_sq_scaled") > F.col("threshold_scaled"))
+    )
+
+
+ORACLE["zscore_outlier_days"] = f"""
+    WITH daily AS (
+      SELECT user_id AS u, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS q
+      FROM daily GROUP BY u
+    )
+    SELECT d.u AS user_id,
+           strftime(d.day, '%Y-%m-%d') AS day,
+           d.x AS day_total_centi,
+           (d.x * t.n - t.s) * (d.x * t.n - t.s) AS dev_sq_scaled,
+           {ZSCORE_K * ZSCORE_K} * (t.n * t.q - t.s * t.s)
+             AS threshold_scaled
+    FROM daily d JOIN stats t ON d.u = t.u
+    WHERE t.n >= 2
+      AND (d.x * t.n - t.s) * (d.x * t.n - t.s)
+          > {ZSCORE_K * ZSCORE_K} * (t.n * t.q - t.s * t.s)
+"""
+QUERIES["zscore_outlier_days"] = zscore_outlier_days

@@ -118,7 +118,7 @@ PRIORITY: tuple[str, ...] = (
 # future driver checks more than DRIVER_WINDOW queries, these are the
 # ones it should reach next.
 SECONDARY: tuple[str, ...] = (
-    # ROUND-5 ROTATION QUEUE, in order: the 31 operators added after
+    # ROUND-5 ROTATION QUEUE, in order: the 32 operators added after
     # the round-4 window froze — never driver-checked; all preflighted
     # green at sf0.01 (tools/verify_sf001.py, 174/174) and fuzz-tested.
     # Per the standing changed=>re-window / never-checked rule these
@@ -154,6 +154,7 @@ SECONDARY: tuple[str, ...] = (
     "multimodal_image_patches",
     "tpch_q6_forecast_revenue",
     "rfm_segmentation",
+    "zscore_outlier_days",
     # showcases demoted by the round-4 rotation — every one holds an
     # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
     # since; first in line after the r5 rotation queue
