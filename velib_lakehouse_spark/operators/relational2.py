@@ -1260,9 +1260,9 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("last_order", "yyyy-MM-dd").alias("last_order_date"),
         "frequency",
         "monetary_cents",
-        F.ntile(RFM_TILES).over(r_w).alias("r_score"),
-        F.ntile(RFM_TILES).over(f_w).alias("f_score"),
-        F.ntile(RFM_TILES).over(m_w).alias("m_score"),
+        F.ntile(RFM_TILES).over(r_w).cast("bigint").alias("r_score"),
+        F.ntile(RFM_TILES).over(f_w).cast("bigint").alias("f_score"),
+        F.ntile(RFM_TILES).over(m_w).cast("bigint").alias("m_score"),
     ).withColumn(
         "rfm_code",
         F.expr("cast(r_score * 100 + f_score * 10 + m_score as bigint)"),

@@ -155,6 +155,24 @@ SECONDARY: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "rfm_segmentation",
     "zscore_outlier_days",
+    # TPC-H suite completion (added after the r4 window froze; never
+    # driver-checked — r5 rotation queue, same never-checked rule)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
     # showcases demoted by the round-4 rotation — every one holds an
     # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
     # since; first in line after the r5 rotation queue
@@ -266,6 +284,7 @@ def _load() -> None:
     # Optional modules land as they are implemented; import-gated so a
     # broken extension never takes down the core inventory.
     for name in (
+        "tpch",
         "dedup",
         "similarity",
         "text",
