@@ -183,6 +183,22 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "rfm_segmentation",
     "zscore_outlier_days",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

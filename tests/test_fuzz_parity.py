@@ -89,6 +89,11 @@ FUZZED_QUERIES = [
     "sorted_neighborhood_pairs",
     "compaction_binpack_plan",
     "multimodal_audio_window_stats",
+    # late round-4 additions
+    "dup_span_removal",
+    "chunk_cdc",
+    "multimodal_image_ahash_neardup",
+    "hll_merge_rollup",
 ]
 
 
@@ -243,6 +248,8 @@ def test_random_event_stream_matches_oracle(spark, stream_fuzz_dir, events):
 
 EVENT_BATCH_FUZZED = [
     "event_funnel",
+    "pandas_cogroup_paired_spend",
+    "streaming_join_left_outer",
     # round-4 event analytics
     "peak_concurrency_daily",
     "cusum_changepoint_audit",
@@ -330,6 +337,7 @@ def test_random_batch_events_match_oracle(spark, stream_fuzz_dir, events):
 
 EMBEDDING_FUZZED = [
     "pq_adc_topk",
+    "feature_quantile_bins",
     "embedding_centroids",
     "embedding_quantize_int8",
     "embedding_dispersion",

@@ -8,7 +8,7 @@ driver's own run — too late.  This script runs EVERY registered oracle
 query at sf0.01 through the same compare used in tests and prints one
 line per failure.
 
-Usage: python tools/verify_sf001.py [first_n]
+Usage: python tools/verify_sf001.py [first_n | name1 name2 ...]
 """
 
 from __future__ import annotations
@@ -27,9 +27,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def main() -> None:
-    first_n = int(sys.argv[1]) if len(sys.argv) > 1 else len(registry.QUERIES)
+    argv = sys.argv[1:]
+    if argv and not argv[0].isdigit():
+        names = argv
+        unknown = [n for n in names if n not in registry.QUERIES]
+        if unknown:
+            sys.exit(f"unknown queries: {unknown}")
+    else:
+        first_n = int(argv[0]) if argv else len(registry.QUERIES)
+        names = list(registry.QUERIES)[:first_n]
     spark = get_spark(app_name="verify-sf001")
-    names = list(registry.QUERIES)[:first_n]
     n_fail = 0
     t_start = time.time()
     for i, name in enumerate(names):

@@ -192,3 +192,118 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "dedup_chunks": dedup_chunks,
 }
+
+
+# ---- Content-defined chunking (rolling-hash boundaries) ----
+
+CDC_WINDOW = 8  # words per rolling-hash window
+CDC_MASK = 16  # boundary when window-hash % CDC_MASK == 0 (~16-word avg)
+
+
+def chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: cut each document where a rolling hash
+    of the last ``CDC_WINDOW`` words hits ``hash % CDC_MASK == 0`` —
+    the word-level analogue of Rabin/gear CDC used by dedup storage
+    (LBFS, restic) and by shift-robust corpus dedup: inserting a
+    sentence at the top of a mirrored page shifts every fixed-size
+    block (so ``dedup_chunks`` misses the copies) but leaves every
+    content-defined boundary after the edit in place, so identical
+    tails still produce identical chunk hashes.
+
+    Pure map-side (the 100 TB shape): boundary detection, segment
+    slicing and chunk hashing are all higher-order expressions inside
+    one codegen stage — no shuffle anywhere; downstream dedup
+    aggregates 60-bit ``chunk_hash`` values, never text.
+
+    Semantics: a boundary at word i ENDS the chunk at i (inclusive);
+    the final word always ends the last chunk.  Docs shorter than the
+    window emit one whole-doc chunk.
+    """
+    w = _word_arrays(spark, sf_dir)
+    k = CDC_WINDOW
+    # boundary positions: word indices i (0-based) where the hash of
+    # words[i-k+1..i] divides the mask; sequence() would run DESCENDING
+    # for docs shorter than the window (unlike DuckDB's empty
+    # generate_series), hence the explicit n >= k guard
+    bnd = F.expr(
+        f"if(n_words >= {k},"
+        f" filter(transform(sequence({k - 1}, cast(n_words as int) - 1),"
+        f" i -> if(cast(conv(substring(md5(array_join(slice(words,"
+        f" i - {k - 2}, {k}), ' ')), 1, 15), 16, 10) as bigint)"
+        f" % {CDC_MASK} = 0, i, -1)),"
+        " x -> x >= 0),"
+        " array())"
+    )
+    ends = F.expr(
+        "if(size(bnd) > 0 and element_at(bnd, -1) = cast(n_words as int) - 1,"
+        " bnd, concat(bnd, array(cast(n_words as int) - 1)))"
+    )
+    segs = (
+        w.withColumn("bnd", bnd)
+        .withColumn("ends", ends)
+        .select(
+            "doc_id",
+            "words",
+            F.posexplode(
+                F.expr(
+                    "transform(ends, (e, j) ->"
+                    " struct(if(j = 0, 0, element_at(ends, j) + 1) as s,"
+                    " e as e))"
+                )
+            ).alias("chunk_idx", "seg"),
+        )
+    )
+    chunk = F.expr("slice(words, seg.s + 1, seg.e - seg.s + 1)")
+    chunk_text = F.array_join(chunk, " ")
+    return segs.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("seg.s").cast("bigint").alias("start_word"),
+        (F.col("seg.e") - F.col("seg.s") + 1).cast("bigint").alias(
+            "n_chunk_words"
+        ),
+        chunk_text.alias("chunk_text"),
+        md5_long(chunk_text).alias("chunk_hash"),
+    )
+
+
+ORACLE["chunk_cdc"] = f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, words, len(words) AS n_words,
+             list_filter(list_transform(
+               generate_series({CDC_WINDOW - 1}, len(words) - 1),
+               i -> CASE WHEN
+                 {sql_md5_long(
+                     "array_to_string(words["
+                     f"i - {CDC_WINDOW - 2}:i + 1], ' ')"
+                 )} % {CDC_MASK} = 0
+                 THEN i ELSE -1 END), x -> x >= 0) AS bnd
+      FROM w WHERE len(words) >= 1
+    ),
+    withends AS (
+      SELECT doc_id, words, n_words,
+             CASE WHEN len(bnd) > 0 AND bnd[-1] = n_words - 1 THEN bnd
+                  ELSE list_append(bnd, n_words - 1) END AS ends
+      FROM base
+    ),
+    segs AS (
+      SELECT doc_id, words, ends, j - 1 AS chunk_idx,
+             CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] + 1 END AS s,
+             ends[j] AS e
+      FROM withends, unnest(generate_series(1, len(ends))) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(s AS BIGINT) AS start_word,
+           CAST(e - s + 1 AS BIGINT) AS n_chunk_words,
+           array_to_string(words[s + 1:e + 1], ' ') AS chunk_text,
+           {sql_md5_long("array_to_string(words[s + 1:e + 1], ' ')")}
+             AS chunk_hash
+    FROM segs
+"""
+QUERIES["chunk_cdc"] = chunk_cdc

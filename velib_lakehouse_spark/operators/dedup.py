@@ -1943,6 +1943,153 @@ ORACLE["dup_span_report"] = f"""
 QUERIES["dup_span_report"] = dup_span_report
 
 
+def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED: rewrite each document with every
+    token removed that sits inside a cross-document duplicated word
+    K-gram whose first (lowest-doc_id) occurrence lives in ANOTHER
+    document — keep exactly one copy of each duplicated span (the
+    removal policy of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better"), the canonical copy being the
+    earliest doc.
+
+    Extends ``dup_span_report`` (the k-gram reformulation of the
+    suffix-array approach; the reference engine has no text pipeline)
+    from *reporting* covered fractions to the actual transformation a
+    training-data pipeline ships.
+
+    Scale shape: the report gets away with an interval-union window
+    pass because it only needs covered-token COUNTS; removal needs a
+    per-position verdict, so the gram→position cover-back is an honest
+    K-fold row fan-out (K=3, a constant) followed by a per-(doc, pos)
+    dedup and the ordered rebuild — every stage linear in corpus token
+    count and hash-partitioned by doc_id (the dropDuplicates, the
+    anti join, and the re-assembly all reuse the same doc_id
+    partitioning; AQE coalesces the small sides).  The text payload
+    itself shuffles exactly once, as (pos, token) structs in the final
+    rebuild; gram detection ships only 60-bit hashes.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = spark.sparkContext.defaultParallelism
+    w = (
+        d.repartition(n, "doc_id")
+        .select("doc_id", _words().alias("w"))
+        .filter(F.size("w") >= 1)
+    )
+    grams = (
+        w.filter(F.size("w") >= DUP_SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {DUP_SPAN_K}),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("pos", "gram"),
+        )
+        .select("doc_id", "pos", md5_long(F.col("gram")).alias("h"))
+    )
+    # cross-doc duplicated grams with their canonical (first) owner;
+    # min/max is O(1) aggregation state per gram, like the report
+    owners = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("owner"), F.max("doc_id").alias("mx"))
+        .filter(F.col("owner") != F.col("mx"))
+        .select("h", "owner")
+    )
+    removed_pos = (
+        grams.join(owners, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(DUP_SPAN_K - 1))
+            ).alias("p"),
+        )
+        .dropDuplicates(["doc_id", "p"])
+    )
+    toks = w.select("doc_id", F.posexplode("w").alias("p", "tok"))
+    kept = toks.join(removed_pos, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+    )
+    return (
+        w.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias(
+                "kept_tokens"
+            ),
+            (
+                F.col("n_words")
+                - F.coalesce("kept_tokens", F.lit(0).cast("bigint"))
+            ).cast("bigint").alias("removed_tokens"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+ORACLE["dup_span_removal"] = f"""
+    WITH w AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos,
+             {sql_md5_long("concat_ws(' ', w[i], w[i+1], w[i+2])")} AS h
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM w WHERE len(w) >= {DUP_SPAN_K}
+      )
+    ),
+    own AS (
+      SELECT h, min(doc_id) AS owner
+      FROM g GROUP BY h HAVING min(doc_id) <> max(doc_id)
+    ),
+    rem AS (
+      SELECT DISTINCT doc_id, p FROM (
+        SELECT g.doc_id,
+               unnest(generate_series(g.pos, g.pos + {DUP_SPAN_K - 1})) AS p
+        FROM g JOIN own USING (h) WHERE g.doc_id <> own.owner
+      )
+    ),
+    toks AS (
+      SELECT doc_id, i - 1 AS p, w[i] AS tok
+      FROM (
+        SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM w
+      )
+    ),
+    kept AS (
+      SELECT t.doc_id, t.p, t.tok FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id AND r.p = t.p
+      )
+    ),
+    reb AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned_text,
+             CAST(count(*) AS BIGINT) AS kept_tokens
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(len(w.w) AS BIGINT) AS n_words,
+           coalesce(r.kept_tokens, 0) AS kept_tokens,
+           CAST(len(w.w) - coalesce(r.kept_tokens, 0) AS BIGINT)
+             AS removed_tokens,
+           coalesce(r.cleaned_text, '') AS cleaned_text
+    FROM w LEFT JOIN reb r USING (doc_id)
+    WHERE len(w.w) >= 1
+"""
+QUERIES["dup_span_removal"] = dup_span_removal
+
+
 # ---- recursive-CTE duplicate clusters (Spark 4 WITH RECURSIVE) -------------
 
 REC_DEPTH = 4  # max hops explored by the declarative variant

@@ -296,3 +296,179 @@ ORACLE["multimodal_image_patches"] = f"""
          AS t(py)
 """
 QUERIES["multimodal_image_patches"] = multimodal_image_patches
+
+
+# ---- Perceptual near-dup: average-hash over a downsampled grid ----
+
+AHASH_GRID = 64  # 8x8 grid -> 64-bit hash, the classic aHash layout
+AHASH_BAND_BITS = 8  # LSH band width (8 bands x 8 bits)
+AHASH_BANDS = AHASH_GRID // AHASH_BAND_BITS
+# Production verify threshold is ~8/64 bits for true visual near-dups;
+# the judged corpus is text-backed fake pixels where near-dup documents
+# land further apart, so the judged cutoff is wider (calibrated like
+# EMB_PAIR_THRESHOLD in operators/dedup.py — a strict cutoff would make
+# the correctness row a vacuous empty set).
+AHASH_HAMMING_PROD = 8
+AHASH_HAMMING_MAX = 12
+
+
+def multimodal_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via average-hash (aHash) + banded LSH.
+
+    The standard image-dedup ladder for a multimodal training corpus:
+    (1) downsample each image to an 8x8 grayscale grid, (2) threshold
+    each cell against the grid mean -> a 64-bit fingerprint, (3) find
+    fingerprint pairs within a small Hamming distance.  Re-encodes,
+    resizes and small crops move few bits, so aHash catches the
+    near-dups that byte-level exact dedup misses.
+
+    The codec is the module's honestly-stubbed fake decode: cell i
+    samples the payload byte at floor(i*n/G) (the corpus is ASCII, so
+    char == byte — same assumption as the audio operator).  A real
+    deployment swaps in PIL's `Image.resize((8, 8))` at exactly that
+    seam; every downstream stage is real.
+
+    Scale shape:
+
+    * hashing is map-side codegen (transform/aggregate over a 64-cell
+      array) — the image payload never shuffles, only 64-char
+      fingerprints do;
+    * byte-identical images collapse into one fingerprint CLASS before
+      any pairing (groupBy bits, min doc_id as representative) — the
+      exact-dup pre-collapse idea from operators/dedup.py, which keeps
+      a mirrored-crawl corpus (1e5 copies of one viral image) from
+      quadratically exploding the band join;
+    * candidate generation is banded LSH over the class fingerprints
+      (8 bands x 8 bits): only classes agreeing on >= 1 band meet in
+      the join, each band group hash-partitioned;
+    * Hamming verification is a 64-step codegen aggregate on the
+      candidate pairs only.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= AHASH_GRID
+    )
+    px = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {AHASH_GRID - 1}),"
+            f" i -> ascii(substring(text,"
+            f" cast(i * length(text) div {AHASH_GRID} as int) + 1, 1)))"
+        ).alias("v"),
+    )
+    bits = px.select(
+        "doc_id",
+        "v",
+        F.expr("aggregate(v, 0, (a, x) -> a + x)").alias("tot"),
+    ).select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.expr(
+                f"transform(v, x ->"
+                f" if(x * {AHASH_GRID} > tot, '1', '0'))"
+            ),
+        ).alias("bits"),
+    )
+    classes = bits.groupBy("bits").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).cast("bigint").alias("members"),
+    )
+    bands = classes.select(
+        "bits",
+        "rep",
+        "members",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {AHASH_BANDS - 1}),"
+                f" j -> aggregate(sequence(0, {AHASH_BAND_BITS - 1}),"
+                f" cast(0 as bigint), (acc, k) -> acc"
+                f" + cast(substring(bits, j * {AHASH_BAND_BITS} + k + 1, 1)"
+                f" as bigint) * shiftleft(cast(1 as bigint), k)))"
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    left = bands.select(
+        "band_idx",
+        "band_val",
+        F.col("rep").alias("rep_a"),
+        F.col("bits").alias("bits_a"),
+        F.col("members").alias("members_a"),
+    )
+    right = bands.select(
+        "band_idx",
+        "band_val",
+        F.col("rep").alias("rep_b"),
+        F.col("bits").alias("bits_b"),
+        F.col("members").alias("members_b"),
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .where(F.col("rep_a") < F.col("rep_b"))
+        .select(
+            "rep_a", "rep_b", "bits_a", "bits_b", "members_a", "members_b"
+        )
+        .dropDuplicates(["rep_a", "rep_b"])
+    )
+    return (
+        cand.select(
+            "rep_a",
+            "rep_b",
+            "members_a",
+            "members_b",
+            F.expr(
+                f"aggregate(sequence(1, {AHASH_GRID}), cast(0 as bigint),"
+                " (acc, i) -> acc + if(substring(bits_a, i, 1)"
+                " = substring(bits_b, i, 1), 0, 1))"
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
+    )
+
+
+ORACLE["multimodal_image_ahash_neardup"] = f"""
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, {AHASH_GRID - 1}),
+               i -> ascii(substr(text,
+                 CAST(i * length(text) // {AHASH_GRID} AS INT) + 1, 1)))
+               AS v
+      FROM documents WHERE length(text) >= {AHASH_GRID}
+    ),
+    bits AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(v,
+               x -> CASE WHEN x * {AHASH_GRID} > list_sum(v)
+                    THEN '1' ELSE '0' END), 'string_agg', '') AS bits
+      FROM px
+    ),
+    classes AS (
+      SELECT bits, min(doc_id) AS rep,
+             CAST(count(*) AS BIGINT) AS members
+      FROM bits GROUP BY bits
+    ),
+    bands AS (
+      SELECT bits, rep, members, j AS band_idx,
+             list_sum(list_transform(generate_series(0, {AHASH_BAND_BITS - 1}),
+               k -> CAST(substr(bits, j * {AHASH_BAND_BITS} + k + 1, 1)
+                         AS BIGINT) * (CAST(1 AS BIGINT) << k)))
+               AS band_val
+      FROM classes, unnest(generate_series(0, {AHASH_BANDS - 1})) AS t(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
+             a.bits AS bits_a, b.bits AS bits_b,
+             a.members AS members_a, b.members AS members_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.rep < b.rep
+    )
+    SELECT rep_a, rep_b, members_a, members_b,
+           CAST(list_sum(list_transform(generate_series(1, {AHASH_GRID}),
+             i -> CASE WHEN substr(bits_a, i, 1) = substr(bits_b, i, 1)
+                  THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE list_sum(list_transform(generate_series(1, {AHASH_GRID}),
+            i -> CASE WHEN substr(bits_a, i, 1) = substr(bits_b, i, 1)
+                 THEN 0 ELSE 1 END)) <= {AHASH_HAMMING_MAX}
+"""
+QUERIES["multimodal_image_ahash_neardup"] = multimodal_image_ahash_neardup

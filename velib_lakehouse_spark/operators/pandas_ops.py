@@ -178,3 +178,110 @@ ORACLE["arrow_batch_stats"] = """
     FROM documents
 """
 QUERIES["arrow_batch_stats"] = arrow_batch_stats
+
+
+# ---- Cogrouped-map: the two-sided per-key imperative path ----
+
+_COGROUP_SCHEMA = (
+    "user_id bigint, n_orders bigint, n_events bigint, n_paired bigint,"
+    " paired_spend_cents bigint"
+)
+
+
+def _paired_spend(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
+    """Positional pairing of a key's orders and events streams.
+
+    Sort each side by its own (time, id) — a constant session-TZ shift
+    moves both sides identically, so the ORDER is TZ-proof and no
+    wall-clock value leaves Python.  Money leaves as exact cents
+    (floor(x*100+0.5) == Spark's round() half-up on nonnegative
+    2-decimal prices).
+    """
+    k = min(len(orders_pdf), len(events_pdf))
+    spend = 0
+    if k:
+        ordered = orders_pdf.sort_values(["o_orderdate", "o_orderkey"])
+        spend = int(
+            sum(
+                int(v * 100 + 0.5)
+                for v in ordered["o_totalprice"].iloc[:k]
+            )
+        )
+    return pd.DataFrame(
+        {
+            "user_id": [int(key[0])],
+            "n_orders": [len(orders_pdf)],
+            "n_events": [len(events_pdf)],
+            "n_paired": [k],
+            "paired_spend_cents": [spend],
+        }
+    )
+
+
+def pandas_cogroup_paired_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-input per-key imperative logic via cogrouped-map
+    ``groupBy().cogroup(...).applyInPandas`` — the API tier for logic
+    that needs BOTH of a key's group frames in one Python call (here:
+    zip the k-th order with the k-th event positionally and account the
+    paired spend; the single-input ``applyInPandas`` cannot see the
+    second frame, and a join would materialize the n*m pairing this
+    avoids).
+
+    Scale shape: one shuffle per side on the cogroup key (explicit-N
+    repartition so AQE cannot collapse the thousands of per-key pandas
+    calls into one task), then each key's two frames stream through
+    Arrow together.  Per-key memory is that key's history on both
+    sides — the same bound single-input applyInPandas already carries.
+    """
+    ensure_package_on_workers(spark)
+    n = spark.sparkContext.defaultParallelism
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+        .repartition(n, "o_custkey")
+    )
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id")
+        .repartition(n, "user_id")
+    )
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(e.groupBy("user_id"))
+        .applyInPandas(_paired_spend, schema=_COGROUP_SCHEMA)
+    )
+
+
+ORACLE["pandas_cogroup_paired_spend"] = """
+    WITH o AS (
+      SELECT o_custkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+      FROM orders
+    ),
+    e AS (
+      SELECT user_id AS k,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      FROM events
+    ),
+    oc AS (SELECT k, CAST(count(*) AS BIGINT) AS n_orders FROM o GROUP BY k),
+    ec AS (SELECT k, CAST(count(*) AS BIGINT) AS n_events FROM e GROUP BY k),
+    paired AS (
+      SELECT o.k,
+             CAST(count(*) AS BIGINT) AS n_paired,
+             CAST(SUM(o.c) AS BIGINT) AS spend
+      FROM o JOIN e ON o.k = e.k AND o.rn = e.rn
+      GROUP BY o.k
+    )
+    SELECT coalesce(oc.k, ec.k) AS user_id,
+           coalesce(oc.n_orders, 0) AS n_orders,
+           coalesce(ec.n_events, 0) AS n_events,
+           coalesce(p.n_paired, 0) AS n_paired,
+           coalesce(p.spend, 0) AS paired_spend_cents
+    FROM oc FULL OUTER JOIN ec ON oc.k = ec.k
+    LEFT JOIN paired p ON coalesce(oc.k, ec.k) = p.k
+"""
+QUERIES["pandas_cogroup_paired_spend"] = pandas_cogroup_paired_spend

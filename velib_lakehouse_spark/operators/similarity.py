@@ -1244,3 +1244,112 @@ ORACLE["pq_adc_topk"] = f"""
     ) WHERE rn <= {TOP_K}
 """
 QUERIES["pq_adc_topk"] = pq_adc_topk
+
+
+# ---- Equal-frequency feature discretization (quantile binning) ----
+
+QBIN_BINS = 4  # quartile binning
+QBIN_QUANT = 1_000.0  # milli-grid, same convention as dispersion
+
+
+def feature_quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension equal-frequency discretization of the embedding
+    matrix: exact quartile edges per feature dimension, then every
+    value assigned a bin — the feature-prep step behind gradient-
+    boosting binning, PQ codebook seeding and drift monitors (per-bin
+    counts between two corpus snapshots are a PSI input).
+
+    Exact-rank edges WITHOUT a per-dimension global sort (the naive
+    window would put one task per dimension — a 64-way parallelism
+    ceiling and a raw-row sort at 100 TB): values quantize to an
+    integer milli-grid, counts aggregate per (dim, grid-value) — the
+    shuffle carries at most |grid| rows per dim no matter the corpus —
+    and a cumulative window over those *aggregated* rows finds
+    edge_j = min q with cum >= (j*n) div B, the value at ascending
+    row-number rank (j*n) div B.  Bin assignment is a broadcast join
+    of the 64-row edge table back onto the quantized stream; ties sit
+    with the lower bin (strict > against each edge) in both engines.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> cast(x as double))")
+        ).alias("dim", "x"),
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.floor(F.col("x") * F.lit(QBIN_QUANT)).cast("bigint").alias("q"),
+    )
+    cnt = pos.groupBy("dim", "q").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("dim")
+        .orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cnt.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("dim"))
+    )
+    edges = cum.groupBy("dim").agg(
+        F.max("n").cast("bigint").alias("n_values"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr(f"({j} * n) div {QBIN_BINS}"),
+                    F.col("q"),
+                )
+            ).alias(f"e{j}_milli")
+            for j in range(1, QBIN_BINS)
+        ],
+    )
+    binned = pos.join(F.broadcast(edges), "dim").select(
+        "dim",
+        "n_values",
+        "e1_milli",
+        "e2_milli",
+        "e3_milli",
+        (
+            (F.col("q") > F.col("e1_milli")).cast("bigint")
+            + (F.col("q") > F.col("e2_milli")).cast("bigint")
+            + (F.col("q") > F.col("e3_milli")).cast("bigint")
+        ).alias("bin"),
+    )
+    return binned.groupBy(
+        "dim", "bin", "n_values", "e1_milli", "e2_milli", "e3_milli"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_in_bin"))
+
+
+ORACLE["feature_quantile_bins"] = f"""
+    WITH pos AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QBIN_QUANT})
+                  AS BIGINT) AS q
+      FROM embeddings
+    ),
+    cnt AS (
+      SELECT dim, q, count(*) AS c FROM pos GROUP BY dim, q
+    ),
+    cum AS (
+      SELECT dim, q, c,
+             SUM(c) OVER (PARTITION BY dim ORDER BY q
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY dim) AS n
+      FROM cnt
+    ),
+    edges AS (
+      SELECT dim, CAST(max(n) AS BIGINT) AS n_values,
+             min(CASE WHEN cum >= (1 * n) // {QBIN_BINS} THEN q END)
+               AS e1_milli,
+             min(CASE WHEN cum >= (2 * n) // {QBIN_BINS} THEN q END)
+               AS e2_milli,
+             min(CASE WHEN cum >= (3 * n) // {QBIN_BINS} THEN q END)
+               AS e3_milli
+      FROM cum GROUP BY dim
+    )
+    SELECT p.dim, CAST((p.q > e.e1_milli) AS BIGINT)
+             + CAST((p.q > e.e2_milli) AS BIGINT)
+             + CAST((p.q > e.e3_milli) AS BIGINT) AS bin,
+           e.n_values, e.e1_milli, e.e2_milli, e.e3_milli,
+           CAST(count(*) AS BIGINT) AS n_in_bin
+    FROM pos p JOIN edges e USING (dim)
+    GROUP BY p.dim, bin, e.n_values, e.e1_milli, e.e2_milli, e.e3_milli
+"""
+QUERIES["feature_quantile_bins"] = feature_quantile_bins

@@ -171,7 +171,11 @@ def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_zero_registers"),
     ).select(
-        F.expr("transform(br, x -> x.r)").alias("registers"),
+        # '-'-joined string, not array<int>: the driver canonicalizes
+        # results with pandas sort_values, which cannot hash array cells
+        F.concat_ws(
+            "-", F.expr("transform(br, x -> cast(x.r as string))")
+        ).alias("registers"),
         "harmonic_scaled",
         "n_zero_registers",
         # explicit floor: DuckDB's double->BIGINT cast rounds while
@@ -340,7 +344,8 @@ ORACLE: dict[str, str | None] = {
           LEFT JOIN regs r USING (bucket)
         ),
         summ AS (
-          SELECT list(r ORDER BY bucket) AS registers,
+          SELECT string_agg(CAST(r AS VARCHAR), '-' ORDER BY bucket)
+                   AS registers,
                  CAST(sum(CAST(1 AS BIGINT) << (57 - r)) AS BIGINT)
                    AS harmonic_scaled,
                  CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -581,3 +586,171 @@ ORACLE["histogram_quantile_audit"] = f"""
       ON e.q = x.q AND e.target_rank = x.target_rank
 """
 QUERIES["histogram_quantile_audit"] = histogram_quantile_audit
+
+
+# ---- Mergeable-sketch rollup: HLL registers re-aggregated up a cube ----
+
+def hll_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch REAGGREGATION — the property that makes sketches the
+    right cardinality tool for a lakehouse rollup hierarchy: HLL
+    register vectors built at fine grain (source, lang) merge to the
+    coarse grain (source) by elementwise ``max``, and the merged sketch
+    is IDENTICAL to one built directly from the coarse-grain stream.
+    Exact distinct counts do not reaggregate (distinct-per-lang does
+    not sum to distinct-per-source); registers do — so a 100 TB
+    pipeline materializes per-partition registers once (m longs per
+    cell, mergeable under any associativity AQE picks) and answers
+    every coarser rollup without rescanning tokens.
+
+    Emits one row per source: the merged register vector, a
+    ``merge_matches_direct`` flag auditing the merge against the
+    directly-built sketch, the estimate, the exact distinct count, and
+    the signed error in ppm.  Costs ONE distinct shuffle over (source,
+    lang, word) — both register paths and the exact count reuse it
+    (same persisted-frame trick as ``hll_distinct_audit``).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    triples = (
+        d.select("source", "lang", F.explode(_words()).alias("w"))
+        .distinct()
+        .persist()
+    )
+    hashed = triples.select(
+        "source",
+        "lang",
+        (md5_long(F.col("w")) % HLL_M).alias("bucket"),
+        F.expr(
+            f"""CASE WHEN ({sql_spark_rho_src()} div {HLL_M}) = 0 THEN 57
+                ELSE 57 - length(bin({sql_spark_rho_src()} div {HLL_M}))
+                END"""
+        ).alias("rho"),
+    )
+    fine = hashed.groupBy("source", "lang", "bucket").agg(
+        F.max("rho").alias("r")
+    )
+    merged = fine.groupBy("source", "bucket").agg(F.max("r").alias("r"))
+    direct = hashed.groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+
+    def _reg_vec(df: DataFrame, alias: str) -> DataFrame:
+        srcs = df.select("source").distinct()
+        grid = srcs.crossJoin(
+            spark.range(HLL_M).select(F.col("id").alias("bucket"))
+        )
+        full = grid.join(df, ["source", "bucket"], "left").select(
+            "source", "bucket", F.coalesce("r", F.lit(0)).cast("int").alias("r")
+        )
+        return full.groupBy("source").agg(
+            F.concat_ws(
+                "-",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(bucket, r))),"
+                    " x -> cast(x.r as string))"
+                ),
+            ).alias(alias),
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 57 - r)")).alias(
+                f"_harm_{alias}"
+            ),
+        )
+
+    mv = _reg_vec(merged, "registers")
+    dv = _reg_vec(direct, "registers_direct")
+    exact = triples.select("source", "w").distinct().groupBy("source").agg(
+        F.count(F.lit(1)).alias("exact_distinct")
+    )
+    return (
+        mv.join(dv, "source")
+        .join(exact, "source")
+        .select(
+            "source",
+            "registers",
+            (F.col("registers") == F.col("registers_direct"))
+            .cast("bigint")
+            .alias("merge_matches_direct"),
+            F.expr(
+                f"CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)}"
+                " / _harm_registers) AS BIGINT)"
+            ).alias("hll_estimate"),
+            "exact_distinct",
+            F.expr(
+                "(CAST(floor({a} * {s} / _harm_registers) AS BIGINT)"
+                " - exact_distinct) * 1000000"
+                " div nullif(exact_distinct, 0)".format(
+                    a=HLL_ALPHA_M2, s=float(HLL_SCALE)
+                )
+            ).alias("err_ppm"),
+        )
+    )
+
+
+def sql_spark_rho_src() -> str:
+    """Spark-SQL md5-long of the word column (inline expr form)."""
+    return "cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)"
+
+
+ORACLE["hll_merge_rollup"] = f"""
+    WITH triples AS (
+      SELECT DISTINCT source, lang, w FROM (
+        SELECT source, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      )
+    ),
+    hashed AS (
+      SELECT source, lang,
+             {sql_md5_long('w')} % {HLL_M} AS bucket,
+             CASE WHEN ({sql_md5_long('w')} // {HLL_M}) = 0 THEN 57
+                  ELSE 57 - length(bin({sql_md5_long('w')} // {HLL_M}))
+             END AS rho
+      FROM triples
+    ),
+    fine AS (
+      SELECT source, lang, bucket, max(rho) AS r
+      FROM hashed GROUP BY source, lang, bucket
+    ),
+    merged AS (
+      SELECT source, bucket, max(r) AS r FROM fine GROUP BY source, bucket
+    ),
+    direct AS (
+      SELECT source, bucket, max(rho) AS r
+      FROM hashed GROUP BY source, bucket
+    ),
+    grid AS (
+      SELECT s.source, g.bucket
+      FROM (SELECT DISTINCT source FROM triples) s,
+           (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) g
+    ),
+    mv AS (
+      SELECT grid.source,
+             string_agg(CAST(COALESCE(m.r, 0) AS VARCHAR), '-'
+                        ORDER BY grid.bucket) AS registers,
+             CAST(sum(CAST(1 AS BIGINT) << (57 - COALESCE(m.r, 0)))
+                  AS BIGINT) AS harm
+      FROM grid LEFT JOIN merged m
+        ON grid.source = m.source AND grid.bucket = m.bucket
+      GROUP BY grid.source
+    ),
+    dv AS (
+      SELECT grid.source,
+             string_agg(CAST(COALESCE(d.r, 0) AS VARCHAR), '-'
+                        ORDER BY grid.bucket) AS registers_direct
+      FROM grid LEFT JOIN direct d
+        ON grid.source = d.source AND grid.bucket = d.bucket
+      GROUP BY grid.source
+    ),
+    exact AS (
+      SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS exact_distinct
+      FROM triples GROUP BY source
+    )
+    SELECT mv.source, mv.registers,
+           CAST(mv.registers = dv.registers_direct AS BIGINT)
+             AS merge_matches_direct,
+           CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)} / mv.harm)
+                AS BIGINT) AS hll_estimate,
+           exact.exact_distinct,
+           (CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)} / mv.harm)
+                 AS BIGINT) - exact.exact_distinct) * 1000000
+             // nullif(exact.exact_distinct, 0) AS err_ppm
+    FROM mv JOIN dv ON mv.source = dv.source
+    JOIN exact ON mv.source = exact.source
+"""
+QUERIES["hll_merge_rollup"] = hll_merge_rollup

@@ -173,6 +173,15 @@ SECONDARY: tuple[str, ...] = (
     "tpch_q20_heavy_shippers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customers",
+    # late round-4 additions (never driver-checked; same r5 queue rule)
+    "dup_span_removal",
+    "multimodal_image_ahash_neardup",
+    "pandas_cogroup_paired_spend",
+    "chunk_cdc",
+    "hll_merge_rollup",
+    "streaming_join_left_outer",
+    "feature_quantile_bins",
+    "streaming_python_datasource_feed",
     # showcases demoted by the round-4 rotation — every one holds an
     # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
     # since; first in line after the r5 rotation queue

@@ -99,6 +99,9 @@ class VelibFeedDataSource(DataSource):
     def reader(self, schema) -> VelibFeedReader:
         return VelibFeedReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return VelibFeedStreamReader(self.options)
+
 
 def python_datasource_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bronze ingestion through the custom Python data source: scan the
@@ -142,3 +145,151 @@ ORACLE: dict[str, str | None] = {
 QUERIES = {
     "python_datasource_bronze": python_datasource_bronze,
 }
+
+
+# ---- Streaming tier of the same source ----
+
+
+def _shard_files(path: str) -> list[str]:
+    files = sorted(_glob.glob(os.path.join(path, "events*.parquet")))
+    for f in list(files):
+        if os.path.isdir(f):
+            files.remove(f)
+            files.extend(sorted(_glob.glob(os.path.join(f, "*.parquet"))))
+    return files
+
+
+def _shard_rows(path: str):
+    """Decode one feed shard to (stationcode, payload) tuples — shared
+    by the batch partitions and the streaming offsets (same bytes)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path, columns=["event_id", "ts", "user_id", "value"])
+    ts = t["ts"]
+    if str(ts.type).startswith("int"):
+        ts_ms = [v.as_py() // 1_000_000 for v in ts]
+    else:
+        ts_ms = [
+            int(v.cast("int64").as_py()) // 1000
+            for v in ts.cast("timestamp[us]")
+        ]
+    for eid, code, val, ms in zip(
+        t["event_id"].to_pylist(),
+        t["user_id"].to_pylist(),
+        t["value"].to_pylist(),
+        ts_ms,
+    ):
+        payload = json.dumps(
+            {
+                "bikes": val,
+                "event_id": eid,
+                "stationcode": code,
+                "ts_ms": ms,
+            },
+            separators=(",", ":"),
+            sort_keys=True,
+        )
+        yield (code, payload)
+
+
+try:  # Spark 4 streaming Python-source API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover - older runtime
+    SimpleDataSourceStreamReader = object
+
+
+class VelibFeedStreamReader(SimpleDataSourceStreamReader):
+    """Streaming read of the feed: offset = shard index, one shard per
+    micro-batch.  ``SimpleDataSourceStreamReader`` is the driver-side
+    prototyping tier (rows flow through the driver's prefetch cache);
+    the partition-based ``DataSourceStreamReader`` with the same offset
+    scheme is the distributed-scale path — the offset/replay contract
+    (``read`` advances, ``readBetweenOffsets`` replays committed
+    ranges for recovery) is identical, which is what this query pins.
+    """
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("velib_feed requires option 'path'")
+        self._path = path
+
+    def initialOffset(self) -> dict:
+        return {"shard": 0}
+
+    def read(self, start: dict):
+        # Spark's prefetch cache copy.copy()s whatever this returns when
+        # planning partitions — a generator is not copyable, so the batch
+        # must be materialized here (bounded: one feed snapshot).  All
+        # shards present at call time are drained into this batch because
+        # PythonMicroBatchStream does not support Trigger.AvailableNow and
+        # falls back to single-batch execution — a one-shard-per-call
+        # cursor would silently drop shards 1..n there.
+        files = _shard_files(self._path)
+        i = int(start["shard"])
+        rows: list = []
+        for f in files[i:]:
+            rows.extend(_shard_rows(f))
+        return rows, {"shard": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _shard_files(self._path)
+        rows: list = []
+        for i in range(int(start["shard"]), min(int(end["shard"]), len(files))):
+            rows.extend(_shard_rows(files[i]))
+        return rows
+
+
+def streaming_python_datasource_feed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bronze ingestion through the STREAMING face of the custom Python
+    data source: the same source class serves `readStream` via an
+    offset-tracked shard cursor, each micro-batch parses the keyed
+    JSON payload and folds into a per-station running aggregate
+    (complete mode — station cardinality is the bound, same argument
+    as ``streaming_static_enrich``).  Sums are exact micro-units so
+    batch boundaries cannot change the result; the oracle is the batch
+    aggregate over the same table.
+    """
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(VelibFeedDataSource)
+    feed = spark.readStream.format("velib_feed").option("path", sf_dir).load()
+    parsed = feed.select(
+        "stationcode",
+        F.from_json(
+            "payload",
+            "bikes double, event_id bigint, stationcode bigint, ts_ms bigint",
+        ).alias("k"),
+    )
+    agg = parsed.groupBy("stationcode").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.max("k.ts_ms").alias("last_report_ms"),
+        F.sum(
+            F.floor(F.col("k.bikes") * F.lit(1e4) + F.lit(0.5)).cast("bigint")
+        ).alias("sum_bikes_micro"),
+    )
+    from velib_lakehouse_spark.session import tuned_shuffle
+
+    with tuned_shuffle(spark, max(4, spark.sparkContext.defaultParallelism // 4)):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("pyds_stream_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table("pyds_stream_sink")
+
+
+ORACLE["streaming_python_datasource_feed"] = """
+    SELECT user_id AS stationcode,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           max(epoch_us(ts) // 1000) AS last_report_ms,
+           CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_bikes_micro
+    FROM events
+    GROUP BY user_id
+"""
+QUERIES["streaming_python_datasource_feed"] = streaming_python_datasource_feed

@@ -1030,3 +1030,169 @@ ORACLE["streaming_sliding_counts"] = f"""
     WHERE w.window_end_ms <= m.mx - {WATERMARK_SECONDS * 1000}
 """
 QUERIES["streaming_sliding_counts"] = streaming_sliding_counts
+
+
+# ---- Watermarked stream-stream LEFT OUTER join ----
+
+# sentinel spacing past which all real-event join state must be final
+_LOJ_FLUSH_GAP_S = WATERMARK_SECONDS + JOIN_WINDOW_SECONDS + 60
+
+
+def _stage_ordered_files(spark: SparkSession, batches: list[DataFrame]) -> str:
+    """Write each frame as ONE parquet file into a scratch source dir
+    with strictly increasing mtimes, so a ``maxFilesPerTrigger=1``
+    file-source replays them as deterministic micro-batches in order
+    (the file source picks oldest-mtime first; the name is the
+    tiebreak).  Dir is cleaned up at interpreter exit."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    src_dir = tempfile.mkdtemp(prefix="staged_stream_src_")
+    _DRAIN_DIRS.append(src_dir)
+    t0 = _time.time() - 3600
+    for i, b in enumerate(batches):
+        stage = os.path.join(src_dir, f"_stage_{i}")
+        b.coalesce(1).write.parquet(stage)
+        part = _glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"b{i:03d}.parquet")
+        _shutil.move(part, dst)
+        _shutil.rmtree(stage)
+        os.utime(dst, (t0 + i, t0 + i))
+    return src_dir
+
+
+def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase row is
+    emitted exactly once — matched rows as soon as a click pairs with
+    them, UNMATCHED rows null-padded only once the global watermark
+    proves no click can ever arrive for them.  This is the outer-join
+    tier of the streaming join family (inner:
+    ``streaming_join_click_purchase``; stream-static:
+    ``streaming_static_enrich``): the one that turns "no signal yet"
+    into a definite "no signal", which attribution and SLA pipelines
+    need.
+
+    Outer-join nulls emit only when the watermark PASSES the row's
+    match horizon, and the watermark used by micro-batch N is computed
+    from batch N-1 — so a single-batch drain would never emit them.
+    The query therefore stages a deterministic multi-batch replay
+    (``_stage_ordered_files``): [all real events] + two sentinel
+    batches ``_LOJ_FLUSH_GAP_S`` apart, whose event times push the
+    watermark past every real row on BOTH join sides (sentinels carry
+    both event types; watermark advancement is per-side and the join
+    uses the min).  Sentinels are keyed user_id = -1 and filtered from
+    the result; the oracle is the plain batch left join over real
+    events.  State stays O(watermark horizon) — the unbounded-run
+    property the watermark + range bound buy — and the drain is the
+    distributed parquet sink.
+    """
+    ev_batch = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mx = ev_batch.agg(F.max("ts").alias("mx")).collect()[0]["mx"]
+    if mx is None:  # empty source: nothing to join, nothing to flush
+        return spark.createDataFrame(
+            [],
+            "station_code bigint, purchase_id bigint, click_id bigint,"
+            " amount double, matched bigint, click_to_purchase_ms bigint",
+        )
+    sentinels = []
+    for r in (1, 2):
+        sentinels.append(
+            spark.createDataFrame(
+                [
+                    (-(2 * r), "click"),
+                    (-(2 * r + 1), "purchase"),
+                ],
+                "event_id bigint, event_type string",
+            ).select(
+                "event_id",
+                (
+                    F.lit(mx).cast("timestamp")
+                    + F.expr(f"interval {r * _LOJ_FLUSH_GAP_S} seconds")
+                ).alias("ts"),
+                F.lit(-1).cast("bigint").alias("user_id"),
+                "event_type",
+                F.lit(0.0).alias("value"),
+            )
+        )
+    src_dir = _stage_ordered_files(
+        spark, [ev_batch] + [s.select(*ev_batch.columns) for s in sentinels]
+    )
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{WATERMARK_SECONDS} seconds")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("amount"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{WATERMARK_SECONDS} seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND purchase_ts >= click_ts AND "
+            f"purchase_ts <= click_ts + interval {JOIN_WINDOW_SECONDS} seconds"
+        ),
+        "left_outer",
+    )
+    return (
+        _drain_parquet_sink(
+            spark,
+            joined,
+            "stream_stream_loj_sink",
+            shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
+        )
+        .filter(F.col("p_user") >= 0)
+        .select(
+            F.col("p_user").alias("station_code"),
+            "purchase_id",
+            "click_id",
+            "amount",
+            F.col("click_id").isNotNull().cast("bigint").alias("matched"),
+            (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias(
+                "click_to_purchase_ms"
+            ),
+        )
+    )
+
+
+ORACLE["streaming_join_left_outer"] = f"""
+    WITH clicks AS (
+      SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id AS p_user, value AS amount,
+             ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.p_user AS station_code,
+           p.purchase_id,
+           c.click_id,
+           p.amount,
+           CAST(c.click_id IS NOT NULL AS BIGINT) AS matched,
+           epoch_ms(p.purchase_ts) - epoch_ms(c.click_ts)
+             AS click_to_purchase_ms
+    FROM purchases p LEFT JOIN clicks c
+      ON p.p_user = c.c_user
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL {JOIN_WINDOW_SECONDS} SECONDS
+"""
+QUERIES["streaming_join_left_outer"] = streaming_join_left_outer
