@@ -124,6 +124,11 @@ def test_random_corpus_matches_oracle(spark, fuzz_base_dir, texts):
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{fuzz_base_dir}/documents.parquet"
     )
+    # Operators persist() reused frames with a documented cache lifetime
+    # of "one bounded session / clearCache() between jobs"; each example
+    # rewrites the same path, so honor that contract here or the
+    # CacheManager plan-matches a stale cached relation.
+    spark.catalog.clearCache()
     for name in FUZZED_QUERIES:
         problems = compare(
             registry.QUERIES[name](spark, fuzz_base_dir),
@@ -141,6 +146,7 @@ def test_giant_document_stays_linear(spark, fuzz_base_dir):
         [(0, words, "en", "src0", len(words))],
         "doc_id long, text string, lang string, source string, n_chars long",
     ).write.mode("overwrite").parquet(f"{fuzz_base_dir}/documents.parquet")
+    spark.catalog.clearCache()  # same stale-cache contract as the doc fuzz
 
     rep = registry.QUERIES["repetition_stats"](spark, fuzz_base_dir).collect()
     assert rep[0].n_words == 50_000
@@ -230,6 +236,7 @@ def test_random_event_stream_matches_oracle(spark, stream_fuzz_dir, events):
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
     os.replace(f"{tmp}/{part}", f"{stream_fuzz_dir}/events.parquet")
+    spark.catalog.clearCache()  # same stale-cache contract as the doc fuzz
 
     for name in STREAMING_FUZZED:
         problems = compare(
@@ -250,6 +257,7 @@ EVENT_BATCH_FUZZED = [
     "event_funnel",
     "pandas_cogroup_paired_spend",
     "streaming_join_left_outer",
+    "skew_salted_join",
     # round-4 event analytics
     "peak_concurrency_daily",
     "cusum_changepoint_audit",
@@ -318,6 +326,7 @@ def test_random_batch_events_match_oracle(spark, stream_fuzz_dir, events):
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
     os.replace(f"{tmp}/{part}", f"{stream_fuzz_dir}/events.parquet")
+    spark.catalog.clearCache()  # same stale-cache contract as the doc fuzz
     for name in EVENT_BATCH_FUZZED:
         problems = compare(
             registry.QUERIES[name](spark, stream_fuzz_dir),
@@ -382,6 +391,7 @@ def test_random_embeddings_match_oracle(spark, fuzz_base_dir, seed, n_vecs):
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{fuzz_base_dir}/embeddings.parquet"
     )
+    spark.catalog.clearCache()  # same stale-cache contract as the doc fuzz
     for name in EMBEDDING_FUZZED:
         problems = compare(
             registry.QUERIES[name](spark, fuzz_base_dir),

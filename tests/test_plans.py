@@ -256,3 +256,27 @@ def test_bloom_bitset_and_eval_set_broadcast(spark):
     plan = _plan(registry.QUERIES["bloom_membership_audit"](spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_is_shuffled_and_spread(spark):
+    """skew_salted_join exists to pin the shuffled-join shape with the
+    composite (key, salt) — a broadcast would silently hide the
+    technique, and the join keys must carry the salt."""
+    plan = _plan(registry.QUERIES["skew_salted_join"](spark, SF_DIR))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    join_line = next(l for l in plan.splitlines() if "ShuffledHashJoin" in l)
+    assert "salt" in join_line and "user_id" in join_line
+
+
+def test_file_skipping_scan_carries_partition_filter(spark):
+    """The qualifying-slice list must reach the file listing as a
+    partition filter (files skipped, not read-and-dropped)."""
+    plan = _plan(registry.QUERIES["lake_file_skipping"](spark, SF_DIR))
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "PartitionFilters" in l
+    ]
+    assert any(
+        "slice" in l.split("PartitionFilters", 1)[1][:200] for l in scan_lines
+    ), f"no slice PartitionFilter in: {scan_lines}"

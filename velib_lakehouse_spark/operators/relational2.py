@@ -1298,3 +1298,99 @@ ORACLE["rfm_segmentation"] = f"""
     FROM per_cust
 """
 QUERIES["rfm_segmentation"] = rfm_segmentation
+
+
+# ---- Salted skew JOIN (the hot-key join fix, not just the agg) ----
+
+# Replication factor for the build side of the salted join.  At 100 TB
+# this is the knob traded against duplication bandwidth: R× copies of
+# the enrichment table buy a R-way fan-out of every hot key's reducer.
+SALT_JOIN_BUCKETS = 8
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle equi-join: enrich each event with its user's
+    lifetime totals (derived from the same events table — at production
+    user counts that frame is far beyond broadcast size, and a handful
+    of power users dominate the key histogram, the classic straggler).
+
+    The fix ``skew_salted_agg`` applies to aggregation, applied to a
+    JOIN: the small-per-key side is replicated ``SALT_JOIN_BUCKETS``
+    ways (explode over the salt range), the fact side draws its salt
+    from ``xxhash64`` of the unique event id, and the join key becomes
+    ``(user_id, salt)`` — every hot user's rows now land on 8 reducers
+    instead of one.  ``hint("shuffle_hash")`` pins the shuffled-join
+    shape the technique targets (sf0.01's totals frame would otherwise
+    broadcast, hiding the point; at scale Catalyst picks it anyway).
+    The salt provably never changes the result: the oracle joins
+    unsalted.  Shares are integer ppm (both engines truncate toward
+    zero) so parity is exact.
+
+    AQE's ``skewJoin`` handles *detected* skew at runtime the same way;
+    this operator is the explicit form for planned-for skew (e.g. a
+    known viral-entity key) where you want the spread guaranteed, not
+    heuristic.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * F.lit(10000) + F.lit(0.5))
+        .cast("bigint")
+        .alias("value_q"),
+    )
+    totals = e.groupBy("user_id").agg(
+        F.sum("value_q").alias("user_total_q"),
+        F.count(F.lit(1)).alias("user_n"),
+    )
+    replicated = totals.withColumn(
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_JOIN_BUCKETS - 1))),
+    )
+    fact = e.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("event_id"), F.lit(SALT_JOIN_BUCKETS)).cast("int"),
+    )
+    joined = fact.join(
+        replicated.hint("shuffle_hash"), ["user_id", "salt"], "inner"
+    )
+    # NULL share for a zero total (fuzz corpora hit it; ANSI div raises)
+    share_ppm = F.expr(
+        "CASE WHEN user_total_q = 0 THEN NULL"
+        " ELSE value_q * 1000000 div user_total_q END"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("user_total_q").alias("sum_user_total_q"),
+        F.min(share_ppm).alias("min_share_ppm"),
+        F.max(share_ppm).alias("max_share_ppm"),
+    )
+
+
+ORACLE["skew_salted_join"] = """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             CAST(floor(value * 10000 + 0.5) AS BIGINT) AS value_q
+      FROM events
+    ),
+    totals AS (
+      SELECT user_id,
+             CAST(sum(value_q) AS BIGINT) AS user_total_q,
+             count(*) AS user_n
+      FROM e GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(DISTINCT e.user_id) AS n_users,
+           CAST(sum(t.user_total_q) AS BIGINT) AS sum_user_total_q,
+           min(CASE WHEN t.user_total_q = 0 THEN NULL
+                    ELSE (e.value_q * 1000000) // t.user_total_q END)
+             AS min_share_ppm,
+           max(CASE WHEN t.user_total_q = 0 THEN NULL
+                    ELSE (e.value_q * 1000000) // t.user_total_q END)
+             AS max_share_ppm
+    FROM e JOIN totals t USING (user_id)
+    GROUP BY e.event_type
+"""
+QUERIES["skew_salted_join"] = skew_salted_join

@@ -182,6 +182,8 @@ SECONDARY: tuple[str, ...] = (
     "streaming_join_left_outer",
     "feature_quantile_bins",
     "streaming_python_datasource_feed",
+    "skew_salted_join",
+    "lake_file_skipping",
     # showcases demoted by the round-4 rotation — every one holds an
     # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
     # since; first in line after the r5 rotation queue

@@ -730,3 +730,126 @@ ORACLE["snapshot_diff_cdc"] = f"""
     FROM old FULL OUTER JOIN new ON old.k = new.k
 """
 QUERIES["snapshot_diff_cdc"] = snapshot_diff_cdc
+
+
+# ---- Zone-map file skipping (Delta/Iceberg-style data skipping) ----
+
+# Half-year clustering key: files written clustered on the query
+# predicate column are exactly what makes min/max skipping effective.
+_SKIP_EPOCH_YEAR = 1995
+_SKIP_LO = "1996-06-01 00:00:00"
+_SKIP_HI = "1997-03-31 00:00:00"
+
+
+def lake_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max-stats file skipping over an orders lake layout — the
+    data-skipping mechanic behind Delta's file stats and Iceberg's
+    manifest ranges, built from parquet primitives.
+
+    One-time layout: orders clustered into half-year files (the slice
+    expression is deterministic so the oracle can mirror the file
+    population exactly; ``repartition(slice)`` keeps each slice in one
+    task, hence exactly one file per slice).  Query time: (1) a stats
+    pass groups by ``_metadata.file_path`` to recover each file's
+    min/max of the predicate column — the zone map a table format would
+    persist in its manifest; (2) files whose [min,max] range misses the
+    predicate window are dropped — the qualifying slice list is bounded
+    driver state (manifest pruning is driver-side in Delta too) and
+    feeds a partition filter, so skipped files are never opened; (3) the
+    pruned scan answers the query.  The output row carries both the
+    skipping telemetry (files total/skipped, rows scanned) and the
+    query answer itself, so the oracle proves skipping lost no rows.
+
+    At 100 TB the stats pass is the piece a table format amortizes:
+    manifests persist the per-file ranges at write time, so step (1)
+    costs a metadata read instead of a footer scan per query.
+    """
+    import tempfile
+
+    apply_safe_confs(spark)
+    out = tempfile.mkdtemp(prefix="lake_skip_")
+    orders = load_table(spark, sf_dir, "orders")
+    sliced = orders.withColumn(
+        "slice",
+        (
+            (F.year("o_orderdate").cast("bigint") - F.lit(_SKIP_EPOCH_YEAR))
+            * 2
+            + F.when(F.month("o_orderdate") >= 7, F.lit(1)).otherwise(F.lit(0))
+        ),
+    )
+    (
+        sliced.repartition(F.col("slice"))
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(out)
+    )
+
+    lake = spark.read.parquet(out)
+    stats = (
+        lake.groupBy(F.col("_metadata.file_path").alias("file"), "slice")
+        .agg(
+            F.min("o_orderdate").alias("mn"),
+            F.max("o_orderdate").alias("mx"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .persist()
+    )
+    lo, hi = F.lit(_SKIP_LO).cast("timestamp"), F.lit(_SKIP_HI).cast("timestamp")
+    qual = stats.filter((F.col("mx") >= lo) & (F.col("mn") <= hi))
+    qual_slices = [r["slice"] for r in qual.select("slice").collect()]
+    n_files = stats.count()
+    n_qual = len(qual_slices)
+
+    pruned = lake.filter(F.col("slice").isin(qual_slices))
+    matched = pruned.filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") <= hi)
+    )
+    return (
+        pruned.agg(F.count(F.lit(1)).alias("rows_scanned"))
+        .crossJoin(
+            matched.agg(
+                F.count(F.lit(1)).alias("n_match"),
+                F.sum(F.expr(f"{sql_cents('o_totalprice')}")).alias(
+                    "match_revenue_cents"
+                ),
+            )
+        )
+        .select(
+            F.lit(n_files).cast("bigint").alias("n_files"),
+            F.lit(n_files - n_qual).cast("bigint").alias("n_files_skipped"),
+            "rows_scanned",
+            "n_match",
+            "match_revenue_cents",
+        )
+    )
+
+
+ORACLE["lake_file_skipping"] = f"""
+    WITH o AS (
+      SELECT *,
+             (CAST(year(o_orderdate) AS BIGINT) - {_SKIP_EPOCH_YEAR}) * 2
+             + CASE WHEN month(o_orderdate) >= 7 THEN 1 ELSE 0 END AS slice
+      FROM orders
+    ),
+    stats AS (
+      SELECT slice, min(o_orderdate) AS mn, max(o_orderdate) AS mx,
+             count(*) AS n_rows
+      FROM o GROUP BY slice
+    ),
+    qual AS (
+      SELECT * FROM stats
+      WHERE mx >= TIMESTAMP '{_SKIP_LO}' AND mn <= TIMESTAMP '{_SKIP_HI}'
+    )
+    SELECT (SELECT count(*) FROM stats) AS n_files,
+           (SELECT count(*) FROM stats) - (SELECT count(*) FROM qual)
+             AS n_files_skipped,
+           (SELECT CAST(sum(n_rows) AS BIGINT) FROM qual) AS rows_scanned,
+           count(*) FILTER (o_orderdate >= TIMESTAMP '{_SKIP_LO}'
+                        AND o_orderdate <= TIMESTAMP '{_SKIP_HI}') AS n_match,
+           CAST(sum({sql_cents('o_totalprice')})
+                  FILTER (o_orderdate >= TIMESTAMP '{_SKIP_LO}'
+                      AND o_orderdate <= TIMESTAMP '{_SKIP_HI}') AS BIGINT)
+             AS match_revenue_cents
+    FROM o WHERE slice IN (SELECT slice FROM qual)
+"""
+QUERIES["lake_file_skipping"] = lake_file_skipping
