@@ -199,6 +199,18 @@ HEADLINE = [
     "tpch_q20_heavy_shippers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customers",
+    "dup_span_removal",
+    "multimodal_image_ahash_neardup",
+    "pandas_cogroup_paired_spend",
+    "chunk_cdc",
+    "hll_merge_rollup",
+    "streaming_join_left_outer",
+    "feature_quantile_bins",
+    "streaming_python_datasource_feed",
+    "skew_salted_join",
+    "lake_file_skipping",
+    "table_checksum_audit",
+    "global_enumerate_rows",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

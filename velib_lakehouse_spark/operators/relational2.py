@@ -1394,3 +1394,73 @@ ORACLE["skew_salted_join"] = """
     GROUP BY e.event_type
 """
 QUERIES["skew_salted_join"] = skew_salted_join
+
+
+# ---- Contiguous global enumeration without the 1-partition window ----
+
+
+def global_enumerate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global sequence numbers over orders in
+    (o_orderdate, o_orderkey) order — WITHOUT the naive
+    ``row_number() OVER (ORDER BY ...)``, whose empty PARTITION BY
+    moves the whole table through ONE task (the WindowExec trap this
+    repo's plan audit hunts).
+
+    Two-phase range enumeration, all DataFrame ops:
+    1. range-bucket each row by a deterministic prefix of the sort key
+       (order month — date-ordered by construction, so bucket order ==
+       global order);
+    2. per-bucket contiguous ranks from a window PARTITIONED by bucket
+       (parallelism = #buckets, each a bounded slice, sort spillable);
+    3. bucket offsets = cumulative row counts over the tiny per-bucket
+       count frame (a window over ~#months rows — driver-bounded), then
+       a broadcast join adds offset + rank.
+
+    ``monotonically_increasing_id`` gives non-contiguous ids and
+    ``zipWithIndex`` leaves the DataFrame API; this shape is how a
+    shard/sequence export gets stable contiguous ids at 100 TB.  The
+    oracle is the single-window definition itself — the differential
+    proves the distributed rewrite exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    bucketed = o.withColumn(
+        "bucket", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    ranked = bucketed.withColumn(
+        "bucket_rank", F.row_number().over(in_bucket).cast("bigint")
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    offsets = counts.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).cast("bigint"),
+    ).select("bucket", "offset")
+    return (
+        ranked.join(F.broadcast(offsets), "bucket")
+        .select(
+            "o_orderkey",
+            (F.col("offset") + F.col("bucket_rank")).alias("global_seq"),
+        )
+    )
+
+
+ORACLE["global_enumerate_rows"] = """
+    SELECT o_orderkey,
+           CAST(row_number() OVER (ORDER BY o_orderdate, o_orderkey)
+                AS BIGINT) AS global_seq
+    FROM orders
+"""
+QUERIES["global_enumerate_rows"] = global_enumerate_rows

@@ -184,6 +184,8 @@ SECONDARY: tuple[str, ...] = (
     "streaming_python_datasource_feed",
     "skew_salted_join",
     "lake_file_skipping",
+    "table_checksum_audit",
+    "global_enumerate_rows",
     # showcases demoted by the round-4 rotation — every one holds an
     # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
     # since; first in line after the r5 rotation queue

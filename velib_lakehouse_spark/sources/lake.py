@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
 from velib_lakehouse_spark.functions.exact import sql_cents
+from velib_lakehouse_spark.functions.hashing import md5_long, sql_md5_long
 from velib_lakehouse_spark.session import apply_safe_confs
 
 
@@ -853,3 +854,80 @@ ORACLE["lake_file_skipping"] = f"""
     FROM o WHERE slice IN (SELECT slice FROM qual)
 """
 QUERIES["lake_file_skipping"] = lake_file_skipping
+
+
+# ---- Order-independent table fingerprints (migration validation) ----
+
+
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition multiset fingerprints of the orders table — the
+    mechanic for validating that two pipelines (two engines, two
+    versions, pre/post a migration) produced the SAME table at 100 TB
+    without sorting or transferring either copy: each side computes
+    per-partition (count, mod-summed row hash, xor-folded row hash,
+    min/max hash) and only the tiny fingerprint frames travel.  This
+    very query is its own demonstration: the DuckDB oracle recomputes
+    the fingerprints from scratch and the correctness gate IS the
+    cross-engine equality check.
+
+    Design points the 100 TB path needs:
+    * row hash = shared md5-derived 60-bit family (bit-identical in
+      both engines), over a '|'-joined canonical serialization with
+      integer cents for the float column — no float formatting in the
+      hash input;
+    * the additive checksum sums ``hash % 2^31`` partials — each task's
+      partial stays far under bigint even at trillions of rows, and
+      summation order (which AQE/speculation may change) cannot affect
+      the result;
+    * xor-fold is kept alongside: xor is order-AND-duplication-parity
+      blind (an even number of copies of a row cancels), sum-mod is
+      not; together with the count they pin the multiset;
+    * grouped by order-month, so a divergence localizes to a partition
+      (the re-sync unit of a lake) instead of one table-wide boolean.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    row_ser = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = md5_long(row_ser)
+    return (
+        o.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .withColumn("h", h)
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("h") % F.lit(2_147_483_648)).alias("sum_checksum"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+            F.min("h").alias("min_hash"),
+            F.max("h").alias("max_hash"),
+        )
+    )
+
+
+ORACLE["table_checksum_audit"] = f"""
+    WITH h AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             {sql_md5_long(
+                 "concat_ws('|', CAST(o_orderkey AS VARCHAR),"
+                 " CAST(o_custkey AS VARCHAR), o_orderstatus,"
+                 " CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),"
+                 " strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)"
+             )} AS h
+      FROM orders
+    )
+    SELECT month,
+           count(*) AS n_rows,
+           CAST(sum(h % 2147483648) AS BIGINT) AS sum_checksum,
+           bit_xor(h) AS xor_checksum,
+           min(h) AS min_hash,
+           max(h) AS max_hash
+    FROM h
+    GROUP BY month
+"""
+QUERIES["table_checksum_audit"] = table_checksum_audit
