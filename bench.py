@@ -253,6 +253,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    # One JVM hosts driver + all 32 executor threads; the 1g default
+    # heap that suits a single query OOMs across ~170 of them (the
+    # machine has 128 GiB — same sizing call as tools/scale_stress).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     spark = get_spark(app_name="velib-lakehouse-bench")
 
     # Warm the JVM/codegen paths and the OS page cache for the input
@@ -284,6 +288,13 @@ def main() -> None:
                 break
         timings[name] = round(min(samples), 3)
         first_run[name] = round(samples[0], 3)
+        # Operator modules persist() reused frames under a documented
+        # "one bounded job, clearCache() between jobs" lifetime; a
+        # 170-query session must honor that or the accumulated caches
+        # exhaust the heap AND let one query's cache pollute the next
+        # query's timing.  (Within-query repeats above intentionally
+        # share their own cache: min-of-N measures steady state.)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
 
@@ -305,7 +316,11 @@ def main() -> None:
         "families": families,
         "notes": (
             "queries = per-query min of n runs in one session (steady state);"
-            " queries_first_run = cold sample."
+            " queries_first_run = cold sample. clearCache() between queries"
+            " since r4-late: each timing is the query's OWN isolated cost —"
+            " earlier artifacts let a query reuse frames a previous query"
+            " persisted (dedup-family shingle scans), so pre-isolation"
+            " baselines understate those queries by up to ~4x."
         ),
     }
     compact_vs_prev = None

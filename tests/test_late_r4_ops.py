@@ -146,3 +146,73 @@ def test_hll_merge_rollup_merge_always_matches_direct(spark, golden_dir):
     assert rows
     assert all(r["merge_matches_direct"] == 1 for r in rows)
     assert all(r["exact_distinct"] > 0 for r in rows)
+
+
+def test_table_checksum_localizes_a_divergence(spark, golden_dir):
+    """The semantic claim of the fingerprint audit: a one-row change
+    flips exactly its own partition's checksums, every other partition
+    fingerprint stays bit-identical (that is what makes it a re-sync
+    localizer rather than a table-wide boolean)."""
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.write.mode("overwrite").parquet(f"{golden_dir}/orders.parquet")
+    spark.catalog.clearCache()
+    base = {
+        r["month"]: r
+        for r in registry.QUERIES["table_checksum_audit"](
+            spark, golden_dir
+        ).collect()
+    }
+    victim = orders.orderBy("o_orderkey").first()
+    from pyspark.sql import functions as F
+
+    perturbed = orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == victim["o_orderkey"],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    )
+    perturbed.write.mode("overwrite").parquet(f"{golden_dir}/orders.parquet")
+    spark.catalog.clearCache()
+    after = {
+        r["month"]: r
+        for r in registry.QUERIES["table_checksum_audit"](
+            spark, golden_dir
+        ).collect()
+    }
+    victim_month = victim["o_orderdate"].strftime("%Y-%m")
+    assert set(base) == set(after)
+    for month, row in base.items():
+        other = after[month]
+        assert row["n_rows"] == other["n_rows"]
+        same = (
+            row["sum_checksum"] == other["sum_checksum"]
+            and row["xor_checksum"] == other["xor_checksum"]
+        )
+        assert same == (month != victim_month), month
+    # restore the fixture's empty orders for any later test in the module
+    orders.limit(0).write.mode("overwrite").parquet(
+        f"{golden_dir}/orders.parquet"
+    )
+    spark.catalog.clearCache()
+
+
+def test_global_enumeration_is_contiguous(spark):
+    rows = (
+        registry.QUERIES["global_enumerate_rows"](spark, SF_DIR)
+        .orderBy("global_seq")
+        .collect()
+    )
+    assert [r["global_seq"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+def test_file_skipping_telemetry_not_vacuous(spark):
+    """The predicate window spans ~2 of ~13 half-year files: the audit
+    must report real skipping, and the scanned subset must still hold
+    every matching row (n_match <= rows_scanned < table size)."""
+    row = registry.QUERIES["lake_file_skipping"](spark, SF_DIR).collect()[0]
+    assert row["n_files_skipped"] >= 1
+    assert row["n_files"] > row["n_files_skipped"]
+    assert 0 < row["n_match"] <= row["rows_scanned"]
+    total = load_table(spark, SF_DIR, "orders").count()
+    assert row["rows_scanned"] < total
