@@ -1996,8 +1996,16 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("owner") != F.col("mx"))
         .select("h", "owner")
     )
+    # Every join side below (owners, removed_pos, rebuilt) GROWS with
+    # the corpus — but each sits behind aggregates/filters whose static
+    # size estimates read "small", and at 256x the planner's resulting
+    # BroadcastHashJoin died at the 8 GiB broadcast ceiling.  Pin the
+    # shuffled shapes: the keys (h, doc_id) are exactly the columns the
+    # surrounding stages already partition by, so the Exchanges reuse
+    # alignment, and none of these sides is broadcastable at crawl
+    # scale by construction.
     removed_pos = (
-        grams.join(owners, "h")
+        grams.join(owners.hint("shuffle_hash"), "h")
         .filter(F.col("doc_id") != F.col("owner"))
         .select(
             "doc_id",
@@ -2008,7 +2016,9 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_id", "p"])
     )
     toks = w.select("doc_id", F.posexplode("w").alias("p", "tok"))
-    kept = toks.join(removed_pos, ["doc_id", "p"], "left_anti")
+    kept = toks.join(
+        removed_pos.hint("shuffle_hash"), ["doc_id", "p"], "left_anti"
+    )
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
@@ -2021,7 +2031,7 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         w.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
-        .join(rebuilt, "doc_id", "left")
+        .join(rebuilt.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
