@@ -399,3 +399,160 @@ def test_random_embeddings_match_oracle(spark, fuzz_base_dir, seed, n_vecs):
             fuzz_base_dir,
         )
         assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---- TPC-H table fuzz ------------------------------------------------------
+#
+# The document/event/embedding fuzz above never varies the relational
+# tables, so the 22 TPC-H shapes and the orders-family operators only
+# ever saw the fixed generated data.  These examples fuzz orders +
+# lineitem (consistent FK domains against the REAL sf0.001 dimensions)
+# and diff every orders/lineitem-consuming query against its oracle —
+# hunting empty-group, zero-denominator, tie, and rounding edges the
+# fixed data cannot hit.
+
+TPCH_FUZZED = [
+    "tpch_q1_pricing",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_parts",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    # orders-family operators
+    "rollup_cube_orders",
+    "cube_status_priority",
+    "pivot_status_counts",
+    "topn_orders_per_customer",
+    "join_left_order_counts",
+    "semi_orders_with_lines",
+    "anti_parts_never_ordered",
+    "expectation_suite_audit",
+    "pareto_frontier_orders",
+    "grouping_sets_orders",
+    "global_enumerate_rows",
+    "table_checksum_audit",
+    "lake_file_skipping",
+    "rfm_segmentation",
+]
+
+_O_STATUS = ["O", "F", "P"]
+_O_PRIO = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_L_RF = ["A", "N", "R"]
+_L_LS = ["O", "F"]
+
+tpch_orders_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=149),        # custkey
+        st.integers(min_value=0, max_value=2),          # status idx
+        st.integers(min_value=100, max_value=6_000_000),  # totalprice cents
+        st.integers(min_value=0, max_value=2400),       # orderdate offset (d)
+        st.integers(min_value=0, max_value=4),          # priority idx
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=199),   # partkey
+                st.integers(min_value=0, max_value=9),     # suppkey
+                st.integers(min_value=1, max_value=50),    # quantity
+                st.integers(min_value=100, max_value=1_000_000),  # price c
+                st.integers(min_value=0, max_value=10),    # discount %
+                st.integers(min_value=0, max_value=8),     # tax %
+                st.integers(min_value=0, max_value=2),     # returnflag idx
+                st.integers(min_value=0, max_value=1),     # linestatus idx
+                st.integers(min_value=-30, max_value=120), # shipdate offset
+            ),
+            min_size=0,
+            max_size=3,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@pytest.fixture(scope="module")
+def tpch_fuzz_dir(spark):
+    """Real sf0.001 dimensions, empty non-relational tables; each
+    example overwrites orders.parquet + lineitem.parquet."""
+    out = tempfile.mkdtemp(prefix="t_fuzz_tpch_")
+    for t in TABLES:
+        src = load_table(spark, SF_DIR, t)
+        if t in ("orders", "lineitem"):
+            continue
+        if t not in ("customer", "supplier", "part", "nation", "region"):
+            src = src.limit(0)
+        src.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+@given(orders=tpch_orders_strategy)
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_tpch_tables_match_oracle(spark, tpch_fuzz_dir, orders):
+    import datetime
+
+    base = datetime.datetime(1995, 1, 1)
+    o_rows, l_rows = [], []
+    for i, (ck, si, tp, do, pi, lines) in enumerate(orders):
+        okey = 1000 + i
+        odate = base + datetime.timedelta(days=do)
+        o_rows.append(
+            (okey, ck, _O_STATUS[si], tp / 100.0, odate, _O_PRIO[pi])
+        )
+        for j, (pk, sk, qty, pc, dpct, tpct, rf, ls, soff) in enumerate(lines):
+            l_rows.append(
+                (
+                    okey,
+                    pk,
+                    sk,
+                    j + 1,
+                    float(qty),
+                    pc / 100.0,
+                    dpct / 100.0,
+                    tpct / 100.0,
+                    _L_RF[rf],
+                    _L_LS[ls],
+                    odate + datetime.timedelta(days=soff),
+                )
+            )
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tpch_fuzz_dir}/orders.parquet"
+    )
+    spark.createDataFrame(
+        l_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tpch_fuzz_dir}/lineitem.parquet"
+    )
+    spark.catalog.clearCache()  # same stale-cache contract as the doc fuzz
+    for name in TPCH_FUZZED:
+        problems = compare(
+            registry.QUERIES[name](spark, tpch_fuzz_dir),
+            registry.ORACLE[name],
+            tpch_fuzz_dir,
+        )
+        assert not problems, f"{name}: " + "; ".join(problems)

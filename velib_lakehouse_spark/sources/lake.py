@@ -844,7 +844,8 @@ ORACLE["lake_file_skipping"] = f"""
     SELECT (SELECT count(*) FROM stats) AS n_files,
            (SELECT count(*) FROM stats) - (SELECT count(*) FROM qual)
              AS n_files_skipped,
-           (SELECT CAST(sum(n_rows) AS BIGINT) FROM qual) AS rows_scanned,
+           COALESCE((SELECT CAST(sum(n_rows) AS BIGINT) FROM qual), 0)
+             AS rows_scanned,
            count(*) FILTER (o_orderdate >= TIMESTAMP '{_SKIP_LO}'
                         AND o_orderdate <= TIMESTAMP '{_SKIP_HI}') AS n_match,
            CAST(sum({sql_cents('o_totalprice')})
