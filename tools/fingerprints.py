@@ -23,10 +23,16 @@ Regenerate at the END of a round, after the window is final::
 
     python -m tools.fingerprints            # refresh in-window entries
     python -m tools.fingerprints --all      # first run / full rebuild
+    python -m tools.fingerprints --check    # read-only drift report
+
+Unknown arguments are rejected (argparse strict): an accidental
+``--help``/typo invocation must never silently rewrite the file and
+bless stale pins (r4 ADVICE).
 """
 
 from __future__ import annotations
 
+import argparse
 import hashlib
 import inspect
 import json
@@ -53,12 +59,41 @@ def load() -> dict[str, str]:
         return json.load(f)
 
 
-def main(argv: list[str]) -> None:
+def main(argv: list[str]) -> int:
+    parser = argparse.ArgumentParser(
+        prog="tools.fingerprints",
+        description="Refresh or check the changed=>re-window fingerprints.",
+    )
+    group = parser.add_mutually_exclusive_group()
+    group.add_argument(
+        "--all", action="store_true", help="rebuild every query's fingerprint"
+    )
+    group.add_argument(
+        "--check",
+        action="store_true",
+        help="read-only: diff recorded vs current, exit 1 on drift",
+    )
+    opts = parser.parse_args(argv)  # strict: unknown args exit 2, no write
+
     from velib_lakehouse_spark import registry
 
     recorded = load()
-    window = list(registry.PRIORITY)
-    names = list(registry.QUERIES) if "--all" in argv else window
+    if opts.check:
+        drifted = sorted(
+            n
+            for n in registry.QUERIES
+            if recorded.get(n) != fingerprint(n)
+        )
+        stale = sorted(n for n in recorded if n not in registry.QUERIES)
+        for n in drifted:
+            state = "missing" if n not in recorded else "changed"
+            print(f"DRIFT {n}: {state}")
+        for n in stale:
+            print(f"STALE {n}: recorded but no longer registered")
+        print(f"checked {len(registry.QUERIES)} queries: {len(drifted)} drifted")
+        return 1 if (drifted or stale) else 0
+
+    names = list(registry.QUERIES) if opts.all else list(registry.PRIORITY)
     for n in names:
         recorded[n] = fingerprint(n)
     # drop entries for queries that no longer exist
@@ -66,7 +101,8 @@ def main(argv: list[str]) -> None:
     with open(FILE, "w") as f:
         json.dump(dict(sorted(recorded.items())), f, indent=1)
     print(f"wrote {len(recorded)} fingerprints ({len(names)} refreshed) to {FILE}")
+    return 0
 
 
 if __name__ == "__main__":
-    main(sys.argv[1:])
+    sys.exit(main(sys.argv[1:]))

@@ -31,35 +31,109 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-4 ROTATION (VERDICT r3 next-round #1/#2). Standing rule,
-# guarded by tests/test_registry_window.py::test_changed_queries_are_in_window
-# via tools/query_fingerprints.json: a query whose code or oracle
-# changed since its last green driver row MUST rotate back into the
-# window ("changed => re-window").  This round's window composition:
-# * velib_sparkline — the reference-core representative (r3 green, kept
-#   in-window as the §2 anchor).
-# * the 33 round-3 operators that never had a driver CORRECTNESS row
-#   (judge-verified green at sf0.01 in the r3 verdict; pre-queued at
-#   the head of SECONDARY since r3).
-# * changed => re-window: dedup_minhash_lsh + dedup_embedding_cosine
-#   (the within-group pair expansion was rewritten from a single-row
-#   O(g^2) array to an explode+self-join, and the multi-consumer
-#   groups frames gained persist(); semdedup, decontaminate_embedding
-#   and minhash_estimate_audit share that rewrite and sit in the 33
-#   above) and the five memory-sink streaming queries rerouted through
-#   the distributed parquet drain (_drain_parquet_sink).
-# * chunk_documents + hybrid_rank_fusion — family representatives for
-#   chunking and retrieval (their r3-green siblings rotated out).
-# * the seven round-4 operators (first driver check): capped top-k
-#   near-dup pairs, edit-distance verification, CUBE rollup, CDC merge
-#   apply, hourly rate anomaly, TPC-H Q3, per-domain cap sampling.
-# Demoted r3-green showcases head SECONDARY in rotation order; every
-# §2 family keeps an in-window representative AND a green row within
-# the last two CORRECTNESS artifacts (the coverage ratchet test).
+# ROUND-5 ROTATION (VERDICT r4 next-round #1). Standing rules, guarded
+# by tests/test_registry_window.py:
+# * "changed => re-window" (test_changed_queries_are_in_window via
+#   tools/query_fingerprints.json): a query whose code or oracle changed
+#   since its last green driver row MUST rotate back into the window.
+# * "oldest-first" (test_window_rotates_oldest_first, new this round per
+#   VERDICT r4 #7): while never-driver-checked queries wait, no window
+#   slot may be spent on an unchanged already-green query.
+# This round's window = exactly the VERDICT r4 prescription: all 50
+# slots go to never-driver-checked names, in the pre-queued order —
+# lake_file_skipping first (its oracle was edited in the end-of-round
+# commit 9bd487b without re-windowing; the guard test caught it), then
+# the remaining 11 late-r4 ops (dup_span_removal and
+# multimodal_image_ahash_neardup also changed after the r4 preflight),
+# the 16 TPC-H completions, rfm_segmentation (changed this round: the
+# unpartitioned-ntile scale fix, VERDICT r4 #2), then the first 21 of
+# the mid-r4 analytics block.  The 10 that don't fit head SECONDARY and
+# MUST open the round-6 window.  Family anchors with green r3/r4 rows
+# (velib_sparkline, decontaminate_*, hybrid_rank_fusion, ...) rely on
+# the coverage ratchet (green row within the last two CORRECTNESS
+# artifacts) rather than holding a slot.
 PRIORITY: tuple[str, ...] = (
-    # reference (velib) semantics — the §2 core representative
+    # late round-4 ops, never driver-checked; lake_file_skipping first
+    "lake_file_skipping",
+    "dup_span_removal",
+    "multimodal_image_ahash_neardup",
+    "pandas_cogroup_paired_spend",
+    "chunk_cdc",
+    "hll_merge_rollup",
+    "streaming_join_left_outer",
+    "feature_quantile_bins",
+    "streaming_python_datasource_feed",
+    "skew_salted_join",
+    "table_checksum_audit",
+    "global_enumerate_rows",
+    # TPC-H suite completion (never driver-checked)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    # changed => re-window: scale-safe histogram-edge quintile rewrite
+    # (VERDICT r4 #2) — pulled ahead of its pre-queued slot
+    "rfm_segmentation",
+    # mid-r4 analytics block, pre-queued order (first 21 of the
+    # remaining 31; the other 10 open the round-6 window)
+    "hll_distinct_audit",
+    "bloom_membership_audit",
+    "winnow_fingerprints",
+    "compaction_binpack_plan",
+    "sorted_neighborhood_pairs",
+    "tpch_q5_local_supplier",
+    "snapshot_diff_cdc",
+    "ivm_incremental_rollup",
+    "pq_adc_topk",
+    "ppjoin_prefix_candidates",
+    "multimodal_audio_window_stats",
+    "pareto_frontier_orders",
+    "kcore_peeling",
+    "histogram_quantile_audit",
+    "tpch_q18_large_orders",
+    "rolling_active_users",
+    "expectation_suite_audit",
+    "peak_concurrency_daily",
+    "rake_keyphrases",
+    "cusum_changepoint_audit",
+    "basket_affinity_pairs",
+)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.
+SECONDARY: tuple[str, ...] = (
+    # ROUND-6 ROTATION QUEUE, in order: the tail of the mid-r4
+    # analytics block — never driver-checked (60 waiting > 50 slots in
+    # r5; all judge-verified green at sf0.01 in the r4 verdict).  Per
+    # the standing never-checked/oldest-first rule these take round-6
+    # window slots first.
+    "seasonal_naive_backtest",
+    "link_prediction_common_neighbors",
+    "psi_drift_audit",
+    "source_concentration_gini",
+    "streaming_sliding_counts",
+    "trend_slope_per_user",
+    "tpch_q10_returned_items",
+    "multimodal_image_patches",
+    "tpch_q6_forecast_revenue",
+    "zscore_outlier_days",
+    # showcases demoted by the round-5 rotation — every one holds a
+    # green r4 driver row (CORRECTNESS_r04.json); first in line after
+    # the round-6 queue
     "velib_sparkline",
-    # round-3 operators with no driver row yet (VERDICT r3 #1)
     "pmi_collocations",
     "dup_span_report",
     "label_propagation_communities",
@@ -93,7 +167,6 @@ PRIORITY: tuple[str, ...] = (
     "corpus_profile",
     "export_tokenized_sequences",
     "weighted_sample_topk",
-    # changed => re-window (VERDICT r3 #2: collapse rewrite + parquet drain)
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "streaming_session_windows",
@@ -101,10 +174,8 @@ PRIORITY: tuple[str, ...] = (
     "streaming_join_click_purchase",
     "streaming_windowed_counts",
     "streaming_dedup",
-    # family representatives (chunking, retrieval)
     "chunk_documents",
     "hybrid_rank_fusion",
-    # round-4 operators (first driver check)
     "pairs_topk_capped",
     "editdist_verified_pairs",
     "rollup_cube_orders",
@@ -112,83 +183,8 @@ PRIORITY: tuple[str, ...] = (
     "event_rate_anomaly",
     "tpch_q3_shipping",
     "domain_cap_sample",
-)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.
-SECONDARY: tuple[str, ...] = (
-    # ROUND-5 ROTATION QUEUE, in order: the 32 operators added after
-    # the round-4 window froze — never driver-checked; all preflighted
-    # green at sf0.01 (tools/verify_sf001.py, 174/174) and fuzz-tested.
-    # Per the standing changed=>re-window / never-checked rule these
-    # take round-5 window slots first.
-    "hll_distinct_audit",
-    "bloom_membership_audit",
-    "winnow_fingerprints",
-    "compaction_binpack_plan",
-    "sorted_neighborhood_pairs",
-    "tpch_q5_local_supplier",
-    "snapshot_diff_cdc",
-    "ivm_incremental_rollup",
-    "pq_adc_topk",
-    "ppjoin_prefix_candidates",
-    "multimodal_audio_window_stats",
-    "pareto_frontier_orders",
-    "kcore_peeling",
-    "histogram_quantile_audit",
-    "tpch_q18_large_orders",
-    "rolling_active_users",
-    "expectation_suite_audit",
-    "peak_concurrency_daily",
-    "rake_keyphrases",
-    "cusum_changepoint_audit",
-    "basket_affinity_pairs",
-    "seasonal_naive_backtest",
-    "link_prediction_common_neighbors",
-    "psi_drift_audit",
-    "source_concentration_gini",
-    "streaming_sliding_counts",
-    "trend_slope_per_user",
-    "tpch_q10_returned_items",
-    "multimodal_image_patches",
-    "tpch_q6_forecast_revenue",
-    "rfm_segmentation",
-    "zscore_outlier_days",
-    # TPC-H suite completion (added after the r4 window froze; never
-    # driver-checked — r5 rotation queue, same never-checked rule)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_lateness_priority",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_bracket_revenue",
-    "tpch_q20_heavy_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    # late round-4 additions (never driver-checked; same r5 queue rule)
-    "dup_span_removal",
-    "multimodal_image_ahash_neardup",
-    "pandas_cogroup_paired_spend",
-    "chunk_cdc",
-    "hll_merge_rollup",
-    "streaming_join_left_outer",
-    "feature_quantile_bins",
-    "streaming_python_datasource_feed",
-    "skew_salted_join",
-    "lake_file_skipping",
-    "table_checksum_audit",
-    "global_enumerate_rows",
-    # showcases demoted by the round-4 rotation — every one holds an
-    # r3 green driver row (CORRECTNESS_r03.json) with code unchanged
-    # since; first in line after the r5 rotation queue
+    # r3-green showcases demoted by the round-4 rotation, code
+    # unchanged since
     "dedup_chunks",
     "length_quantiles_by_source",
     "bigram_lm_top",
