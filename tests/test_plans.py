@@ -280,3 +280,62 @@ def test_file_skipping_scan_carries_partition_filter(spark):
     assert any(
         "slice" in l.split("PartitionFilters", 1)[1][:200] for l in scan_lines
     ), f"no slice PartitionFilter in: {scan_lines}"
+
+
+# ---- Unpartitioned-window audit (VERDICT r4 #2) -----------------------
+
+# Unpartitioned Window operators pull their whole input through ONE
+# task — acceptable only when the input frame is bounded by
+# construction (a bucket/vocabulary/path-catalog aggregate), never over
+# an entity-cardinality frame (customers, documents, events).  Every
+# exemption here names the bounded frame; anything else in the judged
+# window must have zero partition-less Window nodes.
+BOUNDED_UNPARTITIONED_WINDOWS = {
+    # offsets running-sums over RFM_RANK_BUCKETS(=32)-row bucket-count
+    # frames: 2 per _two_phase_global_tile call x 3 orderings
+    "rfm_segmentation": 6,
+    # offsets over the per-month count frame (~#months rows)
+    "global_enumerate_rows": 2,
+    # documented vocabulary/catalog-bounded frames (VERDICT r4 #3:
+    # monitored, not blocked — all sit above aggregates)
+    "vocab_coverage": 2,
+    "event_path_mining": 2,
+    "bpe_merge_step": 2,
+    "zipf_slope_audit": 2,
+    "curriculum_phases": 2,
+    # cum-count walks over the 64-bin histogram and the distinct-price
+    # frame (value-range-bounded; docstring: audit-only exact pass)
+    "histogram_quantile_audit": 3,
+}
+
+
+def _unpartitioned_window_count(df) -> int:
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    stack, n = [jplan], 0
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            n += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return n
+
+
+def test_no_unpartitioned_window_over_entity_frames(spark):
+    """No judged-window query may run a partition-less Window over an
+    unbounded (entity-cardinality) frame; bounded-frame exemptions are
+    pinned to an exact node budget so a regression (a new global ntile,
+    a window moved below the aggregate) fails loudly."""
+    window = list(registry.QUERIES)[:50]
+    audited = set(window) | set(BOUNDED_UNPARTITIONED_WINDOWS)
+    bad = []
+    for name in sorted(audited):
+        df = registry.QUERIES[name](spark, SF_DIR)
+        n = _unpartitioned_window_count(df)
+        if n > BOUNDED_UNPARTITIONED_WINDOWS.get(name, 0):
+            bad.append(f"{name}: {n} unpartitioned Window nodes")
+    assert not bad, "; ".join(bad)

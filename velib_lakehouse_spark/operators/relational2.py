@@ -1225,22 +1225,106 @@ QUERIES["expectation_suite_audit"] = expectation_suite_audit
 
 RFM_TILES = 5
 
+# Range buckets for the two-phase global rank.  On a cluster this is
+# the rank parallelism (each bucket is a bounded, independently sorted
+# slice); the offsets side stays a RFM_RANK_BUCKETS-row frame.
+RFM_RANK_BUCKETS = 32
+
+
+def _two_phase_global_tile(df: DataFrame, sort_cols, score: str) -> DataFrame:
+    """Exact ``ntile(RFM_TILES) OVER (ORDER BY sort_cols)`` without the
+    single-task global window (the WindowExec trap — an empty
+    PARTITION BY funnels the whole frame through one reducer).
+
+    Two-phase bucketed rank, the ``global_enumerate_rows`` shape
+    generalized to arbitrary (possibly descending) sort keys:
+
+    1. ``repartitionByRange`` on the sort key — the range exchange's
+       sampling pass balances buckets even under value skew, and
+       ``spark_partition_id()`` is then globally ordered by key, so
+       bucket order == global order;
+    2. per-bucket contiguous ranks from a window PARTITIONED by bucket
+       (parallelism = RFM_RANK_BUCKETS, each slice sort-spillable);
+    3. bucket offsets = running sum over the RFM_RANK_BUCKETS-row count
+       frame (driver-bounded), broadcast back: rank = offset + local;
+    4. the closed-form ntile: with n rows and k tiles, the first
+       ``n % k`` tiles hold ``n/k + 1`` rows and the rest ``n/k``, so
+       the tile of rank r is pure arithmetic on (r, n) — no second
+       pass, and exactly the SQL-standard ntile both engines implement.
+
+    The sort keys carry a unique tiebreak (custkey), so ranks — and
+    therefore tiles — are deterministic regardless of where the range
+    sampler happens to place bucket boundaries.
+    """
+    bucketed = df.repartitionByRange(RFM_RANK_BUCKETS, *sort_cols).withColumn(
+        "_bucket", F.spark_partition_id()
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy(*sort_cols)
+    ranked = bucketed.withColumn(
+        "_local", F.row_number().over(in_bucket).cast("bigint")
+    )
+    counts = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    offsets = (
+        counts.withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "_total",
+            F.sum("_n").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).cast("bigint"),
+        )
+        .select("_bucket", "_offset", "_total")
+    )
+    k = RFM_TILES
+    return (
+        ranked.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_rank", F.col("_offset") + F.col("_local"))
+        .withColumn(
+            score,
+            F.expr(
+                f"""CAST(CASE
+                    WHEN _rank <= (_total % {k}) * (_total DIV {k} + 1)
+                    THEN (_rank + _total DIV {k}) DIV (_total DIV {k} + 1)
+                    ELSE (_total % {k})
+                         + (_rank - (_total % {k}) * (_total DIV {k} + 1)
+                            + _total DIV {k} - 1)
+                           DIV greatest(_total DIV {k}, 1)
+                    END AS BIGINT)"""
+            ),
+        )
+        .drop("_bucket", "_local", "_rank", "_offset", "_total")
+    )
+
 
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation: score every customer 1-5 on Recency
     (latest order date), Frequency (order count), and Monetary (total
-    spend in cents) via ntile quintiles, and emit the composite segment
+    spend in cents) via exact quintiles, and emit the composite segment
     code — the classic marketing-analytics operator (a 555 is your best
     customer).
 
-    Determinism: every ntile ordering carries c_custkey as the final
-    tiebreak, so tile boundaries are identical on both engines and
-    under any partitioning.  Scale shape: one aggregation to a
-    one-row-per-customer frame, then three ntile windows over that
-    (customer-cardinality, not order-cardinality) frame; global-order
-    windows over per-entity aggregates are the standard quantile-
-    scoring shape (same class as the zipf rank audit), and the heavy
-    table is touched exactly once.
+    Determinism: every quintile ordering carries c_custkey as the final
+    tiebreak, so tile assignment is identical on both engines and under
+    any partitioning.  Scale shape (rewritten per VERDICT r4 #2): one
+    aggregation to a one-row-per-customer frame, then THREE two-phase
+    bucketed global ranks (``_two_phase_global_tile``) instead of three
+    ``ntile`` windows with empty PARTITION BY — at 10^8-10^9 customers
+    the old shape funneled the whole dimension through a single task
+    three times; the new one sorts 32 bounded range buckets in parallel
+    per ordering and reduces the serial section to a 32-row offsets
+    frame.  The oracle keeps the plain ntile SQL: the differential
+    proves the distributed rewrite exact.
     """
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
@@ -1250,22 +1334,32 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_cents"
         ),
     )
-    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    m_w = Window.orderBy(
-        F.col("monetary_cents").desc(), F.col("o_custkey").asc()
+    scored = _two_phase_global_tile(
+        per_cust,
+        [F.col("last_order").desc(), F.col("o_custkey").asc()],
+        "r_score",
     )
-    return per_cust.select(
+    scored = _two_phase_global_tile(
+        scored,
+        [F.col("frequency").desc(), F.col("o_custkey").asc()],
+        "f_score",
+    )
+    scored = _two_phase_global_tile(
+        scored,
+        [F.col("monetary_cents").desc(), F.col("o_custkey").asc()],
+        "m_score",
+    )
+    return scored.select(
         "o_custkey",
         F.date_format("last_order", "yyyy-MM-dd").alias("last_order_date"),
         "frequency",
         "monetary_cents",
-        F.ntile(RFM_TILES).over(r_w).cast("bigint").alias("r_score"),
-        F.ntile(RFM_TILES).over(f_w).cast("bigint").alias("f_score"),
-        F.ntile(RFM_TILES).over(m_w).cast("bigint").alias("m_score"),
-    ).withColumn(
-        "rfm_code",
-        F.expr("cast(r_score * 100 + f_score * 10 + m_score as bigint)"),
+        "r_score",
+        "f_score",
+        "m_score",
+        F.expr("cast(r_score * 100 + f_score * 10 + m_score as bigint)").alias(
+            "rfm_code"
+        ),
     )
 
 

@@ -21,6 +21,7 @@ keeping these behind one module.
 
 from __future__ import annotations
 
+import atexit as _atexit
 import shutil
 from pathlib import Path
 
@@ -741,6 +742,63 @@ _SKIP_EPOCH_YEAR = 1995
 _SKIP_LO = "1996-06-01 00:00:00"
 _SKIP_HI = "1997-03-31 00:00:00"
 
+# One clustered layout per (session, sf_dir), removed at interpreter
+# exit — repeated bench/fuzz invocations must not leak a full orders
+# copy to /tmp each call (r4 ADVICE), and reusing the layout is also
+# what a real table format does: cluster once at write time, skip on
+# every query.
+_SKIP_LAYOUT_DIRS: dict[str, str] = {}
+
+
+def _cleanup_skip_layouts() -> None:
+    import shutil as _shutil
+
+    for d in _SKIP_LAYOUT_DIRS.values():
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+_atexit.register(_cleanup_skip_layouts)
+
+
+def _skip_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once per session per orders-table STATE) the half-year-
+    clustered orders layout and return its path.  The cache key folds
+    in the source files' (name, size, mtime) so a rewritten corpus at
+    the same path (the fuzz suite does this every example) gets a
+    fresh layout instead of a stale one — the CacheManager-style
+    staleness trap documented in operators/dedup.py."""
+    src = Path(sf_dir).resolve() / "orders.parquet"
+    stat_sig = tuple(
+        sorted(
+            (p.name, p.stat().st_size, p.stat().st_mtime_ns)
+            for p in (src.rglob("*") if src.is_dir() else [src])
+            if p.is_file()
+        )
+    )
+    key = f"{src}|{hash(stat_sig):x}"
+    if key in _SKIP_LAYOUT_DIRS:
+        return _SKIP_LAYOUT_DIRS[key]
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="lake_skip_")
+    orders = load_table(spark, sf_dir, "orders")
+    sliced = orders.withColumn(
+        "slice",
+        (
+            (F.year("o_orderdate").cast("bigint") - F.lit(_SKIP_EPOCH_YEAR))
+            * 2
+            + F.when(F.month("o_orderdate") >= 7, F.lit(1)).otherwise(F.lit(0))
+        ),
+    )
+    (
+        sliced.repartition(F.col("slice"))
+        .write.mode("overwrite")
+        .partitionBy("slice")
+        .parquet(out)
+    )
+    _SKIP_LAYOUT_DIRS[key] = out
+    return out
+
 
 def lake_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min/max-stats file skipping over an orders lake layout — the
@@ -765,26 +823,8 @@ def lake_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifests persist the per-file ranges at write time, so step (1)
     costs a metadata read instead of a footer scan per query.
     """
-    import tempfile
-
     apply_safe_confs(spark)
-    out = tempfile.mkdtemp(prefix="lake_skip_")
-    orders = load_table(spark, sf_dir, "orders")
-    sliced = orders.withColumn(
-        "slice",
-        (
-            (F.year("o_orderdate").cast("bigint") - F.lit(_SKIP_EPOCH_YEAR))
-            * 2
-            + F.when(F.month("o_orderdate") >= 7, F.lit(1)).otherwise(F.lit(0))
-        ),
-    )
-    (
-        sliced.repartition(F.col("slice"))
-        .write.mode("overwrite")
-        .partitionBy("slice")
-        .parquet(out)
-    )
-
+    out = _skip_layout_dir(spark, sf_dir)
     lake = spark.read.parquet(out)
     stats = (
         lake.groupBy(F.col("_metadata.file_path").alias("file"), "slice")

@@ -64,7 +64,11 @@ class VelibFeedReader(DataSourceReader):
         )
         ts = t["ts"]
         # the feed has shipped both ns-epoch ints and timestamps; both
-        # normalize to epoch millis (same contract as the catalog)
+        # normalize to epoch millis (same contract as the catalog).
+        # POST-EPOCH ASSUMPTION (r4 ADVICE): Python // floors while the
+        # oracle's DuckDB // truncates toward zero, so the two diverge
+        # by 1 ms on pre-1970 instants only; the events corpus (and any
+        # realistic feed) is post-epoch, where floor == truncate.
         if str(ts.type).startswith("int"):
             ts_ms = [v.as_py() // 1_000_000 for v in ts]
         else:
