@@ -1256,8 +1256,17 @@ def _two_phase_global_tile(df: DataFrame, sort_cols, score: str) -> DataFrame:
     therefore tiles — are deterministic regardless of where the range
     sampler happens to place bucket boundaries.
     """
-    bucketed = df.repartitionByRange(RFM_RANK_BUCKETS, *sort_cols).withColumn(
-        "_bucket", F.spark_partition_id()
+    # persist: the ranked and counts branches below would otherwise each
+    # recompute this frame (their column pruning differs, so Catalyst
+    # plans two non-reusable range exchanges) — and with three chained
+    # tile calls the branch recomputation COMPOUNDS: 2+4+8 = 14 range
+    # exchanges, measured 7.4x time for 4x data at 1024x.  One
+    # materialization per tile makes the chain linear (same documented
+    # one-session cache lifetime as operators/dedup.py).
+    bucketed = (
+        df.repartitionByRange(RFM_RANK_BUCKETS, *sort_cols)
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist()
     )
     in_bucket = Window.partitionBy("_bucket").orderBy(*sort_cols)
     ranked = bucketed.withColumn(
@@ -1502,12 +1511,15 @@ def global_enumerate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Two-phase range enumeration, all DataFrame ops:
     1. range-bucket each row by a deterministic prefix of the sort key
-       (order month — date-ordered by construction, so bucket order ==
-       global order);
+       (order DAY — date-ordered by construction, so bucket order ==
+       global order; day granularity since r5: month buckets held ~2 M
+       rows each at 1024x and the 80-way parallelism ceiling + per-task
+       sort spill measured 6x time for 4x data — ~2400 day buckets sort
+       ~64 k rows per task at that scale);
     2. per-bucket contiguous ranks from a window PARTITIONED by bucket
        (parallelism = #buckets, each a bounded slice, sort spillable);
     3. bucket offsets = cumulative row counts over the tiny per-bucket
-       count frame (a window over ~#months rows — driver-bounded), then
+       count frame (a window over ~#days rows — driver-bounded), then
        a broadcast join adds offset + rank.
 
     ``monotonically_increasing_id`` gives non-contiguous ids and
@@ -1520,7 +1532,7 @@ def global_enumerate_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderdate"
     )
     bucketed = o.withColumn(
-        "bucket", F.date_format("o_orderdate", "yyyy-MM")
+        "bucket", F.date_format("o_orderdate", "yyyy-MM-dd")
     )
     in_bucket = Window.partitionBy("bucket").orderBy(
         "o_orderdate", "o_orderkey"
