@@ -258,6 +258,9 @@ EVENT_BATCH_FUZZED = [
     "pandas_cogroup_paired_spend",
     "streaming_join_left_outer",
     "skew_salted_join",
+    # round-5: the Python-datasource feed parses the same events files
+    # (post-epoch corpus — the documented floor==truncate assumption)
+    "streaming_python_datasource_feed",
     # round-4 event analytics
     "peak_concurrency_daily",
     "cusum_changepoint_audit",
@@ -449,6 +452,12 @@ TPCH_FUZZED = [
     "table_checksum_audit",
     "lake_file_skipping",
     "rfm_segmentation",
+    # round-5: the last window ops with no fuzz row (fresh scratch per
+    # call, so corpus rewrites are safe)
+    "histogram_quantile_audit",
+    "basket_affinity_pairs",
+    "ivm_incremental_rollup",
+    "snapshot_diff_cdc",
 ]
 
 _O_STATUS = ["O", "F", "P"]
