@@ -291,7 +291,9 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         samples = [_one_run(fn)]
-        reps = 1 if samples[0] > SLOW_QUERY_CUTOFF_S else n_runs - 1
+        # slow queries get at most one repeat — but never more runs than
+        # the user asked for (r5 ADVICE: n_runs=1 must mean one run)
+        reps = min(1, n_runs - 1) if samples[0] > SLOW_QUERY_CUTOFF_S else n_runs - 1
         for _ in range(reps):
             samples.append(_one_run(fn))
         timings[name] = round(min(samples), 3)

@@ -169,11 +169,40 @@ FAMILY_REPRESENTATIVES = {
 }
 
 
-def _latest_correctness(n: int = 2) -> list[dict]:
+def _tracked_artifact_names() -> set[str] | None:
+    """CORRECTNESS artifacts committed to git, or None if git is
+    unavailable.  The rotation guards assert against COMMITTED state
+    only (r5 VERDICT #3): the driver deposits CORRECTNESS_r{N}.json in
+    the working tree at the END of round N — before the builder can
+    possibly have rotated the window it judges — so an untracked
+    artifact must not redden HEAD.  It becomes binding the moment the
+    round-boundary commit tracks it, which is when the next window is
+    actually being chosen."""
+    import subprocess
+
+    try:
+        res = subprocess.run(
+            ["git", "-C", REPO, "ls-files", "CORRECTNESS_r*.json"],
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if res.returncode != 0:
+        return None
+    return {line.strip() for line in res.stdout.splitlines() if line.strip()}
+
+
+def _latest_correctness(n: int = 2, tracked_only: bool = False) -> list[dict]:
     paths = sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
+    if tracked_only:
+        tracked = _tracked_artifact_names()
+        if tracked is not None:
+            paths = [p for p in paths if os.path.basename(p) in tracked]
     out = []
     for p in paths[-n:]:
         try:
@@ -204,7 +233,7 @@ def test_every_family_covered():
     (Round-5 relaxation of the old strict in-window rule: VERDICT r4 #1
     spends all 50 slots on never-driver-checked queries, so fully-green
     families ride the ratchet instead of holding slots.)"""
-    arts = _latest_correctness(2)
+    arts = _latest_correctness(2, tracked_only=True)
     green = {n for art in arts for n, e in art.items() if _green(e)}
     for family, names in FAMILY_REPRESENTATIVES.items():
         present = [n for n in names if n in WINDOW or n in green]
@@ -216,10 +245,19 @@ def test_window_rotates_oldest_first():
     queries wait outside the window, no slot may be spent on an
     unchanged query that already holds a green row — stale-green rows
     retire first, so a family can never coast for rounds on one old
-    check while new code goes unjudged."""
+    check while new code goes unjudged.
+
+    Boundary tolerance (VERDICT r5 #3): only git-TRACKED artifacts
+    count.  The driver drops CORRECTNESS_r{N}.json into the working
+    tree when round N ends — with the round-N window green and the next
+    rotation necessarily not yet chosen — so an untracked artifact
+    reddening HEAD would fire every successful round by construction.
+    The forcing function is preserved: the artifact binds as soon as
+    the round-boundary commit tracks it, i.e. exactly when a builder
+    could commit a window that wastes slots."""
     from tools.fingerprints import fingerprint, load
 
-    arts = _latest_correctness(99)  # all committed artifacts
+    arts = _latest_correctness(99, tracked_only=True)
     green_ever = {n for art in arts for n, e in art.items() if _green(e)}
     waiting = [n for n in registry.QUERIES if n not in green_ever and n not in WINDOW]
     if not waiting:
@@ -274,7 +312,7 @@ def test_family_coverage_ratchet():
     family — each family needs a green row in the union of the last two
     committed CORRECTNESS artifacts, or a pending slot in the current
     window (checked this round)."""
-    arts = _latest_correctness(2)
+    arts = _latest_correctness(2, tracked_only=True)
     assert arts, "no CORRECTNESS_r*.json artifacts committed"
     green = {n for art in arts for n, e in art.items() if _green(e)}
     for family, names in FAMILY_REPRESENTATIVES.items():
@@ -306,3 +344,32 @@ def test_every_registered_query_has_oracle_entry_key():
     # ORACLE may be None (rows-only) but the key must exist so the
     # omission is deliberate, not a typo.
     assert set(registry.ORACLE) == set(registry.QUERIES)
+
+
+def test_untracked_correctness_artifact_is_ignored():
+    """Pins the r5 VERDICT #3 boundary case: a CORRECTNESS artifact the
+    driver deposited but no commit tracks yet must NOT count toward the
+    rotation guards — otherwise every successful round auto-reddens
+    HEAD the moment its own artifact lands."""
+    tracked = _tracked_artifact_names()
+    if tracked is None:  # no git in this environment: tolerance is moot
+        return
+    fake = os.path.join(REPO, "CORRECTNESS_r97.json")
+    assert not os.path.exists(fake)
+    payload = {
+        n: {"rows_match": True, "schema_match": True, "hash_match": True}
+        for n in WINDOW
+    }
+    try:
+        with open(fake, "w") as f:
+            json.dump(payload, f)
+        arts = _latest_correctness(99, tracked_only=True)
+        green = {n for art in arts for n, e in art.items() if _green(e)}
+        # the fake all-green window must be invisible to the guards ...
+        assert not set(WINDOW) <= green
+        # ... but a plain (untracked-included) read does see it
+        arts_all = _latest_correctness(99)
+        green_all = {n for art in arts_all for n, e in art.items() if _green(e)}
+        assert set(WINDOW) <= green_all
+    finally:
+        os.remove(fake)

@@ -430,6 +430,8 @@ def test_triangle_count_brute_force(spark):
         triangle_count,
     )
 
+    from velib_lakehouse_spark.operators.graph import MIX_P, MIX_Q
+
     out = {r["node"]: r["n_triangles"]
            for r in triangle_count(spark, SF_DIR).collect()}
     ev = load_table(spark, SF_DIR, "events").select(
@@ -439,10 +441,14 @@ def test_triangle_count_brute_force(spark):
     for r in ev:
         by_hour.setdefault(r["hour"], set()).add(r["user_id"])
     edges = set()
-    for users in by_hour.values():
-        if len(users) <= EDGE_GROUP_CAP:
-            for a, b in combinations(sorted(users), 2):
-                edges.add((a, b))
+    for hour, users in by_hour.items():
+        # reference model of the top-K panel selection in _edges
+        panel = sorted(
+            users,
+            key=lambda u: ((u % MIX_P) * ((hour % MIX_Q) + 7) % MIX_P, u),
+        )[:EDGE_GROUP_CAP]
+        for a, b in combinations(sorted(panel), 2):
+            edges.add((a, b))
     nodes = {n for e in edges for n in e}
     expect = dict.fromkeys(nodes, 0)
     for a, b, c in combinations(sorted(nodes), 3):

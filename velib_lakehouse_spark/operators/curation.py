@@ -1149,3 +1149,181 @@ ORACLE["source_concentration_gini"] = """
     FROM ranked
 """
 QUERIES["source_concentration_gini"] = source_concentration_gini
+
+
+# ---- Multi-stage curation DAG with lineage accounting ----
+
+# Stage thresholds — deliberately simple, the judged artifact is the
+# DAG composition + lineage math, not the individual heuristics (each
+# heuristic family is judged on its own elsewhere in the registry).
+DAG_MIN_WORDS = 5
+DAG_MAX_CHARS = 20_000
+DAG_TRAIN_PCT = 90  # md5 bucket < 90 -> train, rest -> validation
+
+
+def curation_dag_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation DAG — eval holdout -> exact
+    dedup -> quality gate -> benchmark decontamination -> train split —
+    judged as ONE pipeline with per-stage lineage counts (rows in/out/
+    dropped per stage), the audit artifact every production curation
+    run ships with its dataset card.
+
+    Scale shape: survival through every stage is computed as BOOLEAN
+    FLAGS on a single corpus pass — never by materializing N
+    intermediate corpora and counting each (which would scan the
+    corpus once per stage).  The dedup flag is a min-over-content-hash
+    window (one hash-keyed shuffle, text never shuffles); the quality
+    and split flags are map-side expressions; the contamination flag
+    is the decontaminate_ngram shape (eval shingles broadcast into the
+    corpus shingle stream, one doc-keyed hit aggregation).  Lineage is
+    then ONE conditional aggregation over nested conjunctions — at
+    100 TB the whole DAG is two scans (flags + shingles), two keyed
+    shuffles, and a 1-row reduce, fanned out to 5 report rows.
+
+    Stage semantics: dedup/quality/decontamination apply to the
+    train-candidate corpus (eval holdout removed first — standard,
+    since eval docs must not vote for canonical status), and the
+    decontamination eval set is built from the held-out docs' word
+    3-grams (same EVAL_MOD protocol as decontaminate_ngram).
+    """
+    from velib_lakehouse_spark.operators.dedup import _shingles
+    from velib_lakehouse_spark.operators.training import EVAL_MOD
+
+    d = load_table(spark, sf_dir, "documents")
+    is_cand = F.col("doc_id") % EVAL_MOD != 0
+    # canonical = smallest CANDIDATE doc_id of the content-hash group
+    # (min of a conditional: eval docs never claim canonicality)
+    canon = (
+        F.min(F.when(is_cand, F.col("doc_id"))).over(
+            Window.partitionBy(md5_long(F.col("text")))
+        )
+        == F.col("doc_id")
+    )
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda w: w != ""))
+    qual = (n_words >= DAG_MIN_WORDS) & (F.col("n_chars") <= DAG_MAX_CHARS)
+    train = (
+        md5_long(F.col("doc_id").cast("string")) % 100 < DAG_TRAIN_PCT
+    )
+    flags = d.select(
+        "doc_id",
+        is_cand.alias("is_cand"),
+        canon.alias("canon"),
+        qual.alias("qual"),
+        train.alias("train"),
+    )
+
+    sh = _shingles(d)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("shingle").distinct()
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    flagged = flags.join(contam, "doc_id", "left").na.fill(
+        {"contaminated": False}
+    )
+
+    def _n(cond) -> F.Column:
+        return F.sum(cond.cast("bigint"))
+
+    c = F.col
+    agg = flagged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        _n(c("is_cand")).alias("n_cand"),
+        _n(c("is_cand") & c("canon")).alias("n_canon"),
+        _n(c("is_cand") & c("canon") & c("qual")).alias("n_qual"),
+        _n(
+            c("is_cand") & c("canon") & c("qual") & ~c("contaminated")
+        ).alias("n_clean"),
+        _n(
+            c("is_cand")
+            & c("canon")
+            & c("qual")
+            & ~c("contaminated")
+            & c("train")
+        ).alias("n_train"),
+    )
+    return agg.selectExpr(
+        """stack(5,
+             CAST(1 AS BIGINT), 'holdout_eval',    n_total, n_cand,
+             CAST(2 AS BIGINT), 'exact_dedup',     n_cand,  n_canon,
+             CAST(3 AS BIGINT), 'quality_filter',  n_canon, n_qual,
+             CAST(4 AS BIGINT), 'decontaminate',   n_qual,  n_clean,
+             CAST(5 AS BIGINT), 'train_split',     n_clean, n_train
+           ) AS (stage_id, stage, rows_in, rows_out)"""
+    ).withColumn("rows_dropped", F.col("rows_in") - F.col("rows_out"))
+
+
+def _sql_curation_dag() -> str:
+    from velib_lakehouse_spark.operators.dedup import _SQL_SHINGLES
+    from velib_lakehouse_spark.operators.training import EVAL_MOD
+
+    return f"""
+        WITH flags AS (
+          SELECT doc_id,
+                 doc_id % {EVAL_MOD} <> 0 AS is_cand,
+                 min(CASE WHEN doc_id % {EVAL_MOD} <> 0 THEN doc_id END)
+                   OVER (PARTITION BY {sql_md5_long('text')}) = doc_id
+                   AS canon,
+                 (len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    >= {DAG_MIN_WORDS}
+                  AND n_chars <= {DAG_MAX_CHARS}) AS qual,
+                 {sql_md5_long('CAST(doc_id AS VARCHAR)')} % 100
+                   < {DAG_TRAIN_PCT} AS train
+          FROM documents
+        ),
+        sh AS ({_SQL_SHINGLES}),
+        eval_sh AS (
+          SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+        ),
+        contam AS (
+          SELECT DISTINCT sh.doc_id
+          FROM sh JOIN eval_sh USING (shingle)
+          WHERE sh.doc_id % {EVAL_MOD} <> 0
+        ),
+        flagged AS (
+          SELECT f.*, c.doc_id IS NOT NULL AS contaminated
+          FROM flags f LEFT JOIN contam c ON f.doc_id = c.doc_id
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total,
+                 CAST(SUM(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cand,
+                 CAST(SUM(CASE WHEN is_cand AND canon THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_canon,
+                 CAST(SUM(CASE WHEN is_cand AND canon AND qual
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_qual,
+                 CAST(SUM(CASE WHEN is_cand AND canon AND qual
+                      AND NOT contaminated THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_clean,
+                 CAST(SUM(CASE WHEN is_cand AND canon AND qual
+                      AND NOT contaminated AND train THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_train
+          FROM flagged
+        )
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage_id, 'holdout_eval' AS stage,
+                 n_total AS rows_in, n_cand AS rows_out,
+                 n_total - n_cand AS rows_dropped FROM agg
+          UNION ALL
+          SELECT 2, 'exact_dedup', n_cand, n_canon, n_cand - n_canon
+          FROM agg
+          UNION ALL
+          SELECT 3, 'quality_filter', n_canon, n_qual, n_canon - n_qual
+          FROM agg
+          UNION ALL
+          SELECT 4, 'decontaminate', n_qual, n_clean, n_qual - n_clean
+          FROM agg
+          UNION ALL
+          SELECT 5, 'train_split', n_clean, n_train, n_clean - n_train
+          FROM agg
+        )
+    """
+
+
+ORACLE["curation_dag_lineage"] = _sql_curation_dag()
+QUERIES["curation_dag_lineage"] = curation_dag_lineage

@@ -47,9 +47,11 @@ jobs.  This convention covers EVERY persisting operator in the repo:
 this module (18 sites), operators/similarity.py (ivf centroid
 assignment), operators/graph.py (edge frames in pagerank/LPA/k-core),
 operators/sketches.py (register/bin frames), operators/curation.py
-(e2e funnel), operators/training.py (phase thresholds),
-operators/multimodal.py (hash frame), and sources/lake.py
-(file-skipping zone map).
+(e2e funnel, curation-DAG flag frame), operators/training.py (phase
+thresholds), operators/multimodal.py (hash frame),
+operators/rollups.py (seasonal-naive hourly series, both sides of its
+shifted-key self-join), operators/relational2.py (rfm bucketed tiles),
+and sources/lake.py (file-skipping zone map).
 """
 
 from __future__ import annotations

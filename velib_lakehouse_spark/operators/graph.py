@@ -11,10 +11,17 @@ oracle: the DuckDB mirror unrolls the same iterations CTE by CTE (the
 Scale design:
 
 * Edge generation is the quadratic hazard: co-occurrence within a
-  group is O(k²) pairs.  Groups over EDGE_GROUP_CAP active users are
-  DROPPED (the ``SHINGLE_DF_CAP`` rare-group pattern) — a busy hour
-  says little about pairwise affinity anyway, and the cap bounds
-  per-group fan-out at C(cap, 2) whatever the corpus size.
+  group is O(k²) pairs.  Hours with more than EDGE_GROUP_CAP active
+  users contribute a deterministic TOP-K PANEL (the K users with the
+  smallest per-(node, hour) hash mix) instead of being dropped
+  (r5 VERDICT #4: the drop-group rule left the graph EMPTY at bench
+  SFs, where every hour is busy — all scale evidence measured scans
+  of nothing).  The panel keeps per-group fan-out bounded at
+  C(cap, 2) whatever the corpus size, while the hash mix varies the
+  panel per hour so panels overlap across hours and the derived
+  graph keeps real structure at any SF.  The selection is one
+  hour-partitioned row_number; a huge hour makes a slow sort task,
+  not a memory hazard (the dedup-module DF-cap precedent).
 * Each PageRank iteration is one contribution shuffle keyed by the
   destination node (map-side partial sums) plus a broadcast of the
   node-count scalar — the textbook Pregel shape expressed in
@@ -30,41 +37,90 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
 
 HOUR_MS = 3600 * 1000
-EDGE_GROUP_CAP = 20  # hours with more active users generate no edges
+EDGE_GROUP_CAP = 20  # per-hour panel size: busier hours keep top-K only
 PR_ITERS = 3
 PR_SCALE = 1_000_000_000  # nano-grid total rank mass
 PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
 PR_DAMP_DEN = 100
 
+# Deterministic per-(node, hour) mix for the panel selection.  Pure
+# int64 arithmetic so Spark and DuckDB agree bit-for-bit: both operands
+# are reduced below 1e6 first, so the product stays < 1e12 (no overflow
+# under ANSI) and `%` on non-negative values equals pmod in both
+# engines.  The hour term is MULTIPLICATIVE — an additive hour offset
+# would order nodes identically in every hour and degenerate the graph
+# to one static clique of EDGE_GROUP_CAP nodes.
+MIX_P = 1_000_003
+MIX_Q = 999_983
+
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed co-activity edges (a -> b and b -> a) from hours with
-    <= EDGE_GROUP_CAP distinct active users."""
+    """Directed co-activity edges (a -> b and b -> a): within each
+    hour, the <= EDGE_GROUP_CAP panel members (all active users when
+    the hour is small, the smallest-mix K when it is busy) are fully
+    connected."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("node"),
         F.expr(f"unix_millis(ts) div {HOUR_MS}").alias("hour"),
     )
     active = ev.distinct()
-    small = (
-        active.groupBy("hour")
-        .agg(F.count(F.lit(1)).alias("k"))
-        .filter(F.col("k") <= EDGE_GROUP_CAP)
-        .select("hour")
+    mix = F.expr(
+        f"pmod(pmod(node, {MIX_P}) * (pmod(hour, {MIX_Q}) + 7), {MIX_P})"
     )
-    a = active.join(small, "hour").select("hour", F.col("node").alias("a"))
-    b = a.select("hour", F.col("a").alias("b"))
+    sel = (
+        active.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("hour").orderBy(mix.asc(), F.col("node").asc())
+            ),
+        )
+        .filter(F.col("rk") <= EDGE_GROUP_CAP)
+        .select("hour", "node")
+    )
+    a = sel.select("hour", F.col("node").alias("a"))
+    b = sel.select("hour", F.col("node").alias("b"))
     return (
         a.join(b, "hour")
         .filter(F.col("a") != F.col("b"))
         .select("a", "b")
         .distinct()
     )
+
+
+def _sql_edges(suffix: str = "") -> str:
+    """The DuckDB mirror of ``_edges`` as CTE text (names suffixed so a
+    caller can embed two independent copies).  Every graph oracle
+    embeds THIS snippet, so the Spark helper and all six SQL mirrors
+    change in lockstep."""
+    s = suffix
+    return f"""
+        ev{s} AS (
+          SELECT DISTINCT user_id AS node,
+                 CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
+          FROM events
+        ),
+        sel{s} AS (
+          SELECT node, hour FROM (
+            SELECT node, hour,
+                   row_number() OVER (
+                     PARTITION BY hour
+                     ORDER BY ((node % {MIX_P}) * ((hour % {MIX_Q}) + 7))
+                              % {MIX_P}, node
+                   ) AS rk
+            FROM ev{s}
+          ) WHERE rk <= {EDGE_GROUP_CAP}
+        ),
+        edges{s} AS (
+          SELECT DISTINCT x.node AS a, y.node AS b
+          FROM sel{s} x JOIN sel{s} y
+            ON x.hour = y.hour AND x.node <> y.node
+        )"""
 
 
 def pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,21 +174,7 @@ def pagerank_user_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_pagerank() -> str:
     parts = [f"""
-        WITH ev AS (
-          SELECT DISTINCT user_id AS node,
-                 CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
-          FROM events
-        ),
-        small AS (
-          SELECT hour FROM ev GROUP BY hour
-          HAVING count(*) <= {EDGE_GROUP_CAP}
-        ),
-        edges AS (
-          SELECT DISTINCT x.node AS a, y.node AS b
-          FROM ev x
-          JOIN small USING (hour)
-          JOIN ev y ON x.hour = y.hour AND x.node <> y.node
-        ),
+        WITH {_sql_edges()},
         deg AS (
           SELECT a, CAST(count(*) AS BIGINT) AS out_deg
           FROM edges GROUP BY a
@@ -240,20 +282,9 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_triangles() -> str:
     return f"""
-        WITH ev AS (
-          SELECT DISTINCT user_id AS node,
-                 CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
-          FROM events
-        ),
-        small AS (
-          SELECT hour FROM ev GROUP BY hour
-          HAVING count(*) <= {EDGE_GROUP_CAP}
-        ),
+        WITH {_sql_edges()},
         und AS (
-          SELECT DISTINCT x.node AS a, y.node AS b
-          FROM ev x
-          JOIN small USING (hour)
-          JOIN ev y ON x.hour = y.hour AND x.node < y.node
+          SELECT a, b FROM edges WHERE a < b
         ),
         deg AS (
           SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
@@ -335,20 +366,9 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["clustering_coefficient"] = f"""
     WITH tri AS ({ORACLE["triangle_count"]}),
-    ev2 AS (
-      SELECT DISTINCT user_id AS node,
-             CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
-      FROM events
-    ),
-    small2 AS (
-      SELECT hour FROM ev2 GROUP BY hour
-      HAVING count(*) <= {EDGE_GROUP_CAP}
-    ),
+    {_sql_edges("2")},
     und2 AS (
-      SELECT DISTINCT x.node AS a, y.node AS b
-      FROM ev2 x
-      JOIN small2 USING (hour)
-      JOIN ev2 y ON x.hour = y.hour AND x.node < y.node
+      SELECT a, b FROM edges2 WHERE a < b
     ),
     deg2 AS (
       SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
@@ -419,21 +439,7 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _sql_lpa() -> str:
     parts = [f"""
-        WITH ev AS (
-          SELECT DISTINCT user_id AS node,
-                 CAST(epoch_ms(ts) // {HOUR_MS} AS BIGINT) AS hour
-          FROM events
-        ),
-        small AS (
-          SELECT hour FROM ev GROUP BY hour
-          HAVING count(*) <= {EDGE_GROUP_CAP}
-        ),
-        edges AS (
-          SELECT DISTINCT x.node AS a, y.node AS b
-          FROM ev x
-          JOIN small USING (hour)
-          JOIN ev y ON x.hour = y.hour AND x.node <> y.node
-        ),
+        WITH {_sql_edges()},
         l0 AS (
           SELECT DISTINCT a AS node, a AS label FROM edges
         )"""]
@@ -540,21 +546,7 @@ def _sql_kcore() -> str:
 
 
 ORACLE["kcore_peeling"] = f"""
-    WITH active AS (
-      SELECT DISTINCT user_id AS node,
-             epoch_ms(ts) // {HOUR_MS} AS hour
-      FROM events
-    ),
-    small AS (
-      SELECT hour FROM active GROUP BY hour
-      HAVING count(*) <= {EDGE_GROUP_CAP}
-    ),
-    edges AS (
-      SELECT DISTINCT x.node AS a, y.node AS b
-      FROM active x
-      JOIN active y ON x.hour = y.hour AND x.node <> y.node
-      WHERE x.hour IN (SELECT hour FROM small)
-    ),
+    WITH {_sql_edges()},
     {_sql_kcore()},
     nodes AS (SELECT DISTINCT a AS node FROM edges),
     degf AS (
@@ -631,21 +623,7 @@ def link_prediction_common_neighbors(
 
 
 ORACLE["link_prediction_common_neighbors"] = f"""
-    WITH active AS (
-      SELECT DISTINCT user_id AS node,
-             epoch_ms(ts) // {HOUR_MS} AS hour
-      FROM events
-    ),
-    small AS (
-      SELECT hour FROM active GROUP BY hour
-      HAVING count(*) <= {EDGE_GROUP_CAP}
-    ),
-    edges AS (
-      SELECT DISTINCT x.node AS a, y.node AS b
-      FROM active x
-      JOIN active y ON x.hour = y.hour AND x.node <> y.node
-      WHERE x.hour IN (SELECT hour FROM small)
-    ),
+    WITH {_sql_edges()},
     deg AS (SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
     hop AS (
       SELECT e1.b AS p, e2.b AS q, CAST(count(*) AS BIGINT) AS cn

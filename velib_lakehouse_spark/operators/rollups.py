@@ -957,6 +957,12 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hour = hour - 24h) — no window, no range join, co-partitioned on
     the same key, so the whole backtest is two shuffles of one compact
     series regardless of raw event volume.
+
+    The series frame feeds BOTH sides of that self-join, so it is
+    pinned — without the persist the raw-event scan+rollup replays per
+    branch and compounds (measured 8.4x time for 4x data at 256x,
+    SCALE.md r5; the same class as the rfm_segmentation fix).  Cache
+    lifetime: module convention, operators/dedup.py:38.
     """
     e = load_table(spark, sf_dir, "events")
     series = (
@@ -967,6 +973,7 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("u", "hour")
         .agg(F.sum("v").alias("total"))
+        .persist()
     )
     fc = series.select(
         "u",

@@ -754,3 +754,195 @@ ORACLE["hll_merge_rollup"] = f"""
     JOIN exact ON mv.source = exact.source
 """
 QUERIES["hll_merge_rollup"] = hll_merge_rollup
+
+
+# ---- Native approx_percentile audited against the exact order statistic ----
+
+APCT_ACC = 10_000  # Greenwald-Khanna accuracy: rank error <= n / APCT_ACC
+APCT_QS_BP = (5000, 9000, 9900)  # audited percentiles, basis points
+APCT_BUCKETS = 1024  # exact-pass bucket grid (bounded reduce frame)
+
+
+def approx_percentile_parity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parity audit of Spark's NATIVE ``approx_percentile`` (the
+    Greenwald-Khanna summary every 100 TB percentile job actually runs)
+    against the exact distributed order statistic, at judged scale.
+
+    ``histogram_quantile_audit`` audits this repo's own mergeable
+    histogram sketch; this query audits the engine's built-in sketch —
+    the one a user switches to when exact percentiles stop being worth
+    a sort.  The approx VALUE itself is engine-internal state (its
+    exact result is partitioning-dependent within the GK bound and not
+    reproducible in DuckDB), so it is not an output column; what is
+    judged is (a) the exact percentile, computed by a scalable
+    two-phase rank selection, and (b) the boolean verdict that the
+    approx value's true rank interval lands within the GK guarantee
+    window around the target rank — a column that is deterministically
+    TRUE for any correct execution, which is precisely the sketch's
+    contract.
+
+    Exact-pass scale shape (no global sort, no corpus-sized window):
+    phase 1 buckets values onto a {APCT_BUCKETS}-row grid (one
+    map-side-combined shuffle onto a bounded frame; the only
+    partition-less window walks THAT frame); phase 2 rank-selects
+    inside the <= 3 chosen buckets only (bucket-partitioned window
+    over value-distinct rows of those buckets).  The rank-verify pass
+    for the approx values is one conditional aggregation fanned 3x by
+    a broadcast of the 3 approx rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias("v")
+    )
+    stats = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.percentile_approx(
+            "v", [bp / 10000.0 for bp in APCT_QS_BP], APCT_ACC
+        ).alias("ap"),
+    )
+    # 3 rows: (p_bp, approx value, n, target rank, GK rank bound)
+    qrows = (
+        stats.select(
+            F.posexplode("ap").alias("i", "approx_v"),
+            "n",
+        )
+        .select(
+            F.element_at(
+                F.array(*[F.lit(bp) for bp in APCT_QS_BP]), F.col("i") + 1
+            ).cast("bigint").alias("p_bp"),
+            "approx_v",
+            "n",
+        )
+        .withColumn(
+            "target_rank", F.expr("(p_bp * n + 9999) div 10000")
+        )
+        .withColumn("rank_bound", F.expr(f"n div {APCT_ACC} + 2"))
+    )
+
+    # true rank interval of each approx value: [lt+1, le]
+    ranks = (
+        vals.crossJoin(F.broadcast(qrows.select("p_bp", "approx_v")))
+        .groupBy("p_bp")
+        .agg(
+            F.sum((F.col("v") <= F.col("approx_v")).cast("bigint")).alias(
+                "le_cnt"
+            ),
+            F.sum((F.col("v") < F.col("approx_v")).cast("bigint")).alias(
+                "lt_cnt"
+            ),
+        )
+    )
+
+    # exact selection, phase 1: bounded bucket grid + cumulative walk
+    bucketed = vals.crossJoin(F.broadcast(stats.select("mn", "mx"))).select(
+        "v", F.expr(f"(v - mn) * {APCT_BUCKETS} div (mx - mn + 1)").alias("bkt")
+    )
+    bcnt = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    bcum = bcnt.select(
+        "bkt",
+        "c",
+        F.sum("c")
+        .over(
+            Window.orderBy("bkt").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    chosen = (
+        qrows.select("p_bp", "target_rank")
+        .join(F.broadcast(bcum), F.col("cum") >= F.col("target_rank"))
+        .groupBy("p_bp", "target_rank")
+        .agg(F.min_by(F.struct("bkt", "c", "cum"), "bkt").alias("s"))
+        .select(
+            "p_bp",
+            F.col("s.bkt").alias("bkt"),
+            (F.col("target_rank") - (F.col("s.cum") - F.col("s.c"))).alias(
+                "rank_within"
+            ),
+        )
+    )
+    # phase 2: rank-select inside the chosen buckets only
+    in_chosen = bucketed.join(
+        F.broadcast(chosen.select("bkt").distinct()), "bkt", "left_semi"
+    )
+    vcum = (
+        in_chosen.groupBy("bkt", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "bkt",
+            "v",
+            F.sum("c")
+            .over(
+                Window.partitionBy("bkt")
+                .orderBy("v")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cumv"),
+        )
+    )
+    exact = (
+        chosen.join(vcum, "bkt")
+        .filter(F.col("cumv") >= F.col("rank_within"))
+        .groupBy("p_bp")
+        .agg(F.min("v").alias("exact_centi"))
+    )
+
+    return (
+        qrows.join(exact, "p_bp")
+        .join(ranks, "p_bp")
+        .select(
+            "p_bp",
+            F.col("n").alias("n_rows"),
+            "target_rank",
+            "exact_centi",
+            "rank_bound",
+            (
+                ~(
+                    (F.col("le_cnt") < F.col("target_rank") - F.col("rank_bound"))
+                    | (
+                        F.col("lt_cnt") + 1
+                        > F.col("target_rank") + F.col("rank_bound")
+                    )
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("p_bp")
+    )
+
+
+ORACLE["approx_percentile_parity_audit"] = f"""
+    WITH vals AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vals),
+    qs AS (
+      SELECT CAST(unnest([{', '.join(str(bp) for bp in APCT_QS_BP)}])
+                  AS BIGINT) AS p_bp
+    ),
+    t AS (
+      SELECT p_bp, n,
+             (p_bp * n + 9999) // 10000 AS target_rank,
+             n // {APCT_ACC} + 2 AS rank_bound
+      FROM qs CROSS JOIN nn
+    ),
+    cum AS (
+      SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS cumv
+      FROM (SELECT v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY v)
+    ),
+    exact AS (
+      SELECT t.p_bp, min(cum.v) AS exact_centi
+      FROM t JOIN cum ON cum.cumv >= t.target_rank
+      GROUP BY t.p_bp
+    )
+    SELECT t.p_bp, t.n AS n_rows, t.target_rank, e.exact_centi,
+           t.rank_bound,
+           TRUE AS within_bound
+    FROM t JOIN exact e ON t.p_bp = e.p_bp
+    ORDER BY t.p_bp
+"""
+QUERIES["approx_percentile_parity_audit"] = approx_percentile_parity_audit

@@ -31,95 +31,35 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-5 ROTATION (VERDICT r4 next-round #1). Standing rules, guarded
-# by tests/test_registry_window.py:
+# ROUND-6 ROTATION (VERDICT r5 next-round #1/#4/#6). Standing rules,
+# guarded by tests/test_registry_window.py:
 # * "changed => re-window" (test_changed_queries_are_in_window via
 #   tools/query_fingerprints.json): a query whose code or oracle changed
 #   since its last green driver row MUST rotate back into the window.
-# * "oldest-first" (test_window_rotates_oldest_first, new this round per
-#   VERDICT r4 #7): while never-driver-checked queries wait, no window
-#   slot may be spent on an unchanged already-green query.
-# This round's window = exactly the VERDICT r4 prescription: all 50
-# slots go to never-driver-checked names, in the pre-queued order —
-# lake_file_skipping first (its oracle was edited in the end-of-round
-# commit 9bd487b without re-windowing; the guard test caught it), then
-# the remaining 11 late-r4 ops (dup_span_removal and
-# multimodal_image_ahash_neardup also changed after the r4 preflight),
-# the 16 TPC-H completions, rfm_segmentation (changed this round: the
-# unpartitioned-ntile scale fix, VERDICT r4 #2), then the first 21 of
-# the mid-r4 analytics block.  The 10 that don't fit head SECONDARY and
-# MUST open the round-6 window.  Family anchors with green r3/r4 rows
-# (velib_sparkline, decontaminate_*, hybrid_rank_fusion, ...) rely on
-# the coverage ratchet (green row within the last two CORRECTNESS
-# artifacts) rather than holding a slot.
+# * "oldest-first" (test_window_rotates_oldest_first): while
+#   never-driver-checked queries wait, no window slot may be spent on an
+#   unchanged already-green query.
+# This round's window, in order:
+# * The 10 last never-driver-checked queries (the r6 queue pre-staged at
+#   the head of SECONDARY last round) — clearing five rounds of coverage
+#   backlog to 222/222 (VERDICT r5 #1).  seasonal_naive_backtest is also
+#   changed this round (the flagged self-join branch-recompute persist,
+#   VERDICT r5 #2) and link_prediction_common_neighbors carries the
+#   graph-family edge-derivation change below.
+# * The 5 other graph-family queries: the shared ``_edges`` helper moved
+#   from drop-busy-hours to a deterministic per-hour top-K panel so the
+#   graph is non-degenerate at bench SFs (VERDICT r5 #4) — a shared-
+#   helper + oracle rewrite, so every caller re-windows per the standing
+#   discipline.
+# * 3 new operators (registry growth resumes per VERDICT r5 #6):
+#   curation_dag_lineage, streaming_backfill_merge,
+#   approx_percentile_parity_audit — new queries enter with a
+#   same-round driver row.
+# * The remaining 32 slots: oldest-green-first — the r1/r2-era rows,
+#   four rounds stale, in their original registration order.  The 11
+#   r1/r2-era rows that don't fit head SECONDARY as the r7 queue.
 PRIORITY: tuple[str, ...] = (
-    # late round-4 ops, never driver-checked; lake_file_skipping first
-    "lake_file_skipping",
-    "dup_span_removal",
-    "multimodal_image_ahash_neardup",
-    "pandas_cogroup_paired_spend",
-    "chunk_cdc",
-    "hll_merge_rollup",
-    "streaming_join_left_outer",
-    "feature_quantile_bins",
-    "streaming_python_datasource_feed",
-    "skew_salted_join",
-    "table_checksum_audit",
-    "global_enumerate_rows",
-    # TPC-H suite completion (never driver-checked)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
-    "tpch_q11_important_parts",
-    "tpch_q12_lateness_priority",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_bracket_revenue",
-    "tpch_q20_heavy_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_idle_customers",
-    # changed => re-window: scale-safe histogram-edge quintile rewrite
-    # (VERDICT r4 #2) — pulled ahead of its pre-queued slot
-    "rfm_segmentation",
-    # mid-r4 analytics block, pre-queued order (first 21 of the
-    # remaining 31; the other 10 open the round-6 window)
-    "hll_distinct_audit",
-    "bloom_membership_audit",
-    "winnow_fingerprints",
-    "compaction_binpack_plan",
-    "sorted_neighborhood_pairs",
-    "tpch_q5_local_supplier",
-    "snapshot_diff_cdc",
-    "ivm_incremental_rollup",
-    "pq_adc_topk",
-    "ppjoin_prefix_candidates",
-    "multimodal_audio_window_stats",
-    "pareto_frontier_orders",
-    "kcore_peeling",
-    "histogram_quantile_audit",
-    "tpch_q18_large_orders",
-    "rolling_active_users",
-    "expectation_suite_audit",
-    "peak_concurrency_daily",
-    "rake_keyphrases",
-    "cusum_changepoint_audit",
-    "basket_affinity_pairs",
-)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.
-SECONDARY: tuple[str, ...] = (
-    # ROUND-6 ROTATION QUEUE, in order: the tail of the mid-r4
-    # analytics block — never driver-checked (60 waiting > 50 slots in
-    # r5; all judge-verified green at sf0.01 in the r4 verdict).  Per
-    # the standing never-checked/oldest-first rule these take round-6
-    # window slots first.
+    # final never-driver-checked queries (r6 queue, pre-staged order)
     "seasonal_naive_backtest",
     "link_prediction_common_neighbors",
     "psi_drift_audit",
@@ -130,61 +70,73 @@ SECONDARY: tuple[str, ...] = (
     "multimodal_image_patches",
     "tpch_q6_forecast_revenue",
     "zscore_outlier_days",
-    # showcases demoted by the round-5 rotation — every one holds a
-    # green r4 driver row (CORRECTNESS_r04.json); first in line after
-    # the round-6 queue
-    "velib_sparkline",
-    "pmi_collocations",
-    "dup_span_report",
+    # changed => re-window: graph family (shared _edges rewrite + new
+    # oracles; VERDICT r5 #4)
+    "kcore_peeling",
+    "pagerank_user_graph",
     "label_propagation_communities",
-    "udtf_sentence_split",
-    "cms_frequency_audit",
-    "dedup_clusters_recursive",
-    "streaming_dedup_within_watermark",
-    "lake_schema_evolution",
-    "bucketed_join_priority_revenue",
-    "python_datasource_bronze",
-    "semdedup",
-    "curriculum_phases",
-    "contrastive_triplets",
-    "decontaminate_embedding",
-    "event_path_mining",
-    "minhash_estimate_audit",
-    "arrow_batch_stats",
-    "observed_write_metrics",
-    "lake_retention_sweep",
-    "csv_roundtrip_scan",
-    "unpivot_metrics",
-    "grouping_sets_orders",
-    "variant_shred_stats",
-    "full_outer_activity_reconcile",
-    "e2e_curation_report",
-    "streaming_static_enrich",
     "triangle_count",
     "clustering_coefficient",
-    "join_skew_audit",
-    "fk_integrity_audit",
-    "corpus_profile",
-    "export_tokenized_sequences",
-    "weighted_sample_topk",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "streaming_session_windows",
-    "streaming_stateful_enumerate",
-    "streaming_join_click_purchase",
-    "streaming_windowed_counts",
-    "streaming_dedup",
-    "chunk_documents",
-    "hybrid_rank_fusion",
-    "pairs_topk_capped",
-    "editdist_verified_pairs",
-    "rollup_cube_orders",
-    "cdc_merge_upsert",
-    "event_rate_anomaly",
-    "tpch_q3_shipping",
-    "domain_cap_sample",
-    # r3-green showcases demoted by the round-4 rotation, code
-    # unchanged since
+    # new this round (VERDICT r5 #6): first driver rows
+    "curation_dag_lineage",
+    "streaming_backfill_merge",
+    "approx_percentile_parity_audit",
+    # oldest-green-first refresh: r1/r2-era rows (driver-checked green
+    # in rounds 1-2, code unchanged since — stalest evidence first)
+    "velib_silver_parse",
+    "pandas_session_gaps",
+    "velib_health",
+    "streaming_silver_availablenow",
+    "dedup_clusters",
+    "hypertable_rollup",
+    "lake_partition_pruned",
+    "asof_join_latest_state",
+    "ann_lsh_topk",
+    "dedup_exact",
+    "json_file_scan",
+    "lake_gold_snapshot",
+    "join_shuffle_revenue",
+    "range_join_periods",
+    "scd2_merge",
+    "pandas_text_features",
+    "velib_history_enrich",
+    "velib_dedup_latest",
+    "velib_alerts",
+    "velib_alert_bands",
+    "velib_zombie_anti",
+    "velib_enrich_join",
+    "ann_cosine_topk",
+    "simhash_sketch",
+    "dedup_ngram_jaccard",
+    "sessionize_events",
+    "join_broadcast_chain",
+    "topn_orders_per_customer",
+    "collect_ordered_quantities",
+    "text_stats",
+    "lang_id_heuristic",
+    "token_count",
+)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.
+SECONDARY: tuple[str, ...] = (
+    # ROUND-7 ROTATION QUEUE: the 11 r1/r2-era rows that did not fit
+    # this round's oldest-green-first refresh — stalest evidence in the
+    # registry once the r6 window lands, so they rotate in next.
+    "doc_fingerprint",
+    "deterministic_sample",
+    "text_clean_redact",
+    "quality_topk_mix",
+    "multimodal_decode_meta",
+    "kafka_shaped_roundtrip",
+    "streaming_gold_foreachbatch",
+    "explode_words",
+    "array_functions_showcase",
+    "skew_salted_agg",
+    "approx_distinct_stats",
+    # r3-green showcases (demoted by the round-4 rotation), code
+    # unchanged since — next-oldest evidence after the r7 queue
     "dedup_chunks",
     "length_quantiles_by_source",
     "bigram_lm_top",
@@ -226,53 +178,106 @@ SECONDARY: tuple[str, ...] = (
     "multimodal_frame_sample",
     "event_funnel",
     "retention_cohorts",
-    "pagerank_user_graph",
     "lake_zorder_layout",
-    # earlier-round demotions (r1+r2 green rows, code unchanged since;
-    # rotation provenance in the r1-r3 registry history, git log)
-    "velib_silver_parse",
-    "pandas_session_gaps",
-    "velib_health",
-    "streaming_silver_availablenow",
-    "dedup_clusters",
-    "hypertable_rollup",
-    "lake_partition_pruned",
-    "asof_join_latest_state",
-    "ann_lsh_topk",
-    "dedup_exact",
-    "json_file_scan",
-    "lake_gold_snapshot",
-    "join_shuffle_revenue",
-    "range_join_periods",
-    "scd2_merge",
-    "pandas_text_features",
-    "velib_history_enrich",
-    "velib_dedup_latest",
-    "velib_alerts",
-    "velib_alert_bands",
-    "velib_zombie_anti",
-    "velib_enrich_join",
-    "ann_cosine_topk",
-    "simhash_sketch",
-    "dedup_ngram_jaccard",
-    "sessionize_events",
-    "join_broadcast_chain",
-    "topn_orders_per_customer",
-    "collect_ordered_quantities",
-    "text_stats",
-    "lang_id_heuristic",
-    "token_count",
-    "doc_fingerprint",
-    "deterministic_sample",
-    "text_clean_redact",
-    "quality_topk_mix",
-    "multimodal_decode_meta",
-    "kafka_shaped_roundtrip",
-    "streaming_gold_foreachbatch",
-    "explode_words",
-    "array_functions_showcase",
-    "skew_salted_agg",
-    "approx_distinct_stats",
+    # r4-green showcases (demoted by the round-5 rotation)
+    "velib_sparkline",
+    "pmi_collocations",
+    "dup_span_report",
+    "udtf_sentence_split",
+    "cms_frequency_audit",
+    "dedup_clusters_recursive",
+    "streaming_dedup_within_watermark",
+    "lake_schema_evolution",
+    "bucketed_join_priority_revenue",
+    "python_datasource_bronze",
+    "semdedup",
+    "curriculum_phases",
+    "contrastive_triplets",
+    "decontaminate_embedding",
+    "event_path_mining",
+    "minhash_estimate_audit",
+    "arrow_batch_stats",
+    "observed_write_metrics",
+    "lake_retention_sweep",
+    "csv_roundtrip_scan",
+    "unpivot_metrics",
+    "grouping_sets_orders",
+    "variant_shred_stats",
+    "full_outer_activity_reconcile",
+    "e2e_curation_report",
+    "streaming_static_enrich",
+    "join_skew_audit",
+    "fk_integrity_audit",
+    "corpus_profile",
+    "export_tokenized_sequences",
+    "weighted_sample_topk",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "streaming_session_windows",
+    "streaming_stateful_enumerate",
+    "streaming_join_click_purchase",
+    "streaming_windowed_counts",
+    "streaming_dedup",
+    "chunk_documents",
+    "hybrid_rank_fusion",
+    "pairs_topk_capped",
+    "editdist_verified_pairs",
+    "rollup_cube_orders",
+    "cdc_merge_upsert",
+    "event_rate_anomaly",
+    "tpch_q3_shipping",
+    "domain_cap_sample",
+    # r5-green rows (demoted by this round's rotation — freshest
+    # evidence, so last in line)
+    "lake_file_skipping",
+    "dup_span_removal",
+    "multimodal_image_ahash_neardup",
+    "pandas_cogroup_paired_spend",
+    "chunk_cdc",
+    "hll_merge_rollup",
+    "streaming_join_left_outer",
+    "feature_quantile_bins",
+    "streaming_python_datasource_feed",
+    "skew_salted_join",
+    "table_checksum_audit",
+    "global_enumerate_rows",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "tpch_q11_important_parts",
+    "tpch_q12_lateness_priority",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_bracket_revenue",
+    "tpch_q20_heavy_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_idle_customers",
+    "rfm_segmentation",
+    "hll_distinct_audit",
+    "bloom_membership_audit",
+    "winnow_fingerprints",
+    "compaction_binpack_plan",
+    "sorted_neighborhood_pairs",
+    "tpch_q5_local_supplier",
+    "snapshot_diff_cdc",
+    "ivm_incremental_rollup",
+    "pq_adc_topk",
+    "ppjoin_prefix_candidates",
+    "multimodal_audio_window_stats",
+    "pareto_frontier_orders",
+    "histogram_quantile_audit",
+    "tpch_q18_large_orders",
+    "rolling_active_users",
+    "expectation_suite_audit",
+    "peak_concurrency_daily",
+    "rake_keyphrases",
+    "cusum_changepoint_audit",
+    "basket_affinity_pairs",
 )
 
 

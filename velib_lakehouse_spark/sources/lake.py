@@ -778,7 +778,15 @@ def _skip_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     key = f"{src}|{hash(stat_sig):x}"
     if key in _SKIP_LAYOUT_DIRS:
         return _SKIP_LAYOUT_DIRS[key]
+    # Evict superseded layouts for the same source path (r5 ADVICE): a
+    # rewritten corpus at the same path (every fuzz example) must not
+    # accumulate one full clustered orders copy per rewrite until
+    # interpreter exit.
+    import shutil as _shutil
     import tempfile
+
+    for stale in [k for k in _SKIP_LAYOUT_DIRS if k.startswith(f"{src}|")]:
+        _shutil.rmtree(_SKIP_LAYOUT_DIRS.pop(stale), ignore_errors=True)
 
     out = tempfile.mkdtemp(prefix="lake_skip_")
     orders = load_table(spark, sf_dir, "orders")
@@ -972,3 +980,106 @@ ORACLE["table_checksum_audit"] = f"""
     GROUP BY month
 """
 QUERIES["table_checksum_audit"] = table_checksum_audit
+
+
+# ---- Streaming backfill / replay merge into a date-partitioned silver ----
+
+BACKFILL_LATE_MOD = 10  # event_id % 10 == 7: missing from the first load
+BACKFILL_LATE_REM = 7
+BACKFILL_REPLAY_MOD = 100  # event_id % 100 == 1: re-delivered (duplicate)
+BACKFILL_REPLAY_REM = 1
+
+
+def streaming_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill/replay merge: reconcile a late-arriving event slice into
+    an already-written date-partitioned silver table, rewriting ONLY the
+    partitions the late batch touches and staying idempotent under
+    replayed duplicates — the batch-reconcile companion to the streaming
+    silver pipeline (a stream restarted from an earlier offset re-emits
+    rows; an upstream outage delivers a day late).
+
+    Mechanics (Delta MERGE re-expressed on parquet primitives):
+    1. first load writes the on-time slice partitioned by event date;
+    2. the late batch arrives carrying BOTH genuinely-missing rows and
+       replayed duplicates of rows already in silver;
+    3. affected partition values are collected (bounded: calendar days,
+       the same driver-side manifest set Delta's replaceWhere computes),
+       silver is re-read UNDER A PARTITION FILTER on those values (files
+       of untouched days are never opened), the union is deduplicated,
+       and written back with DYNAMIC partition overwrite — untouched
+       partitions keep their files byte-identical.
+
+    The oracle is the plain per-day aggregate over the SOURCE table:
+    merge(on_time, late) must reconstruct the full corpus exactly —
+    missing rows restored, replays collapsed — which is the whole
+    correctness contract of a backfill.
+
+    Scale: both writes are one shuffle each (repartition by date so each
+    partition is one task's file); the merge re-reads only the affected
+    partitions; dedup shuffles only those partitions' rows on event_id.
+    """
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_date("ts").cast("string").alias("date"),
+        F.col("user_id"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v_centi"),
+    )
+    on_time = ev.filter(
+        F.col("event_id") % BACKFILL_LATE_MOD != BACKFILL_LATE_REM
+    )
+    late = ev.filter(
+        (F.col("event_id") % BACKFILL_LATE_MOD == BACKFILL_LATE_REM)
+        | (F.col("event_id") % BACKFILL_REPLAY_MOD == BACKFILL_REPLAY_REM)
+    )
+    out = tempfile.mkdtemp(prefix="backfill_silver_")
+    silver_schema = "event_id bigint, user_id bigint, v_centi bigint, date string"
+    on_time.repartition("date").write.mode("overwrite").partitionBy(
+        "date"
+    ).parquet(out)
+
+    # bounded driver-side manifest: one value per affected calendar day
+    affected = [r["date"] for r in late.select("date").distinct().collect()]
+    silver_affected = (
+        spark.read.schema(silver_schema)
+        .parquet(out)
+        .filter(F.col("date").isin(affected))
+    )
+    merged = silver_affected.unionByName(
+        late.select("event_id", "user_id", "v_centi", "date")
+    ).distinct()  # replays are byte-identical rows -> exact-row dedup
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(mode_key, None)
+    try:
+        spark.conf.set(mode_key, "dynamic")
+        merged.repartition("date").write.mode("overwrite").partitionBy(
+            "date"
+        ).parquet(out)
+    finally:
+        if saved is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, saved)
+
+    return (
+        spark.read.schema(silver_schema)
+        .parquet(out)
+        .groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_centi").alias("checksum_centi"),
+        )
+    )
+
+
+ORACLE["streaming_backfill_merge"] = """
+    SELECT strftime(ts, '%Y-%m-%d') AS date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS checksum_centi
+    FROM events
+    GROUP BY 1
+"""
+QUERIES["streaming_backfill_merge"] = streaming_backfill_merge

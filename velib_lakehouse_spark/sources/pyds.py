@@ -70,7 +70,11 @@ class VelibFeedReader(DataSourceReader):
         # by 1 ms on pre-1970 instants only; the events corpus (and any
         # realistic feed) is post-epoch, where floor == truncate.
         if str(ts.type).startswith("int"):
-            ts_ms = [v.as_py() // 1_000_000 for v in ts]
+            vals = ts.to_pylist()
+            # guard the assumption instead of silently diverging (r5
+            # ADVICE): a pre-epoch instant floors here, truncates there
+            assert not vals or min(vals) >= 0, "pre-epoch int ts in feed"
+            ts_ms = [v // 1_000_000 for v in vals]
         else:
             ts_ms = [int(v.cast("int64").as_py()) // 1000 for v in ts.cast("timestamp[us]")]
         for eid, code, val, ms in zip(
@@ -171,7 +175,10 @@ def _shard_rows(path: str):
     t = pq.read_table(path, columns=["event_id", "ts", "user_id", "value"])
     ts = t["ts"]
     if str(ts.type).startswith("int"):
-        ts_ms = [v.as_py() // 1_000_000 for v in ts]
+        vals = ts.to_pylist()
+        # same post-epoch guard as the batch reader above (r5 ADVICE)
+        assert not vals or min(vals) >= 0, "pre-epoch int ts in feed"
+        ts_ms = [v // 1_000_000 for v in vals]
     else:
         ts_ms = [
             int(v.cast("int64").as_py()) // 1000
