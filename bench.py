@@ -211,6 +211,10 @@ HEADLINE = [
     "lake_file_skipping",
     "table_checksum_audit",
     "global_enumerate_rows",
+    # round 6
+    "curation_dag_lineage",
+    "streaming_backfill_merge",
+    "approx_percentile_parity_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —
