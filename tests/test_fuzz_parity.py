@@ -94,6 +94,9 @@ FUZZED_QUERIES = [
     "chunk_cdc",
     "multimodal_image_ahash_neardup",
     "hll_merge_rollup",
+    # round-6 additions: the DAG's lineage arithmetic over random
+    # corpora (dup groups, eval collisions, short docs all fuzzed)
+    "curation_dag_lineage",
 ]
 
 
@@ -276,6 +279,9 @@ EVENT_BATCH_FUZZED = [
     "event_path_mining",
     "variant_shred_stats",
     "full_outer_activity_reconcile",
+    # round-6: the backfill merge must reconstruct ANY event corpus
+    # exactly (random late/replay class membership, multi-day spreads)
+    "streaming_backfill_merge",
 ]
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
@@ -458,6 +464,9 @@ TPCH_FUZZED = [
     "basket_affinity_pairs",
     "ivm_incremental_rollup",
     "snapshot_diff_cdc",
+    # round-6: GK rank-bound verdict + exact two-phase selection under
+    # random duplicate-heavy (and possibly empty) lineitem
+    "approx_percentile_parity_audit",
 ]
 
 _O_STATUS = ["O", "F", "P"]
