@@ -101,8 +101,10 @@ FAMILY_REPRESENTATIVES = {
         "hll_merge_rollup",
         "histogram_quantile_audit",
         "cms_frequency_audit",
+        "approx_percentile_parity_audit",
     ],
     "curation": [
+        "curation_dag_lineage",
         "e2e_curation_report",
         "corpus_profile",
         "weighted_sample_topk",
@@ -156,6 +158,7 @@ FAMILY_REPRESENTATIVES = {
     ],
     "lake": [
         "lake_file_skipping",
+        "streaming_backfill_merge",
         "snapshot_diff_cdc",
         "compaction_binpack_plan",
         "table_checksum_audit",

@@ -989,6 +989,19 @@ BACKFILL_LATE_REM = 7
 BACKFILL_REPLAY_MOD = 100  # event_id % 100 == 1: re-delivered (duplicate)
 BACKFILL_REPLAY_REM = 1
 
+# Scratch silver dirs removed at interpreter exit (same hygiene as the
+# file-skipping layout cache above: a 1024x scale run writes ~GB per
+# call and bench/fuzz call this repeatedly).
+_BACKFILL_DIRS: list[str] = []
+
+
+def _cleanup_backfill_dirs() -> None:
+    for d in _BACKFILL_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_atexit.register(_cleanup_backfill_dirs)
+
 
 def streaming_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backfill/replay merge: reconcile a late-arriving event slice into
@@ -1034,6 +1047,7 @@ def streaming_backfill_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("event_id") % BACKFILL_REPLAY_MOD == BACKFILL_REPLAY_REM)
     )
     out = tempfile.mkdtemp(prefix="backfill_silver_")
+    _BACKFILL_DIRS.append(out)
     silver_schema = "event_id bigint, user_id bigint, v_centi bigint, date string"
     on_time.repartition("date").write.mode("overwrite").partitionBy(
         "date"
