@@ -215,6 +215,9 @@ HEADLINE = [
     "curation_dag_lineage",
     "streaming_backfill_merge",
     "approx_percentile_parity_audit",
+    "mad_robust_outlier_days",
+    "recency_decay_engagement",
+    "hll_set_overlap_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -97,6 +97,9 @@ FUZZED_QUERIES = [
     # round-6 additions: the DAG's lineage arithmetic over random
     # corpora (dup groups, eval collisions, short docs all fuzzed)
     "curation_dag_lineage",
+    # round-6 second batch: register max-merge + inclusion-exclusion
+    # must hold on corpora with empty/identical/disjoint source vocabs
+    "hll_set_overlap_audit",
 ]
 
 
@@ -282,6 +285,11 @@ EVENT_BATCH_FUZZED = [
     # round-6: the backfill merge must reconstruct ANY event corpus
     # exactly (random late/replay class membership, multi-day spreads)
     "streaming_backfill_merge",
+    # round-6 second batch: doubled-median rank selection must hold on
+    # tied/degenerate series; the power-of-two decay on arbitrary
+    # day spreads (horizon boundary, single-day users)
+    "mad_robust_outlier_days",
+    "recency_decay_engagement",
 ]
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

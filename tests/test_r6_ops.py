@@ -159,3 +159,137 @@ def test_approx_percentile_bound_verdict_under_repartition(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
     assert rows and all(r["within_bound"] for r in rows)
+
+
+# ---- mad_robust_outlier_days ------------------------------------------------
+
+
+def _daily_totals(spark):
+    e = load_table(spark, SF_DIR, "events")
+    rows = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.to_date("ts").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("u", "day")
+        .agg(F.sum("v").alias("x"))
+        .collect()
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in rows:
+        by_user.setdefault(r["u"], []).append(r["x"])
+    return by_user
+
+
+def test_mad_outliers_match_bruteforce_rule(spark):
+    from velib_lakehouse_spark.operators.rollups import MAD_K, MAD_MIN_DAYS
+
+    def med2(vals: list[int]) -> int:
+        s, n = sorted(vals), len(vals)
+        return s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+
+    by_user = _daily_totals(spark)
+    expected = set()
+    for u, xs in by_user.items():
+        if len(xs) < MAD_MIN_DAYS:
+            continue
+        m2 = med2(xs)
+        devs = [abs(2 * x - m2) for x in xs]
+        mad4 = med2(devs)
+        for x in xs:
+            if 2 * abs(2 * x - m2) > MAD_K * mad4:
+                expected.add((u, x))
+    got = {
+        (r["user_id"], r["day_total_centi"])
+        for r in registry.QUERIES["mad_robust_outlier_days"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    assert got, "fixture must actually exercise the flag path"
+
+
+def test_mad_survives_what_breaks_the_zscore(spark):
+    """The motivating property: one huge spike inflates sigma enough to
+    mask itself from a 2-sigma z-test on a short series, but can never
+    hide from the median/MAD rule (50% breakdown point)."""
+    from velib_lakehouse_spark.operators.rollups import MAD_K
+
+    # 9 quiet days + one 1000x spike
+    vals = [100] * 9 + [100_000]
+    s, n = sorted(vals), len(vals)
+    m2 = s[(n + 1) // 2 - 1] + s[(n + 2) // 2 - 1]
+    devs = sorted(abs(2 * x - m2) for x in vals)
+    mad4 = devs[(n + 1) // 2 - 1] + devs[(n + 2) // 2 - 1]
+    assert 2 * abs(2 * 100_000 - m2) > MAD_K * mad4  # MAD flags it
+    # ... while the z-score (sigma includes the spike) does not at K=2
+    mean = sum(vals) / n
+    sigma = (sum((x - mean) ** 2 for x in vals) / n) ** 0.5
+    assert abs(100_000 - mean) < 3.1 * sigma  # spike self-masks
+
+
+# ---- recency_decay_engagement ----------------------------------------------
+
+
+def test_recency_decay_matches_bruteforce(spark):
+    from velib_lakehouse_spark.operators.rollups import DECAY_HORIZON_DAYS
+
+    e = load_table(spark, SF_DIR, "events")
+    rows = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.to_date("ts").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("u", "day")
+        .agg(F.sum("v").alias("x"))
+        .collect()
+    )
+    ref = max(r["day"] for r in rows)
+    expected: dict[int, int] = {}
+    for r in rows:
+        age = (ref - r["day"]).days
+        if age <= DECAY_HORIZON_DAYS:
+            expected[r["u"]] = expected.get(r["u"], 0) + (
+                r["x"] << (DECAY_HORIZON_DAYS - age)
+            )
+    got = {
+        r["user_id"]: r["decayed_scaled"]
+        for r in registry.QUERIES["recency_decay_engagement"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == expected
+    # freshest-day dominance: a day at age 0 outweighs the whole
+    # remaining horizon at equal totals (geometric series sum < 2^H)
+    assert all(v > 0 for v in got.values())
+
+
+# ---- hll_set_overlap_audit --------------------------------------------------
+
+
+def test_hll_overlap_invariants_and_exact_side(spark):
+    rows = registry.QUERIES["hll_set_overlap_audit"](spark, SF_DIR).collect()
+    d = load_table(spark, SF_DIR, "documents")
+    vocab = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .collect()
+    )
+    by_source: dict[str, set] = {}
+    for r in vocab:
+        by_source.setdefault(r["source"], set()).add(r["w"])
+    n_sources = len(by_source)
+    assert len(rows) == n_sources * (n_sources - 1) // 2
+    for r in rows:
+        # union registers dominate each side's registers
+        assert r["est_union"] >= max(r["est_a"], r["est_b"])
+        assert r["overlap_est"] == r["est_a"] + r["est_b"] - r["est_union"]
+        exact = len(
+            by_source[r["source_a"]] & by_source[r["source_b"]]
+        )
+        assert r["exact_overlap"] == exact
+    # the fixture corpus must have real overlap to audit
+    assert any(r["exact_overlap"] > 0 for r in rows)

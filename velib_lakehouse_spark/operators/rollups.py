@@ -1179,3 +1179,235 @@ ORACLE["zscore_outlier_days"] = f"""
           > {ZSCORE_K * ZSCORE_K} * (t.n * t.q - t.s * t.s)
 """
 QUERIES["zscore_outlier_days"] = zscore_outlier_days
+
+
+# ---- Integer-exact MAD (median absolute deviation) robust outliers ----
+
+MAD_K = 3  # flag days beyond K * MAD
+MAD_MIN_DAYS = 4  # below this a median is too thin to call outliers
+
+
+def _doubled_median(df: DataFrame, key: str, col: str, out: str) -> DataFrame:
+    """Per-``key`` DOUBLED median of ``col``: 2*median, integer-exact.
+
+    ``2*median = x[(n+1)//2] + x[(n+2)//2]`` over the 1-indexed sorted
+    values (odd n picks the middle twice, even n the two middles), so
+    the halving that makes medians fractional never happens — both
+    engines select the same VALUES at the same ranks regardless of how
+    row_number breaks ties between equal values.  One rank window +
+    one conditional aggregation per call, both partitioned by ``key``
+    — the exact-median shape that survives any partitioning because
+    state per key is a single sort, not an all-pairs pass.
+    """
+    w = Window.partitionBy(key).orderBy(col)
+    ranked = df.select(
+        key,
+        col,
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(key)).alias("n"),
+    )
+    return ranked.groupBy(key).agg(
+        F.max("n").alias("n"),
+        (
+            F.sum(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col(col))
+                .otherwise(F.lit(0))
+            )
+            + F.sum(
+                F.when(F.col("rn") == F.expr("(n + 2) div 2"), F.col(col))
+                .otherwise(F.lit(0))
+            )
+        ).alias(out),
+    )
+
+
+def mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-total outliers by the ROBUST rule |x - median| >
+    K * MAD, decided entirely in integer arithmetic.  Where the z-score
+    (``zscore_outlier_days``) lets one extreme day inflate sigma and
+    mask itself, median/MAD have a 50% breakdown point — the screen a
+    data-quality pipeline runs when the outliers ARE the contamination.
+
+    Scaling trick: with ``med2 = 2*median`` and ``dev2 = |2x - med2|``
+    (twice the true deviation) and ``mad4 = 2*median(dev2)`` (four
+    times the true MAD), the rule |x - med| > K*MAD is exactly
+    ``2*dev2 > K*mad4`` — no halving, no floats, bit-exact under any
+    partitioning or engine.
+
+    Scale shape: one (user, day) rollup, then two rank-window +
+    conditional-aggregation passes (median, then MAD), all partitioned
+    by user — key-bounded sorts, no global window, no all-pairs.
+    Population needs n >= MAD_MIN_DAYS days.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.to_date("ts").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("u", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    med = _doubled_median(daily, "u", "x", "med2")
+    dev = daily.join(med, "u").select(
+        "u",
+        "day",
+        "x",
+        "n",
+        "med2",
+        F.abs(F.lit(2) * F.col("x") - F.col("med2")).alias("dev2"),
+    )
+    mad = _doubled_median(dev.select("u", "dev2"), "u", "dev2", "mad4").select(
+        "u", "mad4"
+    )
+    return (
+        dev.join(mad, "u")
+        .filter(F.col("n") >= MAD_MIN_DAYS)
+        .filter(F.lit(2) * F.col("dev2") > F.lit(MAD_K) * F.col("mad4"))
+        .select(
+            F.col("u").alias("user_id"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").alias("day_total_centi"),
+            F.col("med2").alias("median_doubled"),
+            F.col("dev2").alias("abs_dev_doubled"),
+            F.col("mad4").alias("mad_quadrupled"),
+        )
+    )
+
+
+ORACLE["mad_robust_outlier_days"] = f"""
+    WITH daily AS (
+      SELECT user_id AS u, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT u, day, x,
+             row_number() OVER (PARTITION BY u ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY u) AS n
+      FROM daily
+    ),
+    med AS (
+      SELECT u, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END)
+                  + sum(CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+                  AS BIGINT) AS med2
+      FROM ranked GROUP BY u
+    ),
+    dev AS (
+      SELECT d.u, d.day, d.x, m.n, m.med2,
+             abs(2 * d.x - m.med2) AS dev2
+      FROM daily d JOIN med m ON m.u = d.u
+    ),
+    dev_ranked AS (
+      SELECT u, dev2,
+             row_number() OVER (PARTITION BY u ORDER BY dev2) AS rn,
+             count(*) OVER (PARTITION BY u) AS n
+      FROM dev
+    ),
+    mad AS (
+      SELECT u,
+             CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                  + sum(CASE WHEN rn = (n + 2) // 2 THEN dev2 ELSE 0 END)
+                  AS BIGINT) AS mad4
+      FROM dev_ranked GROUP BY u
+    )
+    SELECT d.u AS user_id,
+           strftime(d.day, '%Y-%m-%d') AS day,
+           d.x AS day_total_centi,
+           d.med2 AS median_doubled,
+           d.dev2 AS abs_dev_doubled,
+           m.mad4 AS mad_quadrupled
+    FROM dev d JOIN mad m ON m.u = d.u
+    WHERE d.n >= {MAD_MIN_DAYS}
+      AND 2 * d.dev2 > {MAD_K} * m.mad4
+"""
+QUERIES["mad_robust_outlier_days"] = mad_robust_outlier_days
+
+
+# ---- Integer-exact recency-decay engagement weighting ----
+
+DECAY_HORIZON_DAYS = 14  # half-life = 1 day; ages past the horizon drop
+
+
+def recency_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user engagement with EXACT power-of-two
+    decay: a day aged ``a`` days (relative to the corpus max day)
+    weighs ``2^(H - a)`` for a 1-day half-life — the float
+    ``exp(-lambda*age)`` weighting rescaled by 2^H so every weight is
+    an integer power of two and the weighted sum is bit-exact under
+    any partitioning (no transcendental whose last ulp differs between
+    engines).  This is the freshness score a training-data mixer uses
+    to up-weight recent crawl slices.
+
+    Scale shape: one (user, day) rollup, one 1-row global max-day
+    broadcast, one final per-user aggregation with map-side partials —
+    O(1) state per user, no window, no join wider than the 1-row
+    scalar.  Ages beyond DECAY_HORIZON_DAYS contribute < 2^-H of the
+    freshest day and are dropped exactly (weight would round below 1),
+    which also caps the shifted magnitudes far inside int64.
+    """
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.col("user_id").alias("u"),
+            F.to_date("ts").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v"),
+        )
+        .groupBy("u", "day")
+        .agg(F.sum("v").alias("x"))
+    )
+    ref = daily.agg(F.max("day").alias("ref_day"))
+    aged = (
+        daily.crossJoin(F.broadcast(ref))
+        .select(
+            "u",
+            "x",
+            "ref_day",
+            F.datediff("ref_day", "day").alias("age"),
+        )
+        .filter(F.col("age") <= DECAY_HORIZON_DAYS)
+    )
+    return aged.groupBy("u").agg(
+        F.first(F.date_format("ref_day", "yyyy-MM-dd")).alias("horizon_end"),
+        F.count(F.lit(1)).alias("n_days_in_horizon"),
+        F.sum("x").alias("sum_centi"),
+        F.sum(
+            F.expr(
+                f"x * shiftleft(cast(1 as bigint),"
+                f" {DECAY_HORIZON_DAYS} - age)"
+            )
+        ).alias("decayed_scaled"),
+    ).select(
+        F.col("u").alias("user_id"),
+        "horizon_end",
+        "n_days_in_horizon",
+        "sum_centi",
+        "decayed_scaled",
+    )
+
+
+ORACLE["recency_decay_engagement"] = f"""
+    WITH daily AS (
+      SELECT user_id AS u, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ref AS (SELECT max(day) AS ref_day FROM daily),
+    aged AS (
+      SELECT d.u, d.x, r.ref_day,
+             datediff('day', d.day, r.ref_day) AS age
+      FROM daily d CROSS JOIN ref r
+      WHERE datediff('day', d.day, r.ref_day) <= {DECAY_HORIZON_DAYS}
+    )
+    SELECT u AS user_id,
+           strftime(min(ref_day), '%Y-%m-%d') AS horizon_end,
+           CAST(count(*) AS BIGINT) AS n_days_in_horizon,
+           CAST(sum(x) AS BIGINT) AS sum_centi,
+           CAST(sum(x * (CAST(1 AS BIGINT)
+                         << ({DECAY_HORIZON_DAYS} - age))) AS BIGINT)
+             AS decayed_scaled
+    FROM aged GROUP BY u
+"""
+QUERIES["recency_decay_engagement"] = recency_decay_engagement

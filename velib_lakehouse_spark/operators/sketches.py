@@ -946,3 +946,190 @@ ORACLE["approx_percentile_parity_audit"] = f"""
     ORDER BY t.p_bp
 """
 QUERIES["approx_percentile_parity_audit"] = approx_percentile_parity_audit
+
+
+# ---- HLL set-overlap (inclusion-exclusion) audited against exact ----
+
+
+def hll_set_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary OVERLAP estimated from HLL register
+    vectors by inclusion-exclusion — ``|A ∩ B| ≈ E(A) + E(B) - E(A∪B)``
+    where E(A∪B) comes for FREE from the two sketches (union registers
+    = elementwise max; Flajolet et al. 2007) — audited against the
+    exact intersection count.  This is the dataset-curation question
+    "how much does crawl slice A re-cover slice B?" answered WITHOUT
+    an |A|x|B| join: at 100 TB each source keeps m registers (here 16;
+    a production p=14 sketch is 16 KB) and every pairwise overlap is
+    O(m) register arithmetic on the driver-sized sketch table, while
+    the exact answer needs a vocabulary-keyed shuffle per pair.
+
+    Scale shape: ONE distinct (source, word) shuffle feeds both the
+    register build (m rows per source after a map-side max) and the
+    exact-intersection join (Zipf-bounded vocab, word-keyed); the
+    pair/register grid is |S|^2 * m rows — broadcast-tiny for any real
+    source count.  All register math is integer; the three estimates
+    divide identical IEEE-754 inputs in both engines, then floor.
+    Signed err_ppm is NULL where the exact overlap is 0 (inclusion-
+    exclusion noise has nothing to be relative to).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select("source", F.explode(_words()).alias("w"))
+        .distinct()
+        .persist()
+    )
+    regs = (
+        words.select(
+            "source",
+            (md5_long(F.col("w")) % HLL_M).alias("bucket"),
+            F.expr(
+                f"""CASE WHEN ({sql_spark_rho_src()} div {HLL_M}) = 0 THEN 57
+                    ELSE 57 - length(bin({sql_spark_rho_src()} div {HLL_M}))
+                    END"""
+            ).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    srcs = words.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .crossJoin(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    grid = pairs.crossJoin(
+        spark.range(HLL_M).select(F.col("id").alias("bucket"))
+    )
+    cells = (
+        grid.join(
+            regs.select(
+                F.col("source").alias("source_a"),
+                "bucket",
+                F.col("r").alias("ra"),
+            ),
+            ["source_a", "bucket"],
+            "left",
+        )
+        .join(
+            regs.select(
+                F.col("source").alias("source_b"),
+                "bucket",
+                F.col("r").alias("rb"),
+            ),
+            ["source_b", "bucket"],
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("ra", F.lit(0)).alias("ra"),
+            F.coalesce("rb", F.lit(0)).alias("rb"),
+            F.greatest(
+                F.coalesce("ra", F.lit(0)), F.coalesce("rb", F.lit(0))
+            ).alias("ru"),
+        )
+    )
+    est = cells.groupBy("source_a", "source_b").agg(
+        *[
+            F.expr(
+                f"CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)} /"
+                f" sum(shiftleft(cast(1 as bigint), 57 - {c})))"
+                " AS BIGINT)"
+            ).alias(f"est_{n}")
+            for c, n in (("ra", "a"), ("rb", "b"), ("ru", "union"))
+        ]
+    )
+    wa = words.select(F.col("source").alias("source_a"), "w")
+    wb = words.select(F.col("source").alias("source_b"), "w")
+    exact = (
+        wa.join(wb, "w")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            (F.col("est_a") + F.col("est_b") - F.col("est_union")).alias(
+                "overlap_est"
+            ),
+            F.coalesce("exact_overlap", F.lit(0))
+            .cast("bigint")
+            .alias("exact_overlap"),
+        )
+        .withColumn(
+            "err_ppm",
+            F.expr(
+                "(overlap_est - exact_overlap) * 1000000"
+                " div nullif(exact_overlap, 0)"
+            ),
+        )
+    )
+
+
+ORACLE["hll_set_overlap_audit"] = f"""
+    WITH words AS (
+      SELECT DISTINCT source, w FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+      )
+    ),
+    regs AS (
+      SELECT source, {sql_md5_long('w')} % {HLL_M} AS bucket,
+             max(CASE WHEN ({sql_md5_long('w')} // {HLL_M}) = 0 THEN 57
+                      ELSE 57 - length(bin({sql_md5_long('w')} // {HLL_M}))
+                 END) AS r
+      FROM words GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM words) a,
+           (SELECT DISTINCT source FROM words) b
+      WHERE a.source < b.source
+    ),
+    grid AS (
+      SELECT p.source_a, p.source_b, g.bucket
+      FROM pairs p,
+           (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) g
+    ),
+    cells AS (
+      SELECT g.source_a, g.source_b,
+             COALESCE(ra.r, 0) AS ra, COALESCE(rb.r, 0) AS rb,
+             greatest(COALESCE(ra.r, 0), COALESCE(rb.r, 0)) AS ru
+      FROM grid g
+      LEFT JOIN regs ra ON ra.source = g.source_a AND ra.bucket = g.bucket
+      LEFT JOIN regs rb ON rb.source = g.source_b AND rb.bucket = g.bucket
+    ),
+    est AS (
+      SELECT source_a, source_b,
+             CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)} /
+                  sum(CAST(1 AS BIGINT) << (57 - ra))) AS BIGINT) AS est_a,
+             CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)} /
+                  sum(CAST(1 AS BIGINT) << (57 - rb))) AS BIGINT) AS est_b,
+             CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)} /
+                  sum(CAST(1 AS BIGINT) << (57 - ru))) AS BIGINT)
+               AS est_union
+      FROM cells GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS exact_overlap
+      FROM words a JOIN words b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.est_a, e.est_b, e.est_union,
+           e.est_a + e.est_b - e.est_union AS overlap_est,
+           COALESCE(x.exact_overlap, 0) AS exact_overlap,
+           (e.est_a + e.est_b - e.est_union - COALESCE(x.exact_overlap, 0))
+             * 1000000 // nullif(COALESCE(x.exact_overlap, 0), 0) AS err_ppm
+    FROM est e
+    LEFT JOIN exact x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+"""
+QUERIES["hll_set_overlap_audit"] = hll_set_overlap_audit

@@ -55,8 +55,11 @@ DRIVER_WINDOW = 50
 #   curation_dag_lineage, streaming_backfill_merge,
 #   approx_percentile_parity_audit — new queries enter with a
 #   same-round driver row.
-# * The remaining 32 slots: oldest-green-first — the r1/r2-era rows,
-#   four rounds stale, in their original registration order.  The 11
+# * 3 more new operators (second growth batch, same rule):
+#   mad_robust_outlier_days, recency_decay_engagement,
+#   hll_set_overlap_audit.
+# * The remaining 29 slots: oldest-green-first — the r1/r2-era rows,
+#   four rounds stale, in their original registration order.  The 14
 #   r1/r2-era rows that don't fit head SECONDARY as the r7 queue.
 PRIORITY: tuple[str, ...] = (
     # final never-driver-checked queries (r6 queue, pre-staged order)
@@ -81,6 +84,13 @@ PRIORITY: tuple[str, ...] = (
     "curation_dag_lineage",
     "streaming_backfill_merge",
     "approx_percentile_parity_audit",
+    # new this round, second batch (registry growth continues): robust
+    # MAD outliers, exact power-of-two recency decay, HLL pairwise
+    # overlap by inclusion-exclusion — each displaces one stale-green
+    # refresh slot (the displaced rows head the r7 queue below)
+    "mad_robust_outlier_days",
+    "recency_decay_engagement",
+    "hll_set_overlap_audit",
     # oldest-green-first refresh: r1/r2-era rows (driver-checked green
     # in rounds 1-2, code unchanged since — stalest evidence first)
     "velib_silver_parse",
@@ -112,18 +122,19 @@ PRIORITY: tuple[str, ...] = (
     "join_broadcast_chain",
     "topn_orders_per_customer",
     "collect_ordered_quantities",
-    "text_stats",
-    "lang_id_heuristic",
-    "token_count",
 )
 
 # Registered immediately AFTER the window, highest value first: if a
 # future driver checks more than DRIVER_WINDOW queries, these are the
 # ones it should reach next.
 SECONDARY: tuple[str, ...] = (
-    # ROUND-7 ROTATION QUEUE: the 11 r1/r2-era rows that did not fit
-    # this round's oldest-green-first refresh — stalest evidence in the
+    # ROUND-7 ROTATION QUEUE: the r1/r2-era rows that did not fit this
+    # round's oldest-green-first refresh (including the three displaced
+    # by the second new-operator batch) — stalest evidence in the
     # registry once the r6 window lands, so they rotate in next.
+    "text_stats",
+    "lang_id_heuristic",
+    "token_count",
     "doc_fingerprint",
     "deterministic_sample",
     "text_clean_redact",
