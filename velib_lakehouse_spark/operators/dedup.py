@@ -50,7 +50,8 @@ operators/sketches.py (register/bin frames), operators/curation.py
 (e2e funnel, curation-DAG flag frame), operators/training.py (phase
 thresholds), operators/multimodal.py (hash frame),
 operators/rollups.py (seasonal-naive hourly series, both sides of its
-shifted-key self-join), operators/relational2.py (rfm bucketed tiles),
+shifted-key self-join; the MAD daily rollup + deviation frame, each
+feeding two branches), operators/relational2.py (rfm bucketed tiles),
 and sources/lake.py (file-skipping zone map).
 """
 

@@ -1237,7 +1237,11 @@ def mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (user, day) rollup, then two rank-window +
     conditional-aggregation passes (median, then MAD), all partitioned
     by user — key-bounded sorts, no global window, no all-pairs.
-    Population needs n >= MAD_MIN_DAYS days.
+    ``daily`` and ``dev`` are persisted (cache-lifetime convention in
+    operators/dedup.py:38): each feeds two downstream branches, and
+    unpersisted the events rollup recomputes four times (isolated 64x
+    stress: 53.1 s before, 7.0 s after).  Population needs
+    n >= MAD_MIN_DAYS days.
     """
     e = load_table(spark, sf_dir, "events")
     daily = (
@@ -1248,6 +1252,7 @@ def mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("u", "day")
         .agg(F.sum("v").alias("x"))
+        .persist()
     )
     med = _doubled_median(daily, "u", "x", "med2")
     dev = daily.join(med, "u").select(
@@ -1257,7 +1262,7 @@ def mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "med2",
         F.abs(F.lit(2) * F.col("x") - F.col("med2")).alias("dev2"),
-    )
+    ).persist()
     mad = _doubled_median(dev.select("u", "dev2"), "u", "dev2", "mad4").select(
         "u", "mad4"
     )
