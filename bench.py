@@ -218,6 +218,7 @@ HEADLINE = [
     "mad_robust_outlier_days",
     "recency_decay_engagement",
     "hll_set_overlap_audit",
+    "cms_join_size_audit",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

@@ -293,3 +293,25 @@ def test_hll_overlap_invariants_and_exact_side(spark):
         assert r["exact_overlap"] == exact
     # the fixture corpus must have real overlap to audit
     assert any(r["exact_overlap"] > 0 for r in rows)
+
+
+# ---- cms_join_size_audit ----------------------------------------------------
+
+
+def test_cms_join_size_one_sided_and_exact_side(spark):
+    row = registry.QUERIES["cms_join_size_audit"](spark, SF_DIR).collect()[0]
+    o = load_table(spark, SF_DIR, "orders").collect()
+    from collections import Counter
+
+    nl = Counter(r["o_custkey"] for r in o)
+    nr = Counter(r["o_custkey"] for r in o if r["o_orderstatus"] == "F")
+    exact = sum(c * nr[k] for k, c in nl.items() if k in nr)
+    assert row["exact_join_size"] == exact
+    assert row["n_shared_keys"] == len(nr)  # every F-key exists in nl
+    assert row["n_left"] == len(o)
+    assert row["n_right"] == sum(nr.values())
+    # the CM inner-product estimate is ONE-SIDED: collisions only add
+    # non-negative cross terms, so every row estimate >= exact and the
+    # min/max spread brackets it from above
+    assert exact <= row["est_join_size"] <= row["est_join_size_max"]
+    assert row["overcount_ppm"] >= 0

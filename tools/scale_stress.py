@@ -81,7 +81,21 @@ QUERY_NAMES = [
 ]
 
 
-def build(spark, scales: list[int], tables: list[str] | None = None) -> None:
+def build(
+    spark,
+    scales: list[int],
+    tables: list[str] | None = None,
+    files: int = 0,
+) -> None:
+    """``files > 0`` repartitions each replicated fact to that many
+    output files.  The crossJoin replication otherwise inherits the
+    single-file source's partitioning and writes ONE part file, which
+    Spark then reads as maxPartitionBytes-granularity splits — a 90 MB
+    single-file fact becomes a ONE-split scan, serializing the read
+    side of every measurement on one core.  A production 100 TB table
+    is thousands of files/row groups; files=32 makes the scratch
+    replica's split structure match what the measurement claims to
+    model."""
     for r in scales:
         dst = os.path.join(OUT, f"x{r}")
         if tables is None and os.path.isdir(dst):
@@ -110,6 +124,8 @@ def build(spark, scales: list[int], tables: list[str] | None = None) -> None:
                         k, F.col(k) + F.col("__copy") * F.lit(bases[k])
                     )
                 out = out.drop("__copy")
+            if files:
+                out = out.repartition(files)
             out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
         for t in DIMS:
             spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
@@ -197,6 +213,13 @@ def main() -> None:
         help="also count each query's output rows (outside the timed runs)",
     )
     ap.add_argument(
+        "--files",
+        type=int,
+        default=0,
+        help="repartition each built fact to N output files (0 = inherit; "
+        "see build() — single-file replicas serialize the scan side)",
+    )
+    ap.add_argument(
         "--emb",
         default="both",
         choices=["both", "collapsed", "direct", "none"],
@@ -213,6 +236,7 @@ def main() -> None:
         build(
             spark, scales,
             tables=[t for t in args.tables.split(",") if t] if args.tables else None,
+            files=args.files,
         )
 
     results: dict[str, dict[int, dict]] = {}

@@ -46,7 +46,8 @@ these operators should call ``spark.catalog.clearCache()`` between
 jobs.  This convention covers EVERY persisting operator in the repo:
 this module (18 sites), operators/similarity.py (ivf centroid
 assignment), operators/graph.py (edge frames in pagerank/LPA/k-core),
-operators/sketches.py (register/bin frames), operators/curation.py
+operators/sketches.py (register/bin frames; the cms join-size per-key
+count tables, each feeding sketch + exact + size branches), operators/curation.py
 (e2e funnel, curation-DAG flag frame), operators/training.py (phase
 thresholds), operators/multimodal.py (hash frame),
 operators/rollups.py (seasonal-naive hourly series, both sides of its

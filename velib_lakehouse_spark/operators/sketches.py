@@ -1133,3 +1133,156 @@ ORACLE["hll_set_overlap_audit"] = f"""
       ON x.source_a = e.source_a AND x.source_b = e.source_b
 """
 QUERIES["hll_set_overlap_audit"] = hll_set_overlap_audit
+
+
+# ---- CMS inner-product JOIN-SIZE estimation audited against exact ----
+
+CMS_JOIN_W = 64  # join-size sketch width; est error ~ |R||S|/w per row
+
+
+def cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join CARDINALITY estimated from two count-min sketches by
+    the row-wise inner product (the AGMS/CM estimate: ``est_d = sum_b
+    cntR[d][b] * cntS[d][b]``, final = min over the d rows — Cormode &
+    Muthukrishnan 2005, §4.2), audited against the exact join size.
+    This is the question a cost-based optimizer asks BEFORE running a
+    join — here |orders ⋈ orders[status=F]| on o_custkey, a key with
+    real multiplicity on both sides.
+
+    Collisions only ADD non-negative cross terms, so every row estimate
+    is a one-sided over-estimate and the min stays >= exact — the audit
+    emits the min/max row spread and the signed ppm error to show the
+    one-sidedness and how the d rows beat collisions down.
+
+    Scale shape: each side first reduces to its per-key COUNT table
+    (one key shuffle with map-side partial counts — |keys| rows out no
+    matter the row count), then hashes only the d x |keys| distinct
+    keys with the count as the cell weight: ``sketch[d][b] = sum of
+    n(k) over keys hashing to b``, identical to hashing every raw row
+    (counts are associative) but the md5 work scales with key
+    cardinality, not table size.  The oracle keeps the ROW-LEVEL
+    formulation, so the differential proves the count-weighted rewrite
+    exact.  Both registers reduce to d*w cells; the dot product joins
+    two broadcast-sized frames.  The exact side reuses the SAME
+    per-key count tables (persisted) — at 100 TB you keep the sketch
+    and drop the exact join.  All arithmetic is integer: counts,
+    products, and the final min are bit-exact under any partitioning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    lc = (
+        o.select(F.col("o_custkey").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    rc = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    seeds = spark.range(CMS_D).select(F.col("id").alias("seed"))
+
+    def _sketch(counts: DataFrame, cname: str) -> DataFrame:
+        return (
+            counts.crossJoin(F.broadcast(seeds))
+            .select(
+                "seed",
+                (
+                    seeded_md5_long(F.col("seed"), F.col("k")) % CMS_JOIN_W
+                ).alias("bucket"),
+                "n",
+            )
+            .groupBy("seed", "bucket")
+            .agg(F.sum("n").alias(cname))
+        )
+
+    dots = (
+        _sketch(lc, "cr")
+        .join(_sketch(rc, "cs"), ["seed", "bucket"])
+        .groupBy("seed")
+        .agg(F.sum(F.col("cr") * F.col("cs")).alias("row_est"))
+        .agg(
+            F.min("row_est").alias("est_join_size"),
+            F.max("row_est").alias("est_join_size_max"),
+        )
+    )
+    exact = (
+        lc.join(rc.select("k", F.col("n").alias("ns")), "k")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_keys"),
+            F.sum(F.col("n") * F.col("ns")).alias("exact_join_size"),
+        )
+    )
+    sizes = lc.agg(F.sum("n").alias("n_left")).crossJoin(
+        F.broadcast(rc.agg(F.sum("n").alias("n_right")))
+    )
+    return (
+        dots.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(sizes))
+        .select(
+            "n_left",
+            "n_right",
+            "n_shared_keys",
+            "exact_join_size",
+            "est_join_size",
+            "est_join_size_max",
+            F.expr(
+                "(est_join_size - exact_join_size) * 1000000"
+                " div nullif(exact_join_size, 0)"
+            ).alias("overcount_ppm"),
+        )
+    )
+
+
+ORACLE["cms_join_size_audit"] = f"""
+    WITH l AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+    ),
+    r AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders
+      WHERE o_orderstatus = 'F'
+    ),
+    seeds AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS seed),
+    skl AS (
+      SELECT seed, {sql_seeded_md5_long('seed', 'k')} % {CMS_JOIN_W}
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cr
+      FROM l CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    skr AS (
+      SELECT seed, {sql_seeded_md5_long('seed', 'k')} % {CMS_JOIN_W}
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cs
+      FROM r CROSS JOIN seeds GROUP BY 1, 2
+    ),
+    dots AS (
+      SELECT skl.seed, CAST(sum(skl.cr * skr.cs) AS BIGINT) AS row_est
+      FROM skl JOIN skr ON skl.seed = skr.seed AND skl.bucket = skr.bucket
+      GROUP BY skl.seed
+    ),
+    est AS (
+      SELECT CAST(min(row_est) AS BIGINT) AS est_join_size,
+             CAST(max(row_est) AS BIGINT) AS est_join_size_max
+      FROM dots
+    ),
+    exact AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_shared_keys,
+             CAST(sum(lc.nr * rc.ns) AS BIGINT) AS exact_join_size
+      FROM (SELECT k, count(*) AS nr FROM l GROUP BY k) lc
+      JOIN (SELECT k, count(*) AS ns FROM r GROUP BY k) rc
+        ON lc.k = rc.k
+    ),
+    sizes AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_left,
+             (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_right
+    )
+    SELECT sizes.n_left, sizes.n_right, exact.n_shared_keys,
+           exact.exact_join_size, est.est_join_size,
+           est.est_join_size_max,
+           (est.est_join_size - exact.exact_join_size) * 1000000
+             // nullif(exact.exact_join_size, 0) AS overcount_ppm
+    FROM est, exact, sizes
+"""
+QUERIES["cms_join_size_audit"] = cms_join_size_audit

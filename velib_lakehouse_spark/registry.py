@@ -55,11 +55,11 @@ DRIVER_WINDOW = 50
 #   curation_dag_lineage, streaming_backfill_merge,
 #   approx_percentile_parity_audit — new queries enter with a
 #   same-round driver row.
-# * 3 more new operators (second growth batch, same rule):
+# * 4 more new operators (second/third growth batches, same rule):
 #   mad_robust_outlier_days, recency_decay_engagement,
-#   hll_set_overlap_audit.
-# * The remaining 29 slots: oldest-green-first — the r1/r2-era rows,
-#   four rounds stale, in their original registration order.  The 14
+#   hll_set_overlap_audit, cms_join_size_audit.
+# * The remaining 28 slots: oldest-green-first — the r1/r2-era rows,
+#   four rounds stale, in their original registration order.  The 15
 #   r1/r2-era rows that don't fit head SECONDARY as the r7 queue.
 PRIORITY: tuple[str, ...] = (
     # final never-driver-checked queries (r6 queue, pre-staged order)
@@ -91,6 +91,9 @@ PRIORITY: tuple[str, ...] = (
     "mad_robust_outlier_days",
     "recency_decay_engagement",
     "hll_set_overlap_audit",
+    # new this round, third batch: CMS inner-product join-size
+    # estimation (the CBO's question answered from mergeable sketches)
+    "cms_join_size_audit",
     # oldest-green-first refresh: r1/r2-era rows (driver-checked green
     # in rounds 1-2, code unchanged since — stalest evidence first)
     "velib_silver_parse",
@@ -121,7 +124,6 @@ PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "join_broadcast_chain",
     "topn_orders_per_customer",
-    "collect_ordered_quantities",
 )
 
 # Registered immediately AFTER the window, highest value first: if a
@@ -135,6 +137,7 @@ SECONDARY: tuple[str, ...] = (
     "text_stats",
     "lang_id_heuristic",
     "token_count",
+    "collect_ordered_quantities",
     "doc_fingerprint",
     "deterministic_sample",
     "text_clean_redact",
