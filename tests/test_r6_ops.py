@@ -261,9 +261,16 @@ def test_recency_decay_matches_bruteforce(spark):
         ).collect()
     }
     assert got == expected
-    # freshest-day dominance: a day at age 0 outweighs the whole
-    # remaining horizon at equal totals (geometric series sum < 2^H)
+    # every user with in-horizon activity keeps a positive score
+    # (event value totals are non-negative in the fixture)
     assert all(v > 0 for v in got.values())
+    # freshest-day dominance: the age-0 weight 2^H strictly outweighs
+    # the whole remaining horizon at equal totals — the geometric-series
+    # property the scoring relies on, asserted on the weights themselves
+    assert (1 << DECAY_HORIZON_DAYS) > sum(
+        1 << (DECAY_HORIZON_DAYS - age)
+        for age in range(1, DECAY_HORIZON_DAYS + 1)
+    )
 
 
 # ---- hll_set_overlap_audit --------------------------------------------------

@@ -971,6 +971,13 @@ def hll_set_overlap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide identical IEEE-754 inputs in both engines, then floor.
     Signed err_ppm is NULL where the exact overlap is 0 (inclusion-
     exclusion noise has nothing to be relative to).
+
+    ``overlap_est`` is SIGNED by design: inclusion-exclusion subtracts
+    two noisy estimates, so when the true overlap is small relative to
+    the sketch's ~1.04/sqrt(m) std error (~26% at m=16) the estimate
+    can come out negative.  The audit keeps the sign — that IS the
+    noise being measured; a consumer wanting a count clamps at 0
+    (``greatest(overlap_est, 0)``) and loses the diagnostic.
     """
     d = load_table(spark, sf_dir, "documents")
     words = (
@@ -1198,11 +1205,22 @@ def cms_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("n").alias(cname))
         )
 
+    # LEFT join from the left sketch: a bucket with no right-side mass
+    # contributes cr * 0 = 0, so a seed whose buckets are fully disjoint
+    # from the right side still yields row_est = 0 (the correct
+    # one-sided estimate for a provably-empty join) instead of dropping
+    # out and NULLing the min/max.  Every seed appears in the left
+    # sketch whenever the left table is non-empty, so the per-seed
+    # grouping stays total.
     dots = (
         _sketch(lc, "cr")
-        .join(_sketch(rc, "cs"), ["seed", "bucket"])
+        .join(_sketch(rc, "cs"), ["seed", "bucket"], "left")
         .groupBy("seed")
-        .agg(F.sum(F.col("cr") * F.col("cs")).alias("row_est"))
+        .agg(
+            F.sum(
+                F.col("cr") * F.coalesce(F.col("cs"), F.lit(0))
+            ).alias("row_est")
+        )
         .agg(
             F.min("row_est").alias("est_join_size"),
             F.max("row_est").alias("est_join_size_max"),
@@ -1258,8 +1276,10 @@ ORACLE["cms_join_size_audit"] = f"""
       FROM r CROSS JOIN seeds GROUP BY 1, 2
     ),
     dots AS (
-      SELECT skl.seed, CAST(sum(skl.cr * skr.cs) AS BIGINT) AS row_est
-      FROM skl JOIN skr ON skl.seed = skr.seed AND skl.bucket = skr.bucket
+      SELECT skl.seed,
+             CAST(sum(skl.cr * COALESCE(skr.cs, 0)) AS BIGINT) AS row_est
+      FROM skl LEFT JOIN skr
+        ON skl.seed = skr.seed AND skl.bucket = skr.bucket
       GROUP BY skl.seed
     ),
     est AS (
