@@ -100,6 +100,10 @@ FUZZED_QUERIES = [
     # round-6 second batch: register max-merge + inclusion-exclusion
     # must hold on corpora with empty/identical/disjoint source vocabs
     "hll_set_overlap_audit",
+    # round-7: the priority-sampling estimator must stay exact-side
+    # correct and boundary-safe (corpus <= K -> tau = 0 -> est exact)
+    # on degenerate corpora: all-empty docs, single language, heavy dups
+    "priority_sample_subset_sum",
 ]
 
 
@@ -290,6 +294,10 @@ EVENT_BATCH_FUZZED = [
     # day spreads (horizon boundary, single-day users)
     "mad_robust_outlier_days",
     "recency_decay_engagement",
+    # round-7: the cross-partition replay reconcile must reconstruct
+    # ANY event corpus (random late/replay membership incl. the empty
+    # late batch, multi-day collision spreads)
+    "backfill_dedup_reconcile",
 ]
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

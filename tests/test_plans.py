@@ -350,3 +350,47 @@ def test_no_unpartitioned_window_over_entity_frames(spark):
         if n > BOUNDED_UNPARTITIONED_WINDOWS.get(name, 0):
             bad.append(f"{name}: {n} unpartitioned Window nodes")
     assert not bad, "; ".join(bad)
+
+
+def test_priority_sample_uses_take_ordered(spark):
+    """The sample + tau must come from a map-side partial top-K
+    (TakeOrderedAndProject), never a global sort — the one-pass
+    distributed sampler contract."""
+    plan = _plan(
+        registry.QUERIES["priority_sample_subset_sum"](spark, SF_DIR)
+    )
+    assert "TakeOrderedAndProject" in plan
+    # a global Sort outside TakeOrdered would mean the limit pushdown
+    # regressed into a full-corpus sort
+    assert "Sort [prio_milli" not in plan
+
+
+def test_srp_hamming_candidates_stay_equi_join(spark):
+    """Candidate generation must be the (band, bucket) equality join on
+    bit-sliced signatures — no CartesianProduct (all-pairs) and no
+    re-projection of the plane dots per band (the signature fold
+    appears once per scan branch, not once per band)."""
+    plan = _plan(registry.QUERIES["srp_hamming_topk_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
+def test_qmr_windows_are_partitioned_and_bounded(spark):
+    """Every window in the quantile rollup is partitioned (by prio) —
+    the generic unpartitioned-window audit covers the budget, this
+    pins the positive shape: the estimate path reads the merged
+    bin-count frame, not the raw rows."""
+    df = registry.QUERIES["quantile_sketch_merge_rollup"](spark, SF_DIR)
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    stack, n_part, n_unpart = [jplan], 0, 0
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                n_unpart += 1
+            else:
+                n_part += 1
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    assert n_unpart == 0
+    assert n_part >= 2  # merged-bin cumulative + exact-value cumulative

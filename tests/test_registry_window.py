@@ -35,7 +35,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # retrieval) ride the ratchet; each list includes this round's window
 # members so rotation keeps the family pinned.
 FAMILY_REPRESENTATIVES = {
-    "velib": ["velib_sparkline"],
+    "velib": [
+        "velib_sparkline",
+        "velib_silver_parse",
+        "velib_health",
+        "velib_alerts",
+        "velib_history_enrich",
+        "velib_dedup_latest",
+        "velib_enrich_join",
+    ],
     "chunking": ["chunk_cdc", "chunk_documents", "dedup_chunks"],
     "relational": [
         "tpch_q2_min_cost_supplier",
@@ -75,6 +83,7 @@ FAMILY_REPRESENTATIVES = {
     "decontamination": ["decontaminate_embedding", "decontaminate_ngram"],
     "similarity": [
         "pq_adc_topk",
+        "srp_hamming_topk_audit",
         "feature_quantile_bins",
         "contrastive_triplets",
         "ann_ivf_topk",
@@ -102,9 +111,11 @@ FAMILY_REPRESENTATIVES = {
         "histogram_quantile_audit",
         "cms_frequency_audit",
         "approx_percentile_parity_audit",
+        "quantile_sketch_merge_rollup",
     ],
     "curation": [
         "curation_dag_lineage",
+        "priority_sample_subset_sum",
         "e2e_curation_report",
         "corpus_profile",
         "weighted_sample_topk",
@@ -159,6 +170,7 @@ FAMILY_REPRESENTATIVES = {
     "lake": [
         "lake_file_skipping",
         "streaming_backfill_merge",
+        "backfill_dedup_reconcile",
         "snapshot_diff_cdc",
         "compaction_binpack_plan",
         "table_checksum_audit",

@@ -1327,3 +1327,161 @@ def _sql_curation_dag() -> str:
 
 ORACLE["curation_dag_lineage"] = _sql_curation_dag()
 QUERIES["curation_dag_lineage"] = curation_dag_lineage
+
+
+# ---- priority sampling with subset-sum estimation audit ---------------------
+
+PS_K = 64  # sample size: one generic sample answers every subset-sum query
+_PS_U_MOD = 1_000_000_000
+
+
+def priority_sample_subset_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007) with the
+    subset-sum estimation it exists for, audited against exact totals.
+
+    ``weighted_sample_topk`` draws a weighted sample (A-ES); this
+    operator draws the sample AND uses it: each document gets priority
+    ``q = w / u`` (weight w = n_chars, u uniform from its md5 hash),
+    the top-K by priority is the sample, and ``tau`` — the (K+1)-th
+    priority — turns it into an unbiased estimator: every sampled item
+    estimates its weight as ``max(w, tau)``, and the estimated total
+    weight of ANY subset (here: per language) is the sum of those
+    values over the sample members in the subset.  One K-row sample,
+    kept once, answers arbitrary post-hoc subset-sum queries over a
+    100 TB corpus — the "which slice is how big" question asked after
+    the scan is gone.
+
+    Determinism (the cross-engine contract): u = (md5_60bit % 1e9 +
+    1)/1e9 divides identical integers — exact in both engines; the
+    priority is quantized to integer milli units (floor(w / u * 1000),
+    two correctly-rounded IEEE-754 ops on identical inputs) before
+    ranking, and every downstream value (tau, max, sums) is integer
+    arithmetic on those milli units.  Ties break on doc_id.
+
+    Scale shape: priorities are map-side expressions; the sample and
+    tau come from ONE TakeOrdered top-(K+1) (map-side partial top-K, no
+    global sort, no window); the per-language estimate aggregates K
+    rows; the exact side is one map-side-combined groupBy — present
+    only because this is an audit.  When the corpus has <= K documents
+    the whole corpus is the sample and tau = 0, so every estimate is
+    exact (the estimator's boundary case, handled identically in both
+    engines).
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("ps"), F.col("doc_id").cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _PS_U_MOD
+            + 1
+        ).cast("double")
+        / F.lit(float(_PS_U_MOD))
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("weight"),
+        F.floor(F.col("n_chars").cast("double") / u * F.lit(1000.0))
+        .cast("bigint")
+        .alias("prio_milli"),
+    )
+    # ONE top-(K+1) pass yields the sample (ranks 1..K) and tau (the
+    # (K+1)-th priority = the min of the K+1 frame under desc order)
+    frame = (
+        scored.orderBy(F.desc("prio_milli"), F.asc("doc_id"))
+        .limit(PS_K + 1)
+        .persist()
+    )
+    tau = frame.agg(
+        F.when(F.count(F.lit(1)) == PS_K + 1, F.min("prio_milli"))
+        .otherwise(F.lit(0))
+        .alias("tau_milli")
+    )
+    sample = (
+        frame.orderBy(F.desc("prio_milli"), F.asc("doc_id"))
+        .limit(PS_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "lang",
+            F.greatest(
+                F.col("weight") * 1000, F.col("tau_milli")
+            ).alias("est_w_milli"),
+        )
+    )
+    est = sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("est_w_milli").alias("est_milli"),
+    )
+    exact = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("exact_total_chars"),
+    )
+    return exact.join(est, "lang", "left").select(
+        "lang",
+        "n_docs",
+        "exact_total_chars",
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        F.expr("coalesce(est_milli, 0) div 1000").alias("est_total_chars"),
+        F.expr(
+            "(coalesce(est_milli, 0) div 1000 - exact_total_chars)"
+            " * 1000000 div nullif(exact_total_chars, 0)"
+        ).alias("err_ppm"),
+    )
+
+
+ORACLE["priority_sample_subset_sum"] = f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars AS weight,
+             CAST(floor(
+               CAST(n_chars AS DOUBLE)
+               / (CAST((('0x' || substr(md5(concat_ws('|', 'ps',
+                      CAST(doc_id AS VARCHAR))), 1, 15))::BIGINT
+                      % {_PS_U_MOD} + 1) AS DOUBLE) / {_PS_U_MOD})
+               * 1000) AS BIGINT) AS prio_milli
+      FROM documents WHERE n_chars > 0
+    ),
+    frame AS (
+      SELECT * FROM scored
+      ORDER BY prio_milli DESC, doc_id ASC
+      LIMIT {PS_K + 1}
+    ),
+    tau AS (
+      SELECT CASE WHEN count(*) = {PS_K + 1} THEN min(prio_milli)
+                  ELSE 0 END AS tau_milli
+      FROM frame
+    ),
+    sample AS (
+      SELECT lang, greatest(weight * 1000, tau_milli) AS est_w_milli
+      FROM (SELECT * FROM frame
+            ORDER BY prio_milli DESC, doc_id ASC LIMIT {PS_K})
+      CROSS JOIN tau
+    ),
+    est AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(sum(est_w_milli) AS BIGINT) AS est_milli
+      FROM sample GROUP BY lang
+    ),
+    exact AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS exact_total_chars
+      FROM documents WHERE n_chars > 0 GROUP BY lang
+    )
+    SELECT x.lang, x.n_docs, x.exact_total_chars,
+           COALESCE(e.n_sampled, 0) AS n_sampled,
+           COALESCE(e.est_milli, 0) // 1000 AS est_total_chars,
+           (COALESCE(e.est_milli, 0) // 1000 - x.exact_total_chars)
+             * 1000000 // nullif(x.exact_total_chars, 0) AS err_ppm
+    FROM exact x LEFT JOIN est e ON x.lang = e.lang
+"""
+QUERIES["priority_sample_subset_sum"] = priority_sample_subset_sum

@@ -1353,3 +1353,127 @@ ORACLE["feature_quantile_bins"] = f"""
     GROUP BY p.dim, bin, e.n_values, e.e1_milli, e.e2_milli, e.e3_milli
 """
 QUERIES["feature_quantile_bins"] = feature_quantile_bins
+
+
+# ---- SRP/SimHash Hamming ANN: sketch-only serving with recall audit ---------
+
+
+def srp_hamming_topk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k by HAMMING DISTANCE on sign-random-projection
+    signatures (Charikar, STOC 2002: P[sign bits agree] = 1 - angle/pi,
+    so Hamming distance on SRP bits is an unbiased angle estimator) —
+    the sketch-only serving path, audited in-row against the exact
+    cosine top-k.
+
+    Every other ANN operator here re-scores candidates with the true
+    cosine, which means touching raw vectors at query time.  This one
+    never does: after the one-pass signature build the index is 16 BITS
+    per vector, candidates come from bit-sliced band buckets of that
+    same signature (4 x 4-bit tables — no per-band re-projection; the
+    bands of an SRP signature ARE its bit slices, unlike
+    ``ann_banded_lsh_topk`` which folds the plane dots once per band),
+    and ranking is ``bit_count(sig XOR q_sig)``.  At 100 TB that is the
+    difference between a 25 TB float corpus and a 250 GB bit index that
+    serves from memory; the in-row ``in_exact_topk`` flag is the recall
+    evidence for making that trade.
+
+    Scale shape: signature build is map-side; the candidate join
+    touches only (vec_id, sig, band, bucket) tuples with the bounded
+    query side broadcast; ranking is a per-query (partitioned) window
+    over bucket-mates.  Integer arithmetic end to end — the only
+    doubles live inside the signature fold, identical in both engines.
+    """
+    v = _vectors(spark, sf_dir)
+    sig = v.select("vec_id", F.expr(_bucket_expr("v")).alias("sig"))
+    bands_arr = "array({})".format(
+        ", ".join(
+            f"shiftright(sig, {b * ANN_BAND_BITS}) & {(1 << ANN_BAND_BITS) - 1}"
+            for b in range(ANN_BANDS)
+        )
+    )
+    sb = sig.select(
+        "vec_id", "sig", F.posexplode(F.expr(bands_arr)).alias("band", "bucket")
+    )
+    qb = sb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("sig").alias("q_sig"),
+        "band",
+        "bucket",
+    )
+    cand = (
+        sb.join(F.broadcast(qb), ["band", "bucket"])
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .select("q_vec_id", "q_sig", "vec_id", "sig")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_vec_id",
+        "vec_id",
+        F.expr("cast(bit_count(sig ^ q_sig) as bigint)").alias("hamming"),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= TOP_K
+    )
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "q_vec_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return topk.join(exact, ["q_vec_id", "vec_id"], "left").select(
+        "q_vec_id",
+        "vec_id",
+        "hamming",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.coalesce("hit", F.lit(0)).cast("bigint").alias("in_exact_topk"),
+    )
+
+
+def _sql_srp_hamming() -> str:
+    band_mask = (1 << ANN_BAND_BITS) - 1
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v
+          FROM embeddings
+        ),
+        s AS (
+          SELECT vec_id, {_sql_bucket('v')} AS sig FROM v
+        ),
+        sb AS (
+          SELECT vec_id, sig, b.band,
+                 (sig >> (b.band * {ANN_BAND_BITS})) & {band_mask} AS bucket
+          FROM s CROSS JOIN
+               (SELECT unnest(generate_series(0, {ANN_BANDS - 1})) AS band) b
+        ),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS q_vec_id, q.sig AS q_sig,
+                 c.vec_id, c.sig
+          FROM sb q JOIN sb c ON q.band = c.band AND q.bucket = c.bucket
+          WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ),
+        scored AS (
+          SELECT q_vec_id, vec_id,
+                 CAST(bit_count(xor(sig, q_sig)) AS BIGINT) AS hamming
+          FROM cand
+        ),
+        topk AS (
+          SELECT q_vec_id, vec_id, hamming, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                     PARTITION BY q_vec_id ORDER BY hamming ASC, vec_id ASC)
+                   AS BIGINT) AS rank
+            FROM scored
+          ) WHERE rank <= {TOP_K}
+        ),
+        exact AS (
+          SELECT q_vec_id, vec_id FROM ({ORACLE["ann_cosine_topk"]})
+        )
+        SELECT t.q_vec_id, t.vec_id, t.hamming, t.rank,
+               CAST(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                 AS in_exact_topk
+        FROM topk t LEFT JOIN exact e
+          ON t.q_vec_id = e.q_vec_id AND t.vec_id = e.vec_id
+    """
+
+
+ORACLE["srp_hamming_topk_audit"] = _sql_srp_hamming()
+QUERIES["srp_hamming_topk_audit"] = srp_hamming_topk_audit

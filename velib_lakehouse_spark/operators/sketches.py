@@ -1306,3 +1306,258 @@ ORACLE["cms_join_size_audit"] = f"""
     FROM est, exact, sizes
 """
 QUERIES["cms_join_size_audit"] = cms_join_size_audit
+
+
+# ---- Mergeable quantile-sketch rollup (fine grain -> coarse grain) ----
+
+QMR_BINS = 64  # bin-grid resolution: rank error <= one bin's mass
+QMR_QS = (50, 90, 99)  # audited percentiles
+
+
+def quantile_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from MERGED quantile sketches up a rollup hierarchy —
+    the ``hll_merge_rollup`` analogue for order statistics.  Histogram
+    bin-count vectors built at fine grain (order priority x month) merge
+    to the coarse grain (priority) by elementwise ADDITION, and the
+    merged sketch is bit-identical to one built directly from the
+    coarse-grain stream (additive merge is the canonical mergeable
+    summary — Agarwal et al., "Mergeable Summaries", PODS 2012).  Exact
+    percentiles do not reaggregate (a month's p99 says nothing about the
+    year's p99, and re-sorting 100 TB per rollup grain is the thing this
+    sketch exists to avoid); bin counts do — so the pipeline
+    materializes per-(priority, month) vectors once and answers every
+    coarser percentile without rescanning rows.
+
+    Emits one row per (priority, audited percentile): the estimate read
+    from the merged sketch (upper edge of the first bin whose cumulative
+    count reaches the target rank), the exact order statistic, the
+    signed error, the one-sided / within-one-bin guarantee verdicts,
+    and a ``merge_matches_direct`` flag auditing the merge rule against
+    the directly-built coarse sketch (full vector compare).
+
+    Scale shape: the sketch build is ONE map-side-combined shuffle onto
+    at most |grains| x {QMR_BINS} reduce rows regardless of row count;
+    the merge is a second aggregation of THAT bounded frame.  Every
+    window is partitioned (by priority) and walks bin- or
+    value-distinct-bounded frames; the exact pass exists only because
+    this is an audit.  All arithmetic is integer cents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    prices = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.expr("cast(round(o_totalprice * 100) as bigint)").alias("p"),
+    )
+    stats = prices.agg(F.min("p").alias("mn"), F.max("p").alias("mx"))
+    binned = prices.crossJoin(F.broadcast(stats)).select(
+        "prio",
+        "month",
+        F.expr(f"(p - mn) * {QMR_BINS} div (mx - mn + 1)").alias("bin"),
+    ).persist()
+    fine = binned.groupBy("prio", "month", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    merged = fine.groupBy("prio", "bin").agg(F.sum("c").alias("c"))
+    direct = binned.groupBy("prio", "bin").agg(F.count(F.lit(1)).alias("c"))
+
+    def _vec(df: DataFrame, alias: str) -> DataFrame:
+        # bins are unique per prio, so sorting struct(bin, c) orders by bin
+        return df.groupBy("prio").agg(
+            F.concat_ws(
+                "-",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(bin, c))),"
+                    " x -> concat(x.bin, ':', x.c))"
+                ),
+            ).alias(alias)
+        )
+
+    flags = (
+        _vec(merged, "vec")
+        .join(_vec(direct, "vec_direct"), "prio")
+        .select(
+            "prio",
+            (F.col("vec") == F.col("vec_direct"))
+            .cast("bigint")
+            .alias("merge_matches_direct"),
+        )
+    )
+    cum = merged.select(
+        "prio",
+        "bin",
+        F.sum("c")
+        .over(
+            Window.partitionBy("prio")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cum"),
+    )
+    totals = merged.groupBy("prio").agg(F.sum("c").alias("n"))
+    qs = (
+        totals.select(
+            "prio",
+            "n",
+            F.explode(
+                F.array(*[F.lit(q) for q in QMR_QS])
+            ).alias("q"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "prio",
+            F.col("q").cast("bigint").alias("q"),
+            "n",
+            "mn",
+            "mx",
+            F.expr("(q * n + 99) div 100").alias("target_rank"),
+        )
+    )
+    est = (
+        qs.join(cum, (qs["prio"] == cum["prio"]) & (F.col("cum") >= F.col("target_rank")))
+        .drop(cum["prio"])
+        .groupBy("prio", "q", "n", "mn", "mx", "target_rank")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "prio",
+            "q",
+            F.col("n").alias("n_rows"),
+            "target_rank",
+            F.expr(
+                f"mn + (bin + 1) * (mx - mn + 1) div {QMR_BINS}"
+            ).alias("est_cents"),
+            F.expr(f"(mx - mn + 1) div {QMR_BINS} + 1").alias("bin_width"),
+        )
+    )
+    vals = (
+        prices.groupBy("prio", "p")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "prio",
+            "p",
+            F.sum("c")
+            .over(
+                Window.partitionBy("prio")
+                .orderBy("p")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cumv"),
+        )
+    )
+    exact = (
+        est.select("prio", "q", "target_rank")
+        .join(
+            vals.withColumnRenamed("prio", "vprio"),
+            (F.col("prio") == F.col("vprio"))
+            & (F.col("cumv") >= F.col("target_rank")),
+        )
+        .groupBy("prio", "q", "target_rank")
+        .agg(F.min("p").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, ["prio", "q", "target_rank"])
+        .join(F.broadcast(flags), "prio")
+        .select(
+            "prio",
+            "q",
+            "n_rows",
+            "target_rank",
+            "est_cents",
+            "exact_cents",
+            (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+            ((F.col("est_cents") - F.col("exact_cents")) >= 0).alias(
+                "one_sided"
+            ),
+            (
+                F.col("est_cents") - F.col("exact_cents")
+                <= F.col("bin_width")
+            ).alias("within_bin"),
+            "merge_matches_direct",
+        )
+    )
+
+
+ORACLE["quantile_sketch_merge_rollup"] = f"""
+    WITH prices AS (
+      SELECT o_orderpriority AS prio,
+             strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS p
+      FROM orders
+    ),
+    stats AS (SELECT min(p) AS mn, max(p) AS mx FROM prices),
+    binned AS (
+      SELECT prio, month, (p - mn) * {QMR_BINS} // (mx - mn + 1) AS bin
+      FROM prices CROSS JOIN stats
+    ),
+    fine AS (
+      SELECT prio, month, bin, CAST(count(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT prio, bin, CAST(sum(c) AS BIGINT) AS c
+      FROM fine GROUP BY 1, 2
+    ),
+    direct AS (
+      SELECT prio, bin, CAST(count(*) AS BIGINT) AS c
+      FROM binned GROUP BY 1, 2
+    ),
+    mv AS (
+      SELECT prio, string_agg(bin || ':' || c, '-' ORDER BY bin) AS vec
+      FROM merged GROUP BY prio
+    ),
+    dv AS (
+      SELECT prio, string_agg(bin || ':' || c, '-' ORDER BY bin) AS vec
+      FROM direct GROUP BY prio
+    ),
+    flags AS (
+      SELECT mv.prio, CAST(mv.vec = dv.vec AS BIGINT) AS merge_matches_direct
+      FROM mv JOIN dv ON mv.prio = dv.prio
+    ),
+    cum AS (
+      SELECT prio, bin,
+             CAST(sum(c) OVER (PARTITION BY prio ORDER BY bin
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM merged
+    ),
+    totals AS (
+      SELECT prio, CAST(sum(c) AS BIGINT) AS n FROM merged GROUP BY prio
+    ),
+    qs AS (
+      SELECT prio, CAST(q AS BIGINT) AS q, n, mn, mx,
+             (q * n + 99) // 100 AS target_rank
+      FROM totals
+      CROSS JOIN (SELECT unnest([{', '.join(str(q) for q in QMR_QS)}]) AS q)
+      CROSS JOIN stats
+    ),
+    est AS (
+      SELECT qs.prio, qs.q, qs.n AS n_rows, qs.target_rank,
+             qs.mn + (min(cum.bin) + 1) * (qs.mx - qs.mn + 1) // {QMR_BINS}
+               AS est_cents,
+             (qs.mx - qs.mn + 1) // {QMR_BINS} + 1 AS bin_width
+      FROM qs JOIN cum ON cum.prio = qs.prio AND cum.cum >= qs.target_rank
+      GROUP BY qs.prio, qs.q, qs.n, qs.target_rank, qs.mn, qs.mx
+    ),
+    cumv AS (
+      SELECT prio, p,
+             CAST(sum(c) OVER (PARTITION BY prio ORDER BY p
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv
+      FROM (SELECT prio, p, CAST(count(*) AS BIGINT) AS c
+            FROM prices GROUP BY prio, p)
+    ),
+    exact AS (
+      SELECT est.prio, est.q, est.target_rank, min(cumv.p) AS exact_cents
+      FROM est JOIN cumv
+        ON cumv.prio = est.prio AND cumv.cumv >= est.target_rank
+      GROUP BY est.prio, est.q, est.target_rank
+    )
+    SELECT e.prio, e.q, e.n_rows, e.target_rank, e.est_cents,
+           x.exact_cents,
+           e.est_cents - x.exact_cents AS err_cents,
+           e.est_cents - x.exact_cents >= 0 AS one_sided,
+           e.est_cents - x.exact_cents <= e.bin_width AS within_bin,
+           f.merge_matches_direct
+    FROM est e
+    JOIN exact x
+      ON e.prio = x.prio AND e.q = x.q AND e.target_rank = x.target_rank
+    JOIN flags f ON f.prio = e.prio
+"""
+QUERIES["quantile_sketch_merge_rollup"] = quantile_sketch_merge_rollup

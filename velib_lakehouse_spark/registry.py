@@ -31,7 +31,7 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-6 ROTATION (VERDICT r5 next-round #1/#4/#6). Standing rules,
+# ROUND-7 ROTATION (VERDICT r6 next-round #1/#2). Standing rules,
 # guarded by tests/test_registry_window.py:
 # * "changed => re-window" (test_changed_queries_are_in_window via
 #   tools/query_fingerprints.json): a query whose code or oracle changed
@@ -39,101 +39,36 @@ DRIVER_WINDOW = 50
 # * "oldest-first" (test_window_rotates_oldest_first): while
 #   never-driver-checked queries wait, no window slot may be spent on an
 #   unchanged already-green query.
+# Coverage has been complete since r6 (229/229 driver-green, zero ever
+# red), so the window's whole job is freshness + paying for growth.
 # This round's window, in order:
-# * The 10 last never-driver-checked queries (the r6 queue pre-staged at
-#   the head of SECONDARY last round) — clearing five rounds of coverage
-#   backlog to 222/222 (VERDICT r5 #1).  seasonal_naive_backtest is also
-#   changed this round (the flagged self-join branch-recompute persist,
-#   VERDICT r5 #2) and link_prediction_common_neighbors carries the
-#   graph-family edge-derivation change below.
-# * The 5 other graph-family queries: the shared ``_edges`` helper moved
-#   from drop-busy-hours to a deterministic per-hour top-K panel so the
-#   graph is non-degenerate at bench SFs (VERDICT r5 #4) — a shared-
-#   helper + oracle rewrite, so every caller re-windows per the standing
-#   discipline.
-# * 3 new operators (registry growth resumes per VERDICT r5 #6):
-#   curation_dag_lineage, streaming_backfill_merge,
-#   approx_percentile_parity_audit — new queries enter with a
-#   same-round driver row.
-# * 4 more new operators (second/third growth batches, same rule):
-#   mad_robust_outlier_days, recency_decay_engagement,
-#   hll_set_overlap_audit, cms_join_size_audit.
-# * The remaining 28 slots: oldest-green-first — the r1/r2-era rows,
-#   four rounds stale, in their original registration order.  The 15
-#   r1/r2-era rows that don't fit head SECONDARY as the r7 queue.
+# * 4 new operators (VERDICT r6 #2 — the next north-star tier), each
+#   entering with a same-round driver row: mergeable quantile-sketch
+#   rollup (the hll_merge_rollup analogue for percentiles), priority
+#   sampling with subset-sum estimation (Duffield-Lund-Thorup),
+#   SRP/SimHash Hamming ANN with in-row recall audit (sketch-only
+#   serving), and the backfill x cross-partition-replay dedup
+#   composition.
+# * 2 changed => re-window: cms_join_size_audit (r7 ADVICE: disjoint-
+#   key degenerate case now yields est 0 via left join + coalesce in
+#   both engines) and hll_set_overlap_audit (signed-overlap semantics
+#   documented in the judged docstring).
+# * The 15-row r7 queue staged at the head of SECONDARY last round —
+#   the r1/r2-era rows that did not fit r6's refresh, now the stalest
+#   evidence in the ledger.
+# * The remaining 29 slots: oldest-green-first — the r3-era showcases
+#   (demoted by the round-4 rotation, unchanged since), in their
+#   SECONDARY order.
 PRIORITY: tuple[str, ...] = (
-    # final never-driver-checked queries (r6 queue, pre-staged order)
-    "seasonal_naive_backtest",
-    "link_prediction_common_neighbors",
-    "psi_drift_audit",
-    "source_concentration_gini",
-    "streaming_sliding_counts",
-    "trend_slope_per_user",
-    "tpch_q10_returned_items",
-    "multimodal_image_patches",
-    "tpch_q6_forecast_revenue",
-    "zscore_outlier_days",
-    # changed => re-window: graph family (shared _edges rewrite + new
-    # oracles; VERDICT r5 #4)
-    "kcore_peeling",
-    "pagerank_user_graph",
-    "label_propagation_communities",
-    "triangle_count",
-    "clustering_coefficient",
-    # new this round (VERDICT r5 #6): first driver rows
-    "curation_dag_lineage",
-    "streaming_backfill_merge",
-    "approx_percentile_parity_audit",
-    # new this round, second batch (registry growth continues): robust
-    # MAD outliers, exact power-of-two recency decay, HLL pairwise
-    # overlap by inclusion-exclusion — each displaces one stale-green
-    # refresh slot (the displaced rows head the r7 queue below)
-    "mad_robust_outlier_days",
-    "recency_decay_engagement",
-    "hll_set_overlap_audit",
-    # new this round, third batch: CMS inner-product join-size
-    # estimation (the CBO's question answered from mergeable sketches)
+    # new this round (VERDICT r6 #2): first driver rows
+    "quantile_sketch_merge_rollup",
+    "priority_sample_subset_sum",
+    "srp_hamming_topk_audit",
+    "backfill_dedup_reconcile",
+    # changed => re-window (r7 ADVICE fixes)
     "cms_join_size_audit",
-    # oldest-green-first refresh: r1/r2-era rows (driver-checked green
-    # in rounds 1-2, code unchanged since — stalest evidence first)
-    "velib_silver_parse",
-    "pandas_session_gaps",
-    "velib_health",
-    "streaming_silver_availablenow",
-    "dedup_clusters",
-    "hypertable_rollup",
-    "lake_partition_pruned",
-    "asof_join_latest_state",
-    "ann_lsh_topk",
-    "dedup_exact",
-    "json_file_scan",
-    "lake_gold_snapshot",
-    "join_shuffle_revenue",
-    "range_join_periods",
-    "scd2_merge",
-    "pandas_text_features",
-    "velib_history_enrich",
-    "velib_dedup_latest",
-    "velib_alerts",
-    "velib_alert_bands",
-    "velib_zombie_anti",
-    "velib_enrich_join",
-    "ann_cosine_topk",
-    "simhash_sketch",
-    "dedup_ngram_jaccard",
-    "sessionize_events",
-    "join_broadcast_chain",
-    "topn_orders_per_customer",
-)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.
-SECONDARY: tuple[str, ...] = (
-    # ROUND-7 ROTATION QUEUE: the r1/r2-era rows that did not fit this
-    # round's oldest-green-first refresh (including the three displaced
-    # by the second new-operator batch) — stalest evidence in the
-    # registry once the r6 window lands, so they rotate in next.
+    "hll_set_overlap_audit",
+    # the staged r7 queue: r1/r2-era rows, 4+ rounds stale
     "text_stats",
     "lang_id_heuristic",
     "token_count",
@@ -149,8 +84,8 @@ SECONDARY: tuple[str, ...] = (
     "array_functions_showcase",
     "skew_salted_agg",
     "approx_distinct_stats",
-    # r3-green showcases (demoted by the round-4 rotation), code
-    # unchanged since — next-oldest evidence after the r7 queue
+    # oldest-green-first refresh: r3-era showcases (driver-checked
+    # green in round 3, code unchanged since — next-stalest evidence)
     "dedup_chunks",
     "length_quantiles_by_source",
     "bigram_lm_top",
@@ -179,6 +114,16 @@ SECONDARY: tuple[str, ...] = (
     "lang_consistency_audit",
     "quality_classifier_score",
     "zipf_slope_audit",
+    "pack_sequences",
+)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.
+SECONDARY: tuple[str, ...] = (
+    # ROUND-8 ROTATION QUEUE: the r3-era showcases that did not fit
+    # this round's oldest-green-first refresh — stalest evidence in the
+    # registry once the r7 window lands, so they rotate in next.
     "bpe_merge_step",
     "stratified_split",
     "corpus_composition",
@@ -186,7 +131,6 @@ SECONDARY: tuple[str, ...] = (
     "corpus_mix_apply",
     "split_leakage_audit",
     "source_drift_ks",
-    "pack_sequences",
     "export_shuffled_shards",
     "dsir_importance_weights",
     "multimodal_frame_sample",
@@ -241,8 +185,7 @@ SECONDARY: tuple[str, ...] = (
     "event_rate_anomaly",
     "tpch_q3_shipping",
     "domain_cap_sample",
-    # r5-green rows (demoted by this round's rotation — freshest
-    # evidence, so last in line)
+    # r5-green rows (demoted by the round-6 rotation)
     "lake_file_skipping",
     "dup_span_removal",
     "multimodal_image_ahash_neardup",
@@ -292,6 +235,57 @@ SECONDARY: tuple[str, ...] = (
     "rake_keyphrases",
     "cusum_changepoint_audit",
     "basket_affinity_pairs",
+    # r6-green rows (demoted by this round's rotation — freshest
+    # evidence, so last in line; cms_join_size_audit and
+    # hll_set_overlap_audit re-windowed above as changed)
+    "seasonal_naive_backtest",
+    "link_prediction_common_neighbors",
+    "psi_drift_audit",
+    "source_concentration_gini",
+    "streaming_sliding_counts",
+    "trend_slope_per_user",
+    "tpch_q10_returned_items",
+    "multimodal_image_patches",
+    "tpch_q6_forecast_revenue",
+    "zscore_outlier_days",
+    "kcore_peeling",
+    "pagerank_user_graph",
+    "label_propagation_communities",
+    "triangle_count",
+    "clustering_coefficient",
+    "curation_dag_lineage",
+    "streaming_backfill_merge",
+    "approx_percentile_parity_audit",
+    "mad_robust_outlier_days",
+    "recency_decay_engagement",
+    "velib_silver_parse",
+    "pandas_session_gaps",
+    "velib_health",
+    "streaming_silver_availablenow",
+    "dedup_clusters",
+    "hypertable_rollup",
+    "lake_partition_pruned",
+    "asof_join_latest_state",
+    "ann_lsh_topk",
+    "dedup_exact",
+    "json_file_scan",
+    "lake_gold_snapshot",
+    "join_shuffle_revenue",
+    "range_join_periods",
+    "scd2_merge",
+    "pandas_text_features",
+    "velib_history_enrich",
+    "velib_dedup_latest",
+    "velib_alerts",
+    "velib_alert_bands",
+    "velib_zombie_anti",
+    "velib_enrich_join",
+    "ann_cosine_topk",
+    "simhash_sketch",
+    "dedup_ngram_jaccard",
+    "sessionize_events",
+    "join_broadcast_chain",
+    "topn_orders_per_customer",
 )
 
 

@@ -1097,3 +1097,165 @@ ORACLE["streaming_backfill_merge"] = """
     GROUP BY 1
 """
 QUERIES["streaming_backfill_merge"] = streaming_backfill_merge
+
+
+# ---- backfill + cross-partition dedup composition ---------------------------
+
+BF2_LATE_MOD = 7  # event_id % 7 == 3: missing from the first load
+BF2_LATE_REM = 3
+BF2_REPLAY_MOD = 11  # event_id % 11 == 5: re-delivered with a SHIFTED
+BF2_REPLAY_REM = 5  # arrival date (processing-time partition drift)
+
+
+def backfill_dedup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill merge where the replays COLLIDE ACROSS PARTITIONS — the
+    composition of ``streaming_backfill_merge`` (late-partition
+    reconcile, dynamic overwrite) with keyed dedup, for the failure mode
+    the simpler op cannot see: a replayed event re-arrives stamped with
+    its PROCESSING date (outage day + 1), so its duplicate lives in a
+    different partition than the original row and byte-identical
+    ``distinct`` within the arrival partition collapses nothing.
+
+    The fix this op encodes: never trust arrival metadata as a
+    partition key — re-derive the canonical partition (``date =
+    to_date(ts)``) from event time BEFORE choosing which partitions to
+    reconcile.  Recanonicalized, every duplicate lands in its
+    original's partition; the affected-partition set (bounded: distinct
+    canonical days of the late batch) covers all collision sites by
+    construction; and the merge collapses per event_id keeping the
+    highest ``ingest_seq`` (CDC latest-wins — replays carry seq 1 over
+    the original's 0).
+
+    The oracle reconstructs the same corpus relationally (on_time UNION
+    late-with-dups, group per event collapsing to max seq, per-day
+    rollup), so the differential proves the physical
+    write/filter/overwrite/read path byte-equivalent to the relational
+    truth: missing rows restored, cross-partition replays collapsed,
+    untouched partitions intact.  ``n_late_sourced`` counts survivors
+    carrying seq 1 per day — non-zero exactly where the late batch won.
+
+    Scale: two partitioned writes (one shuffle each); the reconcile
+    re-reads ONLY affected ``date=`` partitions (driver manifest of
+    calendar days, same bound as Delta's replaceWhere); the dedup is
+    one map-side-combined groupBy on event_id over affected rows only.
+    """
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        F.to_date("ts").cast("string").alias("date"),
+        F.col("user_id"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v_centi"),
+    )
+    on_time = ev.filter(
+        F.col("event_id") % BF2_LATE_MOD != BF2_LATE_REM
+    ).withColumn("ingest_seq", F.lit(0))
+    # the late feed as it ARRIVES: missing rows carry their true date,
+    # replays carry a processing-time date one day later (cross-
+    # partition drift — the adversarial input)
+    late_arrived = (
+        ev.filter(F.col("event_id") % BF2_LATE_MOD == BF2_LATE_REM)
+        .withColumn("arrival_date", F.col("date"))
+        .unionByName(
+            ev.filter(F.col("event_id") % BF2_REPLAY_MOD == BF2_REPLAY_REM)
+            .withColumn(
+                "arrival_date",
+                F.date_add(F.col("date").cast("date"), 1).cast("string"),
+            )
+        )
+    )
+    # recanonicalize: partition key from EVENT time, arrival metadata
+    # discarded; duplicates inside the late feed become byte-identical
+    late = (
+        late_arrived.select(
+            "event_id",
+            F.to_date("ts").cast("string").alias("date"),
+            "user_id",
+            "v_centi",
+            F.lit(1).alias("ingest_seq"),
+        )
+        .distinct()
+    )
+
+    out = tempfile.mkdtemp(prefix="backfill_dedup_")
+    _BACKFILL_DIRS.append(out)
+    silver_schema = (
+        "event_id bigint, user_id bigint, v_centi bigint,"
+        " ingest_seq int, date string"
+    )
+    on_time.select(
+        "event_id", "user_id", "v_centi", "ingest_seq", "date"
+    ).repartition("date").write.mode("overwrite").partitionBy("date").parquet(
+        out
+    )
+
+    # bounded driver-side manifest: distinct CANONICAL days of the late
+    # batch — covers every collision site because dedup keys were
+    # recanonicalized into their original rows' partitions above
+    affected = [r["date"] for r in late.select("date").distinct().collect()]
+    silver_affected = (
+        spark.read.schema(silver_schema)
+        .parquet(out)
+        .filter(F.col("date").isin(affected))
+    )
+    merged = (
+        silver_affected.unionByName(
+            late.select("event_id", "user_id", "v_centi", "ingest_seq", "date")
+        )
+        .groupBy("event_id", "user_id", "v_centi", "date")
+        .agg(F.max("ingest_seq").alias("ingest_seq"))
+    )
+
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(mode_key, None)
+    try:
+        spark.conf.set(mode_key, "dynamic")
+        merged.select(
+            "event_id", "user_id", "v_centi", "ingest_seq", "date"
+        ).repartition("date").write.mode("overwrite").partitionBy(
+            "date"
+        ).parquet(out)
+    finally:
+        if saved is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, saved)
+
+    return (
+        spark.read.schema(silver_schema)
+        .parquet(out)
+        .groupBy("date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v_centi").alias("checksum_centi"),
+            F.sum("ingest_seq").alias("n_late_sourced"),
+        )
+    )
+
+
+ORACLE["backfill_dedup_reconcile"] = f"""
+    WITH ev AS (
+      SELECT event_id, strftime(ts, '%Y-%m-%d') AS date, user_id,
+             CAST(round(value * 100) AS BIGINT) AS v_centi
+      FROM events
+    ),
+    all_rows AS (
+      SELECT event_id, date, user_id, v_centi, 0 AS ingest_seq
+      FROM ev WHERE event_id % {BF2_LATE_MOD} != {BF2_LATE_REM}
+      UNION ALL
+      SELECT DISTINCT event_id, date, user_id, v_centi, 1 AS ingest_seq
+      FROM ev WHERE event_id % {BF2_LATE_MOD} = {BF2_LATE_REM}
+         OR event_id % {BF2_REPLAY_MOD} = {BF2_REPLAY_REM}
+    ),
+    dedup AS (
+      SELECT event_id, date, user_id, v_centi,
+             max(ingest_seq) AS ingest_seq
+      FROM all_rows GROUP BY 1, 2, 3, 4
+    )
+    SELECT date, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v_centi) AS BIGINT) AS checksum_centi,
+           CAST(sum(ingest_seq) AS BIGINT) AS n_late_sourced
+    FROM dedup GROUP BY date
+"""
+QUERIES["backfill_dedup_reconcile"] = backfill_dedup_reconcile
