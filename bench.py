@@ -219,6 +219,15 @@ HEADLINE = [
     "recency_decay_engagement",
     "hll_set_overlap_audit",
     "cms_join_size_audit",
+    # round 7
+    "quantile_sketch_merge_rollup",
+    "priority_sample_subset_sum",
+    "srp_hamming_topk_audit",
+    "backfill_dedup_reconcile",
+    "heavy_hitters_mg_audit",
+    "merge_on_read_deletes",
+    "multitouch_attribution",
+    "weighted_quantiles_exact",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

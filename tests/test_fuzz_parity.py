@@ -104,6 +104,12 @@ FUZZED_QUERIES = [
     # correct and boundary-safe (corpus <= K -> tau = 0 -> est exact)
     # on degenerate corpora: all-empty docs, single language, heavy dups
     "priority_sample_subset_sum",
+    # round-7 second batch: the MG prune/merge arithmetic must hold on
+    # corpora with fewer than K distinct words per shard (t = 0 paths),
+    # all-duplicate streams, and empty shards; the weighted-quantile
+    # cumulative walk on tied values and zero-token docs
+    "heavy_hitters_mg_audit",
+    "weighted_quantiles_exact",
 ]
 
 
@@ -298,6 +304,12 @@ EVENT_BATCH_FUZZED = [
     # ANY event corpus (random late/replay membership incl. the empty
     # late batch, multi-day collision spreads)
     "backfill_dedup_reconcile",
+    # round-7 second batch: MoR delete-file precedence on corpora where
+    # a row is hit by BOTH delete kinds / no errors / all-erased users;
+    # attribution credit conservation on touchless purchases, ts ties,
+    # and lookback-boundary touches
+    "merge_on_read_deletes",
+    "multitouch_attribution",
 ]
 
 _EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]

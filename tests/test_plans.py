@@ -394,3 +394,48 @@ def test_qmr_windows_are_partitioned_and_bounded(spark):
             stack.append(kids.apply(i))
     assert n_unpart == 0
     assert n_part >= 2  # merged-bin cumulative + exact-value cumulative
+
+
+def test_mg_summary_stays_broadcast_and_top_k(spark):
+    """Misra-Gries: everything downstream of the (shard, word) count is
+    |shards| x K-bounded — the per-shard thresholds, the summary, and
+    the bounds frame must all join back by BROADCAST, the global
+    top-(K+1) must be a map-side partial top-K, and no all-pairs shape
+    may appear (the scalar combines are broadcast-tiny crossJoins)."""
+    plan = _plan(registry.QUERIES["heavy_hitters_mg_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_mor_delete_files_apply_as_broadcast_anti_joins(spark):
+    """Merge-on-read contract: the base scan is never rewritten and the
+    delete files apply as BROADCAST anti/semi joins (the MoR premise is
+    |deletes| << |base|); an SMJ here would mean the planner shuffled
+    the full base table to apply a small delete set."""
+    plan = _plan(registry.QUERIES["merge_on_read_deletes"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mta_touch_join_is_keyed_not_cartesian(spark):
+    """The purchases x touches lookback join must keep user_id as an
+    equality key (hash/merge join with the time band as a post-filter),
+    never degrade to a cartesian/nested-loop all-pairs over two
+    fact-sized inputs."""
+    plan = _plan(registry.QUERIES["multitouch_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wq_probe_joins_stay_keyed(spark):
+    """Weighted quantiles: the cumulative table is (lang, value)-keyed
+    and the probe joins keep the lang equality key; windows are
+    partitioned by lang (generic unpartitioned-window audit covers the
+    budget)."""
+    plan = _plan(registry.QUERIES["weighted_quantiles_exact"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

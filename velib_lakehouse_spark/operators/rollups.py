@@ -1416,3 +1416,324 @@ ORACLE["recency_decay_engagement"] = f"""
     FROM aged GROUP BY u
 """
 QUERIES["recency_decay_engagement"] = recency_decay_engagement
+
+
+MTA_LOOKBACK_DAYS = 7  # attribution window: touches within 7 days count
+
+
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch revenue attribution: every purchase's value is
+    credited back to the click/view touches that preceded it within a
+    7-day lookback, under the three classic models side by side —
+    first-touch (all credit to the earliest touch), last-touch (all to
+    the latest), and linear (equal split).  Purchases with no touch in
+    the window credit a synthetic ``direct`` channel under all three.
+    One row per channel with the three model totals — the
+    marketing-attribution table every event warehouse serves.
+
+    Exactness contract: credits are integer cents; the linear split is
+    ``v div n`` per touch with the remainder ``v - n * (v div n)``
+    assigned to the LAST touch, so every model's column sums to exactly
+    the total purchase cents (conservation, asserted in tests).  Touch
+    order is (ts, event_id) — total, so first/last are unambiguous
+    under timestamp ties in both engines.
+
+    Scale shape: ONE user-keyed shuffle joins purchases to touches
+    (band predicate ``p_ts - 7d <= t_ts < p_ts`` — per-user frames
+    bounded by the lookback, the same shape as ``range_join_periods``;
+    AQE skew-split handles hot users); the per-purchase windows
+    (row_number asc/desc + count) run inside the join's partitioning
+    on frames bounded by per-user touch rate x 7 days; the final
+    rollup reduces to |channels| rows.  No collects, no global windows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_eid"),
+        F.col("user_id").alias("p_uid"),
+        F.col("ts").alias("p_ts"),
+        F.expr("cast(round(value * 100) as bigint)").alias("v"),
+    )
+    touches = e.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("event_id").alias("t_eid"),
+        F.col("user_id").alias("t_uid"),
+        F.col("event_type").alias("t_type"),
+        F.col("ts").alias("t_ts"),
+    )
+    cand = purchases.join(
+        touches,
+        (F.col("p_uid") == F.col("t_uid"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {MTA_LOOKBACK_DAYS} DAYS")
+        ),
+    )
+    w_asc = Window.partitionBy("p_eid").orderBy(
+        F.col("t_ts").asc(), F.col("t_eid").asc()
+    )
+    w_desc = Window.partitionBy("p_eid").orderBy(
+        F.col("t_ts").desc(), F.col("t_eid").desc()
+    )
+    ranked = cand.select(
+        "p_eid",
+        "t_type",
+        "v",
+        F.row_number().over(w_asc).alias("rn_first"),
+        F.row_number().over(w_desc).alias("rn_last"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("p_eid"))
+        .alias("n"),
+    )
+    attributed = ranked.groupBy(F.col("t_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_assignments"),
+        F.sum(F.when(F.col("rn_first") == 1, F.col("v")).otherwise(0)).alias(
+            "first_touch_centi"
+        ),
+        F.sum(F.when(F.col("rn_last") == 1, F.col("v")).otherwise(0)).alias(
+            "last_touch_centi"
+        ),
+        F.sum(
+            F.expr("v div n")
+            + F.when(
+                F.col("rn_last") == 1, F.expr("v - n * (v div n)")
+            ).otherwise(0)
+        ).alias("linear_centi"),
+    )
+    direct = (
+        purchases.join(
+            cand.select("p_eid").distinct(), "p_eid", "left_anti"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_assignments"),
+            F.coalesce(F.sum("v"), F.lit(0)).alias("first_touch_centi"),
+        )
+        .select(
+            F.lit("direct").alias("channel"),
+            "n_assignments",
+            "first_touch_centi",
+            F.col("first_touch_centi").alias("last_touch_centi"),
+            F.col("first_touch_centi").alias("linear_centi"),
+        )
+    )
+    return attributed.unionByName(direct)
+
+
+ORACLE["multitouch_attribution"] = f"""
+    WITH purchases AS (
+      SELECT event_id AS p_eid, user_id AS p_uid, ts AS p_ts,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT event_id AS t_eid, user_id AS t_uid,
+             event_type AS t_type, ts AS t_ts
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    cand AS (
+      SELECT p.p_eid, t.t_type, p.v, t.t_ts, t.t_eid
+      FROM purchases p JOIN touches t
+        ON t.t_uid = p.p_uid
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL {MTA_LOOKBACK_DAYS} DAY
+    ),
+    ranked AS (
+      SELECT p_eid, t_type, v,
+             row_number() OVER (PARTITION BY p_eid
+                                ORDER BY t_ts ASC, t_eid ASC) AS rn_first,
+             row_number() OVER (PARTITION BY p_eid
+                                ORDER BY t_ts DESC, t_eid DESC) AS rn_last,
+             count(*) OVER (PARTITION BY p_eid) AS n
+      FROM cand
+    ),
+    attributed AS (
+      SELECT t_type AS channel,
+             CAST(count(*) AS BIGINT) AS n_assignments,
+             CAST(sum(CASE WHEN rn_first = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS first_touch_centi,
+             CAST(sum(CASE WHEN rn_last = 1 THEN v ELSE 0 END) AS BIGINT)
+               AS last_touch_centi,
+             CAST(sum(v // n + CASE WHEN rn_last = 1
+                                    THEN v - n * (v // n)
+                                    ELSE 0 END) AS BIGINT) AS linear_centi
+      FROM ranked GROUP BY t_type
+    ),
+    direct AS (
+      SELECT 'direct' AS channel,
+             CAST(count(*) AS BIGINT) AS n_assignments,
+             CAST(coalesce(sum(v), 0) AS BIGINT) AS first_touch_centi,
+             CAST(coalesce(sum(v), 0) AS BIGINT) AS last_touch_centi,
+             CAST(coalesce(sum(v), 0) AS BIGINT) AS linear_centi
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM cand c WHERE c.p_eid = p.p_eid)
+    )
+    SELECT * FROM attributed UNION ALL SELECT * FROM direct
+"""
+QUERIES["multitouch_attribution"] = multitouch_attribution
+
+
+WQ_QS = (25, 50, 90)  # audited percentiles
+
+
+def weighted_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED quantiles per group — the length distribution of
+    the corpus *as the trained model samples it*: a p50 document length
+    weighted by token count answers "how long is the document the
+    median TOKEN lives in", which is systematically larger than the
+    doc-sampled median whenever long docs carry more tokens (they do).
+    Emits, per language and percentile: the token-weighted quantile of
+    ``n_chars``, the unweighted quantile for contrast, their gap, and
+    the total token mass — the table a data-mixing owner reads before
+    setting sequence lengths and packing budgets (pairs with
+    ``dsir_importance_weights``, where the weights are importance
+    ratios instead of token counts).
+
+    Definition (lower weighted order statistic): q's quantile is the
+    smallest value v whose cumulative weight reaches ``ceil(q/100 x
+    W)``; all arithmetic is integer (targets via ``(q x W + 99) div
+    100``), ties collapse by pre-aggregating weight per (lang, value),
+    so both engines walk identical cumulative tables — bit-exact.
+
+    Scale shape: ONE (lang, value)-keyed shuffle with map-side partial
+    sums builds the cumulative table; the per-lang window walks frames
+    bounded by DISTINCT values (not rows — the pre-aggregation is the
+    scale move); quantile probes join against the bounded cumulative
+    frame.  At 100 TB the same probe runs against
+    ``quantile_sketch_merge_rollup``'s merged bins when within-bin
+    error is acceptable; this op is the exact tier of that pair.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    docs = d.select(
+        "lang",
+        F.col("n_chars").alias("val"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias(
+            "w"
+        ),
+    )
+    vals = (
+        docs.groupBy("lang", "val")
+        .agg(
+            F.sum("w").alias("wsum"),
+            F.count(F.lit(1)).alias("csum"),
+        )
+        .persist()
+    )
+    win = Window.partitionBy("lang").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = vals.select(
+        "lang",
+        "val",
+        F.sum("wsum").over(win).alias("cumw"),
+        F.sum("csum").over(win).alias("cumn"),
+    ).persist()
+    totals = vals.groupBy("lang").agg(
+        F.sum("wsum").alias("total_w"), F.sum("csum").alias("n_docs")
+    )
+    probes = totals.select(
+        "lang",
+        "total_w",
+        "n_docs",
+        F.explode(F.array(*[F.lit(q) for q in WQ_QS])).alias("q"),
+    ).select(
+        "lang",
+        F.col("q").cast("bigint").alias("q"),
+        "total_w",
+        "n_docs",
+        F.expr("(q * total_w + 99) div 100").alias("target_w"),
+        F.expr("(q * n_docs + 99) div 100").alias("target_n"),
+    )
+    wq = (
+        probes.join(
+            cum.select(
+                F.col("lang").alias("clang"), "val", "cumw"
+            ),
+            (F.col("lang") == F.col("clang"))
+            & (F.col("cumw") >= F.col("target_w")),
+        )
+        .groupBy("lang", "q")
+        .agg(F.min("val").alias("weighted_q_chars"))
+    )
+    uq = (
+        probes.join(
+            cum.select(
+                F.col("lang").alias("clang"), "val", "cumn"
+            ),
+            (F.col("lang") == F.col("clang"))
+            & (F.col("cumn") >= F.col("target_n")),
+        )
+        .groupBy("lang", "q")
+        .agg(F.min("val").alias("unweighted_q_chars"))
+    )
+    return (
+        probes.select("lang", "q", "total_w", "n_docs")
+        .join(wq, ["lang", "q"])
+        .join(uq, ["lang", "q"])
+        .select(
+            "lang",
+            "q",
+            "total_w",
+            "n_docs",
+            "weighted_q_chars",
+            "unweighted_q_chars",
+            (
+                F.col("weighted_q_chars") - F.col("unweighted_q_chars")
+            ).alias("weight_shift_chars"),
+        )
+    )
+
+
+ORACLE["weighted_quantiles_exact"] = f"""
+    WITH docs AS (
+      SELECT lang, n_chars AS val,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS BIGINT) AS w
+      FROM documents
+    ),
+    vals AS (
+      SELECT lang, val, CAST(sum(w) AS BIGINT) AS wsum,
+             CAST(count(*) AS BIGINT) AS csum
+      FROM docs GROUP BY lang, val
+    ),
+    cum AS (
+      SELECT lang, val,
+             CAST(sum(wsum) OVER (PARTITION BY lang ORDER BY val
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+             CAST(sum(csum) OVER (PARTITION BY lang ORDER BY val
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumn
+      FROM vals
+    ),
+    totals AS (
+      SELECT lang, CAST(sum(wsum) AS BIGINT) AS total_w,
+             CAST(sum(csum) AS BIGINT) AS n_docs
+      FROM vals GROUP BY lang
+    ),
+    probes AS (
+      SELECT lang, CAST(q AS BIGINT) AS q, total_w, n_docs,
+             (q * total_w + 99) // 100 AS target_w,
+             (q * n_docs + 99) // 100 AS target_n
+      FROM totals
+      CROSS JOIN (SELECT unnest(ARRAY{list(WQ_QS)}) AS q)
+    ),
+    wq AS (
+      SELECT p.lang, p.q, min(c.val) AS weighted_q_chars
+      FROM probes p JOIN cum c
+        ON c.lang = p.lang AND c.cumw >= p.target_w
+      GROUP BY p.lang, p.q
+    ),
+    uq AS (
+      SELECT p.lang, p.q, min(c.val) AS unweighted_q_chars
+      FROM probes p JOIN cum c
+        ON c.lang = p.lang AND c.cumn >= p.target_n
+      GROUP BY p.lang, p.q
+    )
+    SELECT p.lang, p.q, p.total_w, p.n_docs,
+           wq.weighted_q_chars, uq.unweighted_q_chars,
+           wq.weighted_q_chars - uq.unweighted_q_chars
+             AS weight_shift_chars
+    FROM probes p
+    JOIN wq ON wq.lang = p.lang AND wq.q = p.q
+    JOIN uq ON uq.lang = p.lang AND uq.q = p.q
+"""
+QUERIES["weighted_quantiles_exact"] = weighted_quantiles_exact

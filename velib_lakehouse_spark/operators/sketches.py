@@ -1561,3 +1561,200 @@ ORACLE["quantile_sketch_merge_rollup"] = f"""
     JOIN flags f ON f.prio = e.prio
 """
 QUERIES["quantile_sketch_merge_rollup"] = quantile_sketch_merge_rollup
+
+
+MG_K = 12  # summary size: guarantees err <= N/(K+1) after any merge tree
+MG_TOPK = 20  # audited heavy hitters (same panel size as cms_frequency_audit)
+
+
+def heavy_hitters_mg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters built per shard and MERGED with the
+    Agarwal et al. rule ("Mergeable Summaries", PODS 2012, s5), audited
+    against exact counts — the deterministic counterpart to
+    ``cms_frequency_audit``: CMS overcounts with probabilistic bounds,
+    MG undercounts with a worst-case bound, and both merge.
+
+    Each shard (``documents.source``) summarizes its word stream to at
+    most K counters; summaries merge by adding counters keywise, then
+    subtracting the (K+1)-th largest counter value from ALL counters
+    and dropping the non-positive ones (each prune removes >= (K+1) x t
+    mass, so the cumulative decrement — and hence every key's
+    undercount — is <= N/(K+1) no matter the merge tree).  The audit
+    emits, for the exact top-{MG_TOPK} words: the merged-summary
+    estimate (0 if evicted), the undercount, the one-sided check
+    (MG never overcounts), the measured decrement bound and whether the
+    undercount respects it, the N/(K+1) theory bound on the total
+    decrement, and the frequent-items guarantee — any word with
+    exact > N/(K+1) CANNOT be evicted and must appear in the summary.
+
+    Scale shape: ONE (shard, word) shuffle with map-side partial
+    counts does all the stream work; everything downstream of it —
+    per-shard prune, keywise merge, global prune — runs on frames
+    bounded by |shards| x K rows REGARDLESS of corpus size (after the
+    per-shard prune each shard contributes <= K counters), which is the
+    mergeable-summary contract: at 100 TB every executor ships K
+    counters, not its token stream.  The exact side (needed only
+    because this is an audit) reuses the same persisted count table,
+    so the whole query costs one word-keyed shuffle.  All arithmetic
+    is integer; ranking ties break on the word itself — bit-exact in
+    both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.col("source").alias("shard"), F.explode(_words()).alias("w")
+    )
+    sc = (
+        words.groupBy("shard", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    rk = sc.select(
+        "shard",
+        "w",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("shard").orderBy(
+                F.col("c").desc(), F.col("w").asc()
+            )
+        )
+        .alias("rk"),
+    )
+    t_shard = rk.filter(F.col("rk") == MG_K + 1).select(
+        "shard", F.col("c").alias("t")
+    )
+    pruned = (
+        sc.join(F.broadcast(t_shard), "shard", "left")
+        .select(
+            "w",
+            (F.col("c") - F.coalesce(F.col("t"), F.lit(0))).alias("pc"),
+        )
+        .filter(F.col("pc") > 0)
+    )
+    summed = pruned.groupBy("w").agg(F.sum("pc").alias("s"))
+    # top-(K+1) via sort+limit (map-side partial top-K; the input is
+    # already <= |shards| x K rows), min of the full frame = t_glob
+    frame = (
+        summed.orderBy(F.col("s").desc(), F.col("w").asc())
+        .limit(MG_K + 1)
+        .persist()
+    )
+    t_glob = frame.agg(
+        F.when(F.count(F.lit(1)) == MG_K + 1, F.min("s"))
+        .otherwise(F.lit(0))
+        .alias("tg")
+    )
+    summary = (
+        summed.crossJoin(F.broadcast(t_glob))
+        .select("w", (F.col("s") - F.col("tg")).alias("est"))
+        .filter(F.col("est") > 0)
+    )
+    bounds = (
+        t_shard.agg(F.coalesce(F.sum("t"), F.lit(0)).alias("ts"))
+        .crossJoin(t_glob)
+        .crossJoin(sc.agg(F.sum("c").alias("n_total")))
+        .select(
+            (F.col("ts") + F.col("tg")).alias("dec_bound"), "n_total"
+        )
+    )
+    exact = sc.groupBy("w").agg(F.sum("c").alias("exact_cnt"))
+    top = exact.orderBy(
+        F.col("exact_cnt").desc(), F.col("w").asc()
+    ).limit(MG_TOPK)
+    return (
+        top.join(F.broadcast(summary), "w", "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "w",
+            "exact_cnt",
+            F.coalesce("est", F.lit(0)).alias("est_cnt"),
+            (F.col("exact_cnt") - F.coalesce("est", F.lit(0))).alias(
+                "undercount"
+            ),
+            (F.col("exact_cnt") >= F.coalesce("est", F.lit(0))).alias(
+                "one_sided"
+            ),
+            (
+                F.col("exact_cnt") - F.coalesce("est", F.lit(0))
+                <= F.col("dec_bound")
+            ).alias("within_bound"),
+            (F.col("exact_cnt") * (MG_K + 1) > F.col("n_total")).alias(
+                "guaranteed_heavy"
+            ),
+            F.coalesce("est", F.lit(0)).cast("boolean").alias("in_summary"),
+            (
+                (F.col("exact_cnt") * (MG_K + 1) <= F.col("n_total"))
+                | F.coalesce("est", F.lit(0)).cast("boolean")
+            ).alias("guarantee_held"),
+            "dec_bound",
+            (F.col("dec_bound") * (MG_K + 1) <= F.col("n_total")).alias(
+                "theory_bound_ok"
+            ),
+        )
+    )
+
+
+ORACLE["heavy_hitters_mg_audit"] = f"""
+    WITH words AS (
+      SELECT source AS shard,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    sc AS (
+      SELECT shard, w, CAST(count(*) AS BIGINT) AS c
+      FROM words GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT shard, w, c,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY c DESC, w ASC) AS rk
+      FROM sc
+    ),
+    t_shard AS (SELECT shard, c AS t FROM rk WHERE rk = {MG_K + 1}),
+    pruned AS (
+      SELECT sc.w, sc.c - coalesce(t_shard.t, 0) AS pc
+      FROM sc LEFT JOIN t_shard ON t_shard.shard = sc.shard
+      WHERE sc.c - coalesce(t_shard.t, 0) > 0
+    ),
+    summed AS (
+      SELECT w, CAST(sum(pc) AS BIGINT) AS s FROM pruned GROUP BY w
+    ),
+    frame AS (
+      SELECT * FROM summed ORDER BY s DESC, w ASC LIMIT {MG_K + 1}
+    ),
+    tg AS (
+      SELECT CASE WHEN count(*) = {MG_K + 1} THEN min(s) ELSE 0 END AS tg
+      FROM frame
+    ),
+    summary AS (
+      SELECT w, s - tg AS est FROM summed CROSS JOIN tg
+      WHERE s - tg > 0
+    ),
+    bounds AS (
+      SELECT (SELECT coalesce(sum(t), 0) FROM t_shard)
+             + (SELECT tg FROM tg) AS dec_bound,
+             (SELECT CAST(sum(c) AS BIGINT) FROM sc) AS n_total
+    ),
+    exact AS (
+      SELECT w, CAST(sum(c) AS BIGINT) AS exact_cnt FROM sc GROUP BY w
+    ),
+    top AS (
+      SELECT w, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, w ASC LIMIT {MG_TOPK}
+    )
+    SELECT t.w, t.exact_cnt,
+           coalesce(su.est, 0) AS est_cnt,
+           t.exact_cnt - coalesce(su.est, 0) AS undercount,
+           t.exact_cnt >= coalesce(su.est, 0) AS one_sided,
+           t.exact_cnt - coalesce(su.est, 0) <= b.dec_bound AS within_bound,
+           t.exact_cnt * {MG_K + 1} > b.n_total AS guaranteed_heavy,
+           coalesce(su.est, 0) > 0 AS in_summary,
+           (t.exact_cnt * {MG_K + 1} <= b.n_total
+            OR coalesce(su.est, 0) > 0) AS guarantee_held,
+           b.dec_bound,
+           b.dec_bound * {MG_K + 1} <= b.n_total AS theory_bound_ok
+    FROM top t
+    LEFT JOIN summary su ON su.w = t.w
+    CROSS JOIN bounds b
+"""
+QUERIES["heavy_hitters_mg_audit"] = heavy_hitters_mg_audit

@@ -42,13 +42,19 @@ DRIVER_WINDOW = 50
 # Coverage has been complete since r6 (229/229 driver-green, zero ever
 # red), so the window's whole job is freshness + paying for growth.
 # This round's window, in order:
-# * 4 new operators (VERDICT r6 #2 — the next north-star tier), each
-#   entering with a same-round driver row: mergeable quantile-sketch
-#   rollup (the hll_merge_rollup analogue for percentiles), priority
-#   sampling with subset-sum estimation (Duffield-Lund-Thorup),
-#   SRP/SimHash Hamming ANN with in-row recall audit (sketch-only
-#   serving), and the backfill x cross-partition-replay dedup
-#   composition.
+# * 8 new operators (VERDICT r6 #2 — the next north-star tier), each
+#   entering with a same-round driver row.  First batch: mergeable
+#   quantile-sketch rollup (the hll_merge_rollup analogue for
+#   percentiles), priority sampling with subset-sum estimation
+#   (Duffield-Lund-Thorup), SRP/SimHash Hamming ANN with in-row recall
+#   audit (sketch-only serving), and the backfill x
+#   cross-partition-replay dedup composition.  Second batch:
+#   Misra-Gries mergeable heavy hitters (deterministic counterpart to
+#   cms_frequency_audit), Iceberg-style merge-on-read delete files,
+#   multi-touch revenue attribution, and exact token-weighted
+#   quantiles (the exact tier of the quantile-sketch pair).  The
+#   second batch displaced vocab_coverage / unigram_logprob_score /
+#   lang_consistency_audit / quality_classifier_score to the r8 queue.
 # * 2 changed => re-window: cms_join_size_audit (r7 ADVICE: disjoint-
 #   key degenerate case now yields est 0 via left join + coalesce in
 #   both engines) and hll_set_overlap_audit (signed-overlap semantics
@@ -65,6 +71,14 @@ PRIORITY: tuple[str, ...] = (
     "priority_sample_subset_sum",
     "srp_hamming_topk_audit",
     "backfill_dedup_reconcile",
+    # new this round, second batch: Misra-Gries mergeable heavy
+    # hitters (the deterministic counterpart to cms_frequency_audit),
+    # Iceberg-style merge-on-read delete files, multi-touch revenue
+    # attribution, and exact token-weighted quantiles
+    "heavy_hitters_mg_audit",
+    "merge_on_read_deletes",
+    "multitouch_attribution",
+    "weighted_quantiles_exact",
     # changed => re-window (r7 ADVICE fixes)
     "cms_join_size_audit",
     "hll_set_overlap_audit",
@@ -109,10 +123,6 @@ PRIORITY: tuple[str, ...] = (
     "gopher_quality_filter",
     "tfidf_top_terms",
     "bm25_rank",
-    "vocab_coverage",
-    "unigram_logprob_score",
-    "lang_consistency_audit",
-    "quality_classifier_score",
     "zipf_slope_audit",
     "pack_sequences",
 )
@@ -123,7 +133,14 @@ PRIORITY: tuple[str, ...] = (
 SECONDARY: tuple[str, ...] = (
     # ROUND-8 ROTATION QUEUE: the r3-era showcases that did not fit
     # this round's oldest-green-first refresh — stalest evidence in the
-    # registry once the r7 window lands, so they rotate in next.
+    # registry once the r7 window lands, so they rotate in next.  The
+    # first four were displaced mid-round by the second new-operator
+    # batch (heavy_hitters_mg_audit, merge_on_read_deletes,
+    # multitouch_attribution, weighted_quantiles_exact).
+    "vocab_coverage",
+    "unigram_logprob_score",
+    "lang_consistency_audit",
+    "quality_classifier_score",
     "bpe_merge_step",
     "stratified_split",
     "corpus_composition",

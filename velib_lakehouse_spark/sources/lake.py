@@ -1259,3 +1259,170 @@ ORACLE["backfill_dedup_reconcile"] = f"""
     FROM dedup GROUP BY date
 """
 QUERIES["backfill_dedup_reconcile"] = backfill_dedup_reconcile
+
+
+MOR_FILES = 8  # modeled data files per date partition (position scope)
+MOR_EQ_MOD = 97  # user_id % MOR_EQ_MOD == 0 -> equality-erased (GDPR set)
+
+
+def merge_on_read_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style merge-on-read DELETE mechanics on plain parquet:
+    base data files are written ONCE and never rewritten; deletes
+    accumulate as two small side tables — an *equality-delete* file
+    (all rows of an erased user set, the GDPR shape) and a
+    *position-delete* file ((file, pos) pairs recorded when a DELETE
+    resolved its targets) — and the READ path reconciles them with two
+    anti-joins (cf. Iceberg spec v2 delete files; reference keeps only
+    full-overwrite semantics, `src/assets/silver.py:55-64`).
+
+    Mechanics made real: the base write stamps every row's position at
+    write time — file identity = (date partition, file bucket), pos =
+    row_number within the file ordered by event_id — exactly the
+    stable (path, pos) contract a v2 writer records.  The position
+    deletes then target rows by (date, fbucket, pos) WITHOUT any
+    content predicate, so the read path must honor recorded positions,
+    not re-derive the deleting query.  Precedence follows the spec:
+    position deletes apply first, equality deletes filter what
+    survives; a row hit by both counts as position-deleted.
+
+    The oracle rebuilds the same verdicts relationally from the raw
+    table (same bucket hash, same row_number), proving the physical
+    write -> delete-file -> anti-join read path byte-equivalent to the
+    relational truth — missing nothing, double-deleting nothing,
+    leaving untouched partitions bit-identical.
+
+    Scale shape: a DELETE costs O(|matched|) delete-file rows and ZERO
+    base-file rewrites (contrast ``lake_gold_snapshot``'s
+    copy-on-write); the read applies two BROADCAST anti-joins (delete
+    frames are small by the MoR premise) on top of the partition-pruned
+    scan, and ``compaction_binpack_plan`` is the folding story when
+    delete ratios grow.  The base write is one date-keyed shuffle; the
+    position stamp is a per-(date, fbucket) window — frames bounded by
+    file size, the same bound a real writer's row groups give.
+    """
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("v_centi"),
+        F.to_date("ts").cast("string").alias("date"),
+        (md5_long(F.col("event_id").cast("string")) % MOR_FILES).alias(
+            "fbucket"
+        ),
+    )
+    base = ev.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("date", "fbucket").orderBy("event_id")
+        ),
+    )
+
+    out = tempfile.mkdtemp(prefix="mor_base_")
+    _BACKFILL_DIRS.append(out)
+    base.repartition("date").write.mode("overwrite").partitionBy(
+        "date"
+    ).parquet(out)
+    schema = (
+        "event_id bigint, user_id bigint, event_type string,"
+        " v_centi bigint, fbucket bigint, pos int, date string"
+    )
+    files = spark.read.schema(schema).parquet(out)
+
+    # the two delete files: positions of 'error' rows (resolved once,
+    # recorded as (file, pos) — content-free thereafter), and the
+    # equality-erased user set
+    pos_del = files.filter(F.col("event_type") == "error").select(
+        "date", "fbucket", "pos"
+    )
+    eq_del = (
+        files.filter(F.col("user_id") % MOR_EQ_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+
+    after_pos = files.join(
+        F.broadcast(pos_del), ["date", "fbucket", "pos"], "left_anti"
+    )
+    live = after_pos.join(F.broadcast(eq_del), "user_id", "left_anti")
+
+    totals = files.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    n_pos = files.join(
+        F.broadcast(pos_del), ["date", "fbucket", "pos"], "left_semi"
+    ).groupBy("date").agg(F.count(F.lit(1)).alias("n_pos_deleted"))
+    n_eq = after_pos.join(
+        F.broadcast(eq_del), "user_id", "left_semi"
+    ).groupBy("date").agg(F.count(F.lit(1)).alias("n_eq_deleted"))
+    live_agg = live.groupBy("date").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("v_centi").alias("live_value_centi"),
+    )
+    return (
+        totals.join(n_pos, "date", "left")
+        .join(n_eq, "date", "left")
+        .join(live_agg, "date", "left")
+        .select(
+            "date",
+            "n_total",
+            F.coalesce("n_pos_deleted", F.lit(0)).alias("n_pos_deleted"),
+            F.coalesce("n_eq_deleted", F.lit(0)).alias("n_eq_deleted"),
+            F.coalesce("n_live", F.lit(0)).alias("n_live"),
+            F.coalesce("live_value_centi", F.lit(0)).alias(
+                "live_value_centi"
+            ),
+        )
+    )
+
+
+ORACLE["merge_on_read_deletes"] = f"""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_centi,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+             {sql_md5_long("CAST(event_id AS VARCHAR)")} % {MOR_FILES}
+               AS fbucket,
+             row_number() OVER (
+               PARTITION BY CAST(CAST(ts AS DATE) AS VARCHAR),
+                            {sql_md5_long("CAST(event_id AS VARCHAR)")}
+                              % {MOR_FILES}
+               ORDER BY event_id) AS pos
+      FROM events
+    ),
+    pos_del AS (
+      SELECT date, fbucket, pos FROM base WHERE event_type = 'error'
+    ),
+    eq_del AS (
+      SELECT DISTINCT user_id FROM base WHERE user_id % {MOR_EQ_MOD} = 0
+    ),
+    after_pos AS (
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM pos_del p
+                        WHERE p.date = b.date AND p.fbucket = b.fbucket
+                          AND p.pos = b.pos)
+    ),
+    live AS (
+      SELECT a.* FROM after_pos a
+      WHERE NOT EXISTS (SELECT 1 FROM eq_del e
+                        WHERE e.user_id = a.user_id)
+    )
+    SELECT b.date,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(coalesce(sum(CASE WHEN b.event_type = 'error'
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_pos_deleted,
+           CAST(coalesce((SELECT count(*) FROM after_pos a
+                          WHERE a.date = b.date
+                            AND a.user_id % {MOR_EQ_MOD} = 0), 0)
+                AS BIGINT) AS n_eq_deleted,
+           CAST(coalesce((SELECT count(*) FROM live l
+                          WHERE l.date = b.date), 0) AS BIGINT) AS n_live,
+           CAST(coalesce((SELECT sum(l.v_centi) FROM live l
+                          WHERE l.date = b.date), 0) AS BIGINT)
+             AS live_value_centi
+    FROM base b
+    GROUP BY b.date
+"""
+QUERIES["merge_on_read_deletes"] = merge_on_read_deletes
