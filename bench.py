@@ -228,6 +228,9 @@ HEADLINE = [
     "merge_on_read_deletes",
     "multitouch_attribution",
     "weighted_quantiles_exact",
+    "dimsum_cosine_estimate",
+    "partition_join_size_audit",
+    "ivm_join_view_delta",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

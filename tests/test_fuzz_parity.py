@@ -110,6 +110,10 @@ FUZZED_QUERIES = [
     # cumulative walk on tied values and zero-token docs
     "heavy_hitters_mg_audit",
     "weighted_quantiles_exact",
+    # DIMSUM: every sampling decision is md5-thresholded, so random
+    # corpora (norm ties, single-doc panels, all-light pairs p = 1)
+    # must reproduce bit-exactly across engines
+    "dimsum_cosine_estimate",
 ]
 
 

@@ -439,3 +439,33 @@ def test_wq_probe_joins_stay_keyed(spark):
     plan = _plan(registry.QUERIES["weighted_quantiles_exact"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dimsum_pair_join_is_doc_keyed_and_panel_broadcast(spark):
+    """DIMSUM's pair generation must be the doc_id-keyed self-join of
+    the panel-filtered count table (fan-out bounded by C(PANEL, 2) per
+    doc), with the panel+norm frame BROADCAST — no cartesian shape, no
+    shuffle of the raw count table against itself beyond the doc key."""
+    plan = _plan(registry.QUERIES["dimsum_cosine_estimate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pjs_stats_passes_stay_keyed(spark):
+    """Partition join-size audit: statistics and the exact side run as
+    keyed aggregations/joins; the 2 x B-row stats frames and the
+    B-row median frame join back by broadcast — no all-pairs shape."""
+    plan = _plan(registry.QUERIES["partition_join_size_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ivm_join_delta_terms_are_keyed_joins(spark):
+    """Every IVM delta term joins on the order key — no cartesian
+    shape; the delta filters must reach the scans (pushed, so dA|><|B
+    reads only delta rows on the build side)."""
+    df = registry.QUERIES["ivm_join_view_delta"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -280,3 +280,208 @@ def test_wq_matches_bruteforce(spark):
         assert r["weighted_q_chars"] == wq
         assert r["unweighted_q_chars"] == uq
         assert r["weight_shift_chars"] == wq - uq
+
+
+# ---- dimsum_cosine_estimate ---------------------------------------------------
+
+
+def test_dimsum_matches_bruteforce(spark):
+    """Every sampling decision, threshold, and the estimator arithmetic
+    recomputed in plain Python."""
+    import hashlib
+    import math
+
+    from velib_lakehouse_spark.operators.sketches import (
+        DS_G,
+        DS_PANEL,
+        DS_U_MOD,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    counts: dict[tuple[int, str], int] = Counter()
+    tot: Counter = Counter()
+    for r in docs:
+        for w in r["text"].split(" "):
+            if w:
+                counts[(r["doc_id"], w)] += 1
+                tot[w] += 1
+    panel = sorted(tot, key=lambda w: (-tot[w], w))[:DS_PANEL]
+    n2 = {
+        w: sum(a * a for (_, ww), a in counts.items() if ww == w)
+        for w in panel
+    }
+    by_doc: dict[int, dict[str, int]] = defaultdict(dict)
+    for (doc, w), a in counts.items():
+        if w in n2:
+            by_doc[doc][w] = a
+    exact: Counter = Counter()
+    s_emit: Counter = Counter()
+    n_emit: Counter = Counter()
+    for doc, terms in by_doc.items():
+        ws = sorted(terms)
+        for i, wa in enumerate(ws):
+            for wb in ws[i + 1 :]:
+                t = (DS_G * DS_U_MOD) // (n2[wa] * n2[wb])
+                h = int(
+                    hashlib.md5(f"ds|{doc}|{wa}|{wb}".encode()).hexdigest()[
+                        :15
+                    ],
+                    16,
+                )
+                u = h % DS_U_MOD + 1
+                exact[(wa, wb)] += terms[wa] * terms[wb]
+                if u <= t:
+                    s_emit[(wa, wb)] += terms[wa] * terms[wb]
+                    n_emit[(wa, wb)] += 1
+    rows = registry.QUERIES["dimsum_cosine_estimate"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == len(exact)
+    for r in rows:
+        key = (r["term_a"], r["term_b"])
+        assert r["exact_dot"] == exact[key]
+        assert r["n2_a"] == n2[r["term_a"]] and r["n2_b"] == n2[r["term_b"]]
+        if r["n2_a"] * r["n2_b"] <= DS_G:
+            assert r["sampled"] is False
+            assert r["est_dot_milli"] == exact[key] * 1000
+            assert r["err_ppm"] == 0
+        else:
+            assert r["sampled"] is True
+            assert r["n_rows_emitted"] == n_emit[key]
+            t = (DS_G * DS_U_MOD) // (r["n2_a"] * r["n2_b"])
+            est = math.floor(s_emit[key] * 1000.0 * DS_U_MOD / t)
+            assert r["est_dot_milli"] == est
+
+
+# ---- partition_join_size_audit -------------------------------------------------
+
+
+def test_pjs_matches_bruteforce(spark):
+    """Per-partition stats, the Selinger estimate, exact join sizes,
+    and both skew verdicts recomputed in plain Python."""
+    import hashlib
+    import statistics
+
+    from velib_lakehouse_spark.operators.sketches import PJS_B, PJS_SKEW_X
+
+    def bucket(k):
+        return (
+            int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % PJS_B
+        )
+
+    o = Counter(
+        r["o_orderkey"]
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    )
+    l = Counter(
+        r["l_orderkey"]
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey")
+        .collect()
+    )
+    n1: Counter = Counter()
+    d1: Counter = Counter()
+    n2: Counter = Counter()
+    d2: Counter = Counter()
+    exact: Counter = Counter()
+    for k, c in o.items():
+        p = bucket(k)
+        n1[p] += c
+        d1[p] += 1
+        exact[p] += c * l.get(k, 0)
+    for k, c in l.items():
+        p = bucket(k)
+        n2[p] += c
+        d2[p] += 1
+    parts = sorted(set(n1) | set(n2))
+    est = {
+        p: n1[p] * n2[p] // max(d1[p], d2[p], 1) for p in parts
+    }
+    med_est = statistics.median_low(sorted(est.values()))
+    med_exact = statistics.median_low(sorted(exact[p] for p in parts))
+    rows = registry.QUERIES["partition_join_size_audit"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == len(parts)
+    for r in rows:
+        p = r["p"]
+        assert (r["n1"], r["d1"], r["n2"], r["d2"]) == (
+            n1[p],
+            d1[p],
+            n2[p],
+            d2[p],
+        )
+        assert r["est_rows"] == est[p]
+        assert r["exact_rows"] == exact[p]
+        assert r["predicted_skew"] == (est[p] > PJS_SKEW_X * med_est)
+        assert r["true_skew"] == (exact[p] > PJS_SKEW_X * med_exact)
+
+
+# ---- ivm_join_view_delta -------------------------------------------------------
+
+
+def test_ivm_join_delta_rule_is_complete(spark):
+    """The refreshed view must equal the from-scratch rebuild on EVERY
+    date (the audit flags), and the delta slices must be non-trivial in
+    the fixture (all three delta terms exercised)."""
+    from velib_lakehouse_spark.operators.rollups import (
+        IVMJ_L_MOD,
+        IVMJ_O_MOD,
+    )
+
+    rows = registry.QUERIES["ivm_join_view_delta"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_matches"] is True
+        assert r["rev_matches"] is True
+    # fixture sanity: both delta slices are non-empty, so a missing
+    # delta term would actually change totals somewhere
+    o = load_table(spark, SF_DIR, "orders")
+    l = load_table(spark, SF_DIR, "lineitem")
+    assert o.filter(F.col("o_orderkey") % IVMJ_O_MOD == 0).count() > 0
+    assert l.filter(F.col("l_orderkey") % IVMJ_L_MOD == 0).count() > 0
+
+
+def test_ivm_join_delta_terms_sum_to_full(spark):
+    """Brute-force conservation: |A ⋈ B| must equal the four disjoint
+    term sizes (base⋈base + dA⋈B + A⋈dB + dA⋈dB) — the identity the
+    three-term rule relies on."""
+    from velib_lakehouse_spark.operators.rollups import (
+        IVMJ_L_MOD,
+        IVMJ_O_MOD,
+    )
+
+    o = [
+        (r["o_orderkey"], r["o_orderkey"] % IVMJ_O_MOD == 0)
+        for r in load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey")
+        .collect()
+    ]
+    l = Counter()
+    dl = Counter()
+    for r in load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey"
+    ).collect():
+        k = r["l_orderkey"]
+        if k % IVMJ_L_MOD == 0:
+            dl[k] += 1
+        else:
+            l[k] += 1
+    full = base = t1 = t2 = t3 = 0
+    for k, is_do in o:
+        full += l.get(k, 0) + dl.get(k, 0)
+        if is_do:
+            t1 += l.get(k, 0)
+            t3 += dl.get(k, 0)
+        else:
+            base += l.get(k, 0)
+            t2 += dl.get(k, 0)
+    assert full == base + t1 + t2 + t3
+    rows = registry.QUERIES["ivm_join_view_delta"](spark, SF_DIR).collect()
+    assert sum(r["n_lines"] for r in rows) == full

@@ -2010,11 +2010,17 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Every join side below (owners, removed_pos, rebuilt) GROWS with
     # the corpus — but each sits behind aggregates/filters whose static
     # size estimates read "small", and at 256x the planner's resulting
-    # BroadcastHashJoin died at the 8 GiB broadcast ceiling.  Pin the
-    # shuffled shapes: the keys (h, doc_id) are exactly the columns the
-    # surrounding stages already partition by, so the Exchanges reuse
-    # alignment, and none of these sides is broadcastable at crawl
-    # scale by construction.
+    # BroadcastHashJoin died at the 8 GiB broadcast ceiling.  Two tiers
+    # of pinned shuffled shapes (the r7 1024x sweep found the second):
+    # * owners joins by SHUFFLE_HASH — one row per duplicated DISTINCT
+    #   gram, Zipf/vocab-bounded per partition, the SHJ sweet spot.
+    # * removed_pos and rebuilt join by MERGE (sort-merge): both sides
+    #   carry corpus-width rows (every token position of every replica
+    #   doc / every cleaned text), and an SHJ build map over a
+    #   corpus-width side must FIT per-partition memory — at 1024x
+    #   (5.12 M docs) the BytesToBytesMap died in SparkOutOfMemoryError
+    #   where SMJ sort-spills and finishes.  At crawl scale the
+    #   spillable join is the only correct pin for corpus x corpus.
     removed_pos = (
         grams.join(owners.hint("shuffle_hash"), "h")
         .filter(F.col("doc_id") != F.col("owner"))
@@ -2028,7 +2034,7 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = w.select("doc_id", F.posexplode("w").alias("p", "tok"))
     kept = toks.join(
-        removed_pos.hint("shuffle_hash"), ["doc_id", "p"], "left_anti"
+        removed_pos.hint("merge"), ["doc_id", "p"], "left_anti"
     )
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
@@ -2042,7 +2048,7 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         w.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
-        .join(rebuilt.hint("shuffle_hash"), "doc_id", "left")
+        .join(rebuilt.hint("merge"), "doc_id", "left")
         .select(
             "doc_id",
             "n_words",

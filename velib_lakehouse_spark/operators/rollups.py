@@ -1737,3 +1737,166 @@ ORACLE["weighted_quantiles_exact"] = f"""
     JOIN uq ON uq.lang = p.lang AND uq.q = p.q
 """
 QUERIES["weighted_quantiles_exact"] = weighted_quantiles_exact
+
+
+IVMJ_O_MOD = 10  # orders with o_orderkey % 10 == 0 arrive as the delta
+IVMJ_L_MOD = 7   # lineitems with l_orderkey % 7 == 0 arrive as the delta
+
+
+def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view — the delta-rule classic
+    that ``ivm_incremental_rollup`` (aggregate-only) cannot express:
+    with inserts dA and dB arriving on BOTH sides of V = A |><| B, the
+    view delta is the three-term rule
+
+        dV = dA |><| B  UNION ALL  A |><| dB  UNION ALL  dA |><| dB
+
+    (A, B = pre-delta states; missing any term loses rows, counting
+    dA |><| dB twice duplicates them — the audit proves the refreshed
+    view equals a from-scratch rebuild row for row).  The view here is
+    daily revenue (exact scale-4 micro-units, the repo's
+    cents(a) * cents(b) pure-long convention) over orders |><|
+    lineitem; deltas are the
+    deterministic slices o_orderkey % {O} == 0 / l_orderkey % {L} == 0,
+    so both engines replay the identical ingest.  Emits one row per
+    order date: the incrementally-refreshed aggregates, the
+    from-scratch rebuild, and the match verdicts.
+
+    Scale shape: each delta term is ONE keyed shuffle whose probe side
+    is delta-bounded (at 100 TB: dA |><| B prunes B to delta keys via
+    the join itself — cost O(|delta| x match fan-out), never a history
+    rescan; the aggregate merge is addition on the view key, the same
+    algebraic-merge rule as the rollup IVM).  The from-scratch side
+    exists only because this is an audit.  Money stays integer cents.
+    """
+    from velib_lakehouse_spark.functions.exact import cents_product
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderkey") % IVMJ_O_MOD == 0).alias("is_delta_o"),
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        cents_product(
+            F.col("l_extendedprice"), 1 - F.col("l_discount")
+        ).alias("rev"),
+        (F.col("l_orderkey") % IVMJ_L_MOD == 0).alias("is_delta_l"),
+    )
+    o_base = o.filter(~F.col("is_delta_o"))
+    o_delta = o.filter("is_delta_o")
+    l_base = l.filter(~F.col("is_delta_l"))
+    l_delta = l.filter("is_delta_l")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderdate").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("rev").alias("rev_micro"),
+        )
+
+    j = lambda a, b: a.join(b, a["o_orderkey"] == b["l_orderkey"])  # noqa: E731
+    v_old = agg(j(o_base, l_base))
+    dv = agg(
+        j(o_delta, l_base)
+        .select("o_orderdate", "rev")
+        .unionByName(j(o_base, l_delta).select("o_orderdate", "rev"))
+        .unionByName(j(o_delta, l_delta).select("o_orderdate", "rev"))
+    )
+    refreshed = (
+        v_old.unionByName(dv)
+        .groupBy("o_orderdate")
+        .agg(
+            F.sum("n_lines").alias("n_lines"),
+            F.sum("rev_micro").alias("rev_micro"),
+        )
+    )
+    rebuilt = agg(j(o, l)).select(
+        F.col("o_orderdate").alias("rdate"),
+        F.col("n_lines").alias("full_n_lines"),
+        F.col("rev_micro").alias("full_rev_micro"),
+    )
+    return (
+        refreshed.join(
+            rebuilt, refreshed["o_orderdate"] == rebuilt["rdate"], "full"
+        )
+        .select(
+            F.coalesce("o_orderdate", "rdate").alias("o_orderdate"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("rev_micro", F.lit(0)).alias("rev_micro"),
+            F.coalesce("full_n_lines", F.lit(0)).alias("full_n_lines"),
+            F.coalesce("full_rev_micro", F.lit(0)).alias("full_rev_micro"),
+        )
+        .select(
+            "o_orderdate",
+            "n_lines",
+            "rev_micro",
+            (F.col("n_lines") == F.col("full_n_lines")).alias(
+                "n_matches"
+            ),
+            (F.col("rev_micro") == F.col("full_rev_micro")).alias(
+                "rev_matches"
+            ),
+        )
+    )
+
+
+ORACLE["ivm_join_view_delta"] = f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderdate,
+             o_orderkey % {IVMJ_O_MOD} = 0 AS is_delta_o
+      FROM orders
+    ),
+    l AS (
+      SELECT l_orderkey,
+             CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT) AS rev,
+             l_orderkey % {IVMJ_L_MOD} = 0 AS is_delta_l
+      FROM lineitem
+    ),
+    v_old AS (
+      SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(rev) AS BIGINT) AS rev_micro
+      FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      WHERE NOT is_delta_o AND NOT is_delta_l
+      GROUP BY o_orderdate
+    ),
+    dv AS (
+      SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(rev) AS BIGINT) AS rev_micro
+      FROM (
+        SELECT o.o_orderdate, l.rev
+        FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+        WHERE is_delta_o AND NOT is_delta_l
+        UNION ALL
+        SELECT o.o_orderdate, l.rev
+        FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+        WHERE NOT is_delta_o AND is_delta_l
+        UNION ALL
+        SELECT o.o_orderdate, l.rev
+        FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+        WHERE is_delta_o AND is_delta_l
+      )
+      GROUP BY o_orderdate
+    ),
+    refreshed AS (
+      SELECT o_orderdate, CAST(sum(n_lines) AS BIGINT) AS n_lines,
+             CAST(sum(rev_micro) AS BIGINT) AS rev_micro
+      FROM (SELECT * FROM v_old UNION ALL SELECT * FROM dv)
+      GROUP BY o_orderdate
+    ),
+    rebuilt AS (
+      SELECT o_orderdate AS rdate, CAST(count(*) AS BIGINT) AS full_n_lines,
+             CAST(sum(rev) AS BIGINT) AS full_rev_micro
+      FROM o JOIN l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o_orderdate
+    )
+    SELECT coalesce(r.o_orderdate, b.rdate) AS o_orderdate,
+           coalesce(r.n_lines, 0) AS n_lines,
+           coalesce(r.rev_micro, 0) AS rev_micro,
+           coalesce(r.n_lines, 0) = coalesce(b.full_n_lines, 0)
+             AS n_matches,
+           coalesce(r.rev_micro, 0) = coalesce(b.full_rev_micro, 0)
+             AS rev_matches
+    FROM refreshed r FULL JOIN rebuilt b ON b.rdate = r.o_orderdate
+"""
+QUERIES["ivm_join_view_delta"] = ivm_join_view_delta

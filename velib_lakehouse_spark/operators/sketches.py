@@ -1758,3 +1758,356 @@ ORACLE["heavy_hitters_mg_audit"] = f"""
     CROSS JOIN bounds b
 """
 QUERIES["heavy_hitters_mg_audit"] = heavy_hitters_mg_audit
+
+
+DS_PANEL = 12  # audited heavy-term panel (pairs = C(12,2) max)
+DS_U_MOD = 1_000_000_000  # md5-uniform modulus (same family as PS)
+# Oversampling numerator: pair (j,k) is sampled with p = min(1,
+# G / (n2_j * n2_k)) — heavy column pairs are sampled LIGHTLY, which is
+# the DIMSUM insight (Zadeh & Goel 2013: the heaviest dot products need
+# the fewest samples for fixed relative error).  Sized so the fixture
+# corpora exercise BOTH branches: light pairs exact (p = 1), heavy
+# pairs genuinely sampled.
+DS_G = 1_000_000
+
+
+def dimsum_cosine_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMSUM-sampled dot products between term columns of the
+    doc-term matrix, audited against the exact values (Zadeh & Goel,
+    "Dimension Independent Similarity Computation", 2013 — the
+    shuffle-size-bounded similarity estimator shipped in Spark's
+    RowMatrix.columnSimilarities, rebuilt here deterministically so
+    the DuckDB oracle reproduces every sampling decision).
+
+    For each co-occurring pair of panel terms (the DS_PANEL most
+    frequent): the exact dot product sum_i(a_ij * a_ik), the sampled
+    estimate, whether the pair was actually subsampled, and the signed
+    error.  Rows are admitted per (doc, pair) with probability
+    p = min(1, G / (n2_j * n2_k)) where n2 is the column's squared L2
+    norm — so as the corpus (and hence the norms) grows, the PER-PAIR
+    sample size stays O(G / cos-weight) while light pairs remain
+    exact: shuffle traffic is bounded independent of matrix dimension,
+    which is the whole point of DIMSUM at 100 TB.
+
+    Determinism: u = md5_60bit("ds|doc|j|k") % 1e9 + 1; a row is
+    sampled iff u <= T_jk with the INTEGER threshold T_jk =
+    (G * 1e9) div (n2_j * n2_k) (rearranged to avoid 60-bit overflow);
+    the unbias uses the same quantized T, and the single floating
+    division at the end is two correctly-rounded IEEE-754 ops on
+    identical integers in both engines.
+
+    Scale shape: ONE (doc, word) count shuffle; the panel + norms
+    broadcast (DS_PANEL rows); per-doc pair fan-out is bounded by
+    C(DS_PANEL, 2); the reduce side is one row per surviving pair.
+    The exact side reuses the same conditional aggregation — present
+    only because this is an audit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(_words()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("a"))
+        .persist()
+    )
+    panel = (
+        counts.groupBy("w")
+        .agg(F.sum("a").alias("tot"), F.sum(F.expr("a * a")).alias("n2"))
+        .orderBy(F.col("tot").desc(), F.col("w").asc())
+        .limit(DS_PANEL)
+        .select("w", "n2")
+    )
+    pc = counts.join(F.broadcast(panel), "w")
+    pairs = (
+        pc.alias("l")
+        .join(
+            pc.alias("r"),
+            (F.col("l.doc_id") == F.col("r.doc_id"))
+            & (F.col("l.w") < F.col("r.w")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("l.w").alias("term_a"),
+            F.col("r.w").alias("term_b"),
+            F.col("l.n2").alias("n2_a"),
+            F.col("r.n2").alias("n2_b"),
+            (F.col("l.a") * F.col("r.a")).alias("prod"),
+            F.expr(
+                f"({DS_G}::bigint * {DS_U_MOD}) div (l.n2 * r.n2)"
+            ).alias("t"),
+            (
+                md5_long(
+                    F.concat_ws(
+                        "|",
+                        F.lit("ds"),
+                        F.col("l.doc_id").cast("string"),
+                        F.col("l.w"),
+                        F.col("r.w"),
+                    )
+                )
+                % DS_U_MOD
+                + 1
+            ).alias("u"),
+        )
+    )
+    agg = pairs.groupBy("term_a", "term_b", "n2_a", "n2_b", "t").agg(
+        F.sum("prod").alias("exact_dot"),
+        F.sum(F.when(F.col("u") <= F.col("t"), F.col("prod")).otherwise(0)).alias(
+            "s_emitted"
+        ),
+        F.sum(
+            F.when(F.col("u") <= F.col("t"), 1).otherwise(0)
+        ).alias("n_rows_emitted"),
+    )
+    return agg.select(
+        "term_a",
+        "term_b",
+        "n2_a",
+        "n2_b",
+        "exact_dot",
+        (F.col("n2_a") * F.col("n2_b") > DS_G).alias("sampled"),
+        "n_rows_emitted",
+        F.when(
+            F.col("n2_a") * F.col("n2_b") <= DS_G,
+            F.col("exact_dot") * 1000,
+        )
+        .otherwise(
+            F.floor(
+                F.col("s_emitted").cast("double")
+                * 1000.0
+                * DS_U_MOD
+                / F.col("t").cast("double")
+            ).cast("bigint")
+        )
+        .alias("est_dot_milli"),
+        F.expr(
+            f"""CASE WHEN n2_a * n2_b <= {DS_G}
+                 THEN cast(0 as bigint)
+                 ELSE (floor(cast(s_emitted as double) * 1000.0
+                             * {DS_U_MOD} / cast(t as double))
+                       - exact_dot * 1000) * 1000000
+                      div nullif(exact_dot * 1000, 0) END"""
+        ).alias("err_ppm"),
+    )
+
+
+ORACLE["dimsum_cosine_estimate"] = f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS a
+      FROM words GROUP BY doc_id, w
+    ),
+    panel AS (
+      SELECT w, CAST(sum(a * a) AS BIGINT) AS n2
+      FROM counts GROUP BY w
+      ORDER BY sum(a) DESC, w ASC LIMIT {DS_PANEL}
+    ),
+    pc AS (
+      SELECT c.doc_id, c.w, c.a, p.n2
+      FROM counts c JOIN panel p ON p.w = c.w
+    ),
+    pairs AS (
+      SELECT l.doc_id, l.w AS term_a, r.w AS term_b,
+             l.n2 AS n2_a, r.n2 AS n2_b,
+             l.a * r.a AS prod,
+             ({DS_G}::BIGINT * {DS_U_MOD}) // (l.n2 * r.n2) AS t,
+             ({sql_md5_long(
+                 "concat_ws('|', 'ds', CAST(l.doc_id AS VARCHAR),"
+                 " l.w, r.w)"
+             )}) % {DS_U_MOD} + 1 AS u
+      FROM pc l JOIN pc r
+        ON l.doc_id = r.doc_id AND l.w < r.w
+    ),
+    agg AS (
+      SELECT term_a, term_b, n2_a, n2_b, t,
+             CAST(sum(prod) AS BIGINT) AS exact_dot,
+             CAST(sum(CASE WHEN u <= t THEN prod ELSE 0 END) AS BIGINT)
+               AS s_emitted,
+             CAST(sum(CASE WHEN u <= t THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rows_emitted
+      FROM pairs GROUP BY term_a, term_b, n2_a, n2_b, t
+    )
+    SELECT term_a, term_b, n2_a, n2_b, exact_dot,
+           n2_a * n2_b > {DS_G} AS sampled,
+           n_rows_emitted,
+           CASE WHEN n2_a * n2_b <= {DS_G} THEN exact_dot * 1000
+                ELSE CAST(floor(CAST(s_emitted AS DOUBLE) * 1000.0
+                                * {DS_U_MOD} / CAST(t AS DOUBLE))
+                          AS BIGINT) END AS est_dot_milli,
+           CASE WHEN n2_a * n2_b <= {DS_G} THEN CAST(0 AS BIGINT)
+                ELSE (CAST(floor(CAST(s_emitted AS DOUBLE) * 1000.0
+                                 * {DS_U_MOD} / CAST(t AS DOUBLE))
+                           AS BIGINT)
+                      - exact_dot * 1000) * 1000000
+                     // nullif(exact_dot * 1000, 0) END AS err_ppm
+    FROM agg
+"""
+QUERIES["dimsum_cosine_estimate"] = dimsum_cosine_estimate
+
+
+PJS_B = 16  # audited hash partitions (the AQE shuffle-partition model)
+PJS_SKEW_X = 2  # AQE-style skew trigger: partition > X * median
+
+
+def partition_join_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shuffle-partition join-cardinality estimation from per-
+    partition (rows, distinct-keys) statistics — the question AQE's
+    skew-join and partition-coalescing rules answer at runtime,
+    answered here BEFORE the join from two statistics passes, and
+    audited against the exact per-partition join sizes.
+
+    Each side's keys hash into {PJS_B} partitions (md5, the repo's
+    cross-engine hash); per partition the estimate is the System R
+    uniformity rule ``n1 * n2 div max(d1, d2)`` (Selinger et al. 1979
+    — containment-of-values on the join key).  Emits one row per
+    partition: both sides' (n, d), the estimated and exact join
+    cardinality, the signed error in ppm, and two skew verdicts — the
+    PREDICTED one from the estimates and the TRUE one from the exact
+    sizes (partition > {PJS_SKEW_X} x median) — so the audit shows
+    whether pre-join statistics would have routed the same partitions
+    to AQE's skew-split that runtime sizes do.
+
+    Scale shape: both statistics passes are map-side-combined groupBys
+    onto per-key rows, re-aggregated to {PJS_B} partition rows; the
+    exact side joins the two PER-KEY count tables (one keyed shuffle —
+    present only because this is an audit; production reads only the
+    2 x {PJS_B}-row statistics).  The median runs on a {PJS_B}-row
+    frame.  All arithmetic integer; ties impossible (hash is total).
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+
+    def per_key(df: DataFrame) -> DataFrame:
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+            "k",
+            "n",
+            (md5_long(F.col("k").cast("string")) % PJS_B).alias("p"),
+        )
+    ko = per_key(o).persist()
+    kl = per_key(l).persist()
+
+    def stats(df: DataFrame, side: str) -> DataFrame:
+        return df.groupBy("p").agg(
+            F.sum("n").alias(f"n{side}"),
+            F.count(F.lit(1)).alias(f"d{side}"),
+        )
+    est = (
+        stats(ko, "1")
+        .join(stats(kl, "2"), "p", "full")
+        .select(
+            "p",
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            F.coalesce("d1", F.lit(0)).alias("d1"),
+            F.coalesce("n2", F.lit(0)).alias("n2"),
+            F.coalesce("d2", F.lit(0)).alias("d2"),
+            F.expr(
+                "coalesce(n1, 0) * coalesce(n2, 0)"
+                " div greatest(coalesce(d1, 0), coalesce(d2, 0), 1)"
+            ).alias("est_rows"),
+        )
+    )
+    exact = (
+        ko.join(kl.withColumnRenamed("n", "n_r"), ["k", "p"])
+        .groupBy("p")
+        .agg(F.sum(F.expr("n * n_r")).alias("exact_rows"))
+    )
+    both = (
+        est.join(exact, "p", "left")
+        .select(
+            "p",
+            "n1",
+            "d1",
+            "n2",
+            "d2",
+            "est_rows",
+            F.coalesce("exact_rows", F.lit(0)).alias("exact_rows"),
+        )
+        .persist()
+    )
+    med = both.select(
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY est_rows)"
+            " as bigint)"
+        ).alias("med_est"),
+        F.expr(
+            "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY exact_rows)"
+            " as bigint)"
+        ).alias("med_exact"),
+    )
+    return both.crossJoin(F.broadcast(med)).select(
+        "p",
+        "n1",
+        "d1",
+        "n2",
+        "d2",
+        "est_rows",
+        "exact_rows",
+        F.expr(
+            "(est_rows - exact_rows) * 1000000"
+            " div nullif(exact_rows, 0)"
+        ).alias("err_ppm"),
+        (F.col("est_rows") > PJS_SKEW_X * F.col("med_est")).alias(
+            "predicted_skew"
+        ),
+        (F.col("exact_rows") > PJS_SKEW_X * F.col("med_exact")).alias(
+            "true_skew"
+        ),
+    )
+
+
+ORACLE["partition_join_size_audit"] = f"""
+    WITH ko AS (
+      SELECT k, n, {sql_md5_long("CAST(k AS VARCHAR)")} % {PJS_B} AS p
+      FROM (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1)
+    ),
+    kl AS (
+      SELECT k, n, {sql_md5_long("CAST(k AS VARCHAR)")} % {PJS_B} AS p
+      FROM (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1)
+    ),
+    s1 AS (SELECT p, CAST(sum(n) AS BIGINT) AS n1,
+                  CAST(count(*) AS BIGINT) AS d1 FROM ko GROUP BY p),
+    s2 AS (SELECT p, CAST(sum(n) AS BIGINT) AS n2,
+                  CAST(count(*) AS BIGINT) AS d2 FROM kl GROUP BY p),
+    est AS (
+      SELECT coalesce(s1.p, s2.p) AS p,
+             coalesce(n1, 0) AS n1, coalesce(d1, 0) AS d1,
+             coalesce(n2, 0) AS n2, coalesce(d2, 0) AS d2,
+             coalesce(n1, 0) * coalesce(n2, 0)
+               // greatest(coalesce(d1, 0), coalesce(d2, 0), 1)
+               AS est_rows
+      FROM s1 FULL JOIN s2 ON s1.p = s2.p
+    ),
+    exact AS (
+      SELECT ko.p, CAST(sum(ko.n * kl.n) AS BIGINT) AS exact_rows
+      FROM ko JOIN kl ON kl.k = ko.k AND kl.p = ko.p
+      GROUP BY ko.p
+    ),
+    joined AS (
+      SELECT e.p, e.n1, e.d1, e.n2, e.d2, e.est_rows,
+             coalesce(x.exact_rows, 0) AS exact_rows
+      FROM est e LEFT JOIN exact x ON x.p = e.p
+    ),
+    med AS (
+      SELECT CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY est_rows)
+                  AS BIGINT) AS med_est,
+             CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY exact_rows)
+                  AS BIGINT) AS med_exact
+      FROM joined
+    )
+    SELECT b.p, b.n1, b.d1, b.n2, b.d2, b.est_rows, b.exact_rows,
+           (b.est_rows - b.exact_rows) * 1000000
+             // nullif(b.exact_rows, 0) AS err_ppm,
+           b.est_rows > {PJS_SKEW_X} * m.med_est AS predicted_skew,
+           b.exact_rows > {PJS_SKEW_X} * m.med_exact AS true_skew
+    FROM joined b CROSS JOIN med m
+"""
+QUERIES["partition_join_size_audit"] = partition_join_size_audit

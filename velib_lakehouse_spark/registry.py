@@ -42,7 +42,7 @@ DRIVER_WINDOW = 50
 # Coverage has been complete since r6 (229/229 driver-green, zero ever
 # red), so the window's whole job is freshness + paying for growth.
 # This round's window, in order:
-# * 8 new operators (VERDICT r6 #2 — the next north-star tier), each
+# * 11 new operators (VERDICT r6 #2 — the next north-star tier), each
 #   entering with a same-round driver row.  First batch: mergeable
 #   quantile-sketch rollup (the hll_merge_rollup analogue for
 #   percentiles), priority sampling with subset-sum estimation
@@ -52,9 +52,13 @@ DRIVER_WINDOW = 50
 #   Misra-Gries mergeable heavy hitters (deterministic counterpart to
 #   cms_frequency_audit), Iceberg-style merge-on-read delete files,
 #   multi-touch revenue attribution, and exact token-weighted
-#   quantiles (the exact tier of the quantile-sketch pair).  The
-#   second batch displaced vocab_coverage / unigram_logprob_score /
-#   lang_consistency_audit / quality_classifier_score to the r8 queue.
+#   quantiles (the exact tier of the quantile-sketch pair).  Third
+#   batch: DIMSUM sampled column similarity.  Fourth batch:
+#   per-partition join-size/skew estimation and JOIN-view IVM.  The
+#   later batches displaced vocab_coverage / unigram_logprob_score /
+#   lang_consistency_audit / quality_classifier_score /
+#   zipf_slope_audit / gopher_quality_filter / ngram_novelty /
+#   repetition_stats to the r8 queue.
 # * 2 changed => re-window: cms_join_size_audit (r7 ADVICE: disjoint-
 #   key degenerate case now yields est 0 via left join + coalesce in
 #   both engines) and hll_set_overlap_audit (signed-overlap semantics
@@ -79,6 +83,20 @@ PRIORITY: tuple[str, ...] = (
     "merge_on_read_deletes",
     "multitouch_attribution",
     "weighted_quantiles_exact",
+    # new this round, third batch: DIMSUM sampled column similarity
+    # (Zadeh & Goel 2013) with every sampling decision oracle-mirrored
+    "dimsum_cosine_estimate",
+    # changed => re-window: the r7 1024x sweep OOM'd dup_span_removal's
+    # corpus-width SHJ build maps; the removed_pos/rebuilt joins are now
+    # pinned sort-merge (spillable) — see dedup.py:2010
+    "dup_span_removal",
+    # new this round, fourth batch: per-shuffle-partition join-size
+    # estimation with AQE-style skew prediction (Selinger uniformity
+    # rule audited per hash partition), and incremental JOIN-view
+    # maintenance (the three-term delta rule dV = dA|><|B u A|><|dB u
+    # dA|><|dB audited against a from-scratch rebuild)
+    "partition_join_size_audit",
+    "ivm_join_view_delta",
     # changed => re-window (r7 ADVICE fixes)
     "cms_join_size_audit",
     "hll_set_overlap_audit",
@@ -109,7 +127,6 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "dedup_containment",
     "dedup_canonicalize",
-    "ngram_novelty",
     "decontaminate_ngram",
     "inverted_index",
     "ann_ivf_topk",
@@ -119,11 +136,8 @@ PRIORITY: tuple[str, ...] = (
     "embedding_centroids",
     "embedding_quantize_int8",
     "embedding_outliers",
-    "repetition_stats",
-    "gopher_quality_filter",
     "tfidf_top_terms",
     "bm25_rank",
-    "zipf_slope_audit",
     "pack_sequences",
 )
 
@@ -134,13 +148,18 @@ SECONDARY: tuple[str, ...] = (
     # ROUND-8 ROTATION QUEUE: the r3-era showcases that did not fit
     # this round's oldest-green-first refresh — stalest evidence in the
     # registry once the r7 window lands, so they rotate in next.  The
-    # first four were displaced mid-round by the second new-operator
-    # batch (heavy_hitters_mg_audit, merge_on_read_deletes,
-    # multitouch_attribution, weighted_quantiles_exact).
+    # first five were displaced mid-round by the second and third
+    # new-operator batches (heavy_hitters_mg_audit,
+    # merge_on_read_deletes, multitouch_attribution,
+    # weighted_quantiles_exact, dimsum_cosine_estimate).
     "vocab_coverage",
     "unigram_logprob_score",
     "lang_consistency_audit",
     "quality_classifier_score",
+    "zipf_slope_audit",
+    "gopher_quality_filter",
+    "ngram_novelty",
+    "repetition_stats",
     "bpe_merge_step",
     "stratified_split",
     "corpus_composition",
@@ -202,9 +221,9 @@ SECONDARY: tuple[str, ...] = (
     "event_rate_anomaly",
     "tpch_q3_shipping",
     "domain_cap_sample",
-    # r5-green rows (demoted by the round-6 rotation)
+    # r5-green rows (demoted by the round-6 rotation;
+    # dup_span_removal re-windowed mid-r7 by the SMJ-pin change)
     "lake_file_skipping",
-    "dup_span_removal",
     "multimodal_image_ahash_neardup",
     "pandas_cogroup_paired_spend",
     "chunk_cdc",
