@@ -1968,16 +1968,23 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from *reporting* covered fractions to the actual transformation a
     training-data pipeline ships.
 
-    Scale shape: the report gets away with an interval-union window
-    pass because it only needs covered-token COUNTS; removal needs a
-    per-position verdict, so the gram→position cover-back is an honest
-    K-fold row fan-out (K=3, a constant) followed by a per-(doc, pos)
-    dedup and the ordered rebuild — every stage linear in corpus token
-    count and hash-partitioned by doc_id (the dropDuplicates, the
-    anti join, and the re-assembly all reuse the same doc_id
-    partitioning; AQE coalesces the small sides).  The text payload
-    itself shuffles exactly once, as (pos, token) structs in the final
-    rebuild; gram detection ships only 60-bit hashes.
+    Scale shape (third iteration, each forced by a measured cliff):
+    the r4 version broadcast corpus-width sides (died at the 8 GiB
+    ceiling at 256x); the r5 shuffle_hash pins fixed that but put
+    corpus-width build sides into per-partition hash maps, which
+    cannot spill (SparkOutOfMemoryError at 1024x); the r5/r7 SMJ
+    version spilled ~73 GB of exploded (doc, pos) rows at 4096x.  This
+    version DELETES the position-explode pipeline: duplicated-gram
+    START positions aggregate per doc (collect_set — bounded by doc
+    length), merge into disjoint removal INTERVALS inside the row (one
+    aggregate() pass over the sorted starts), and the cleaned text is
+    rebuilt map-side from the complement slices — no (doc, pos)
+    shuffle, no anti-join, no rebuild collect_list.  Shuffles left:
+    gram hashes (detection, 60-bit ints), the per-doc starts
+    aggregation, and ONE doc-keyed join of the starts onto the text
+    frame.  Per-doc work is O(words + spans); the fully-duplicated
+    replica corpus is the best case (all starts merge into one
+    interval).
     """
     d = load_table(spark, sf_dir, "documents")
     n = spark.sparkContext.defaultParallelism
@@ -2007,59 +2014,66 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("owner") != F.col("mx"))
         .select("h", "owner")
     )
-    # Every join side below (owners, removed_pos, rebuilt) GROWS with
-    # the corpus — but each sits behind aggregates/filters whose static
-    # size estimates read "small", and at 256x the planner's resulting
-    # BroadcastHashJoin died at the 8 GiB broadcast ceiling.  Two tiers
-    # of pinned shuffled shapes (the r7 1024x sweep found the second):
-    # * owners joins by SHUFFLE_HASH — one row per duplicated DISTINCT
-    #   gram, Zipf/vocab-bounded per partition, the SHJ sweet spot.
-    # * removed_pos and rebuilt join by MERGE (sort-merge): both sides
-    #   carry corpus-width rows (every token position of every replica
-    #   doc / every cleaned text), and an SHJ build map over a
-    #   corpus-width side must FIT per-partition memory — at 1024x
-    #   (5.12 M docs) the BytesToBytesMap died in SparkOutOfMemoryError
-    #   where SMJ sort-spills and finishes.  At crawl scale the
-    #   spillable join is the only correct pin for corpus x corpus.
-    removed_pos = (
+    # owners: one row per duplicated DISTINCT gram — Zipf/vocab-bounded
+    # per partition, the SHJ sweet spot (broadcast would die at the
+    # 8 GiB ceiling; see the r4 history in the docstring).
+    starts = (
         grams.join(owners.hint("shuffle_hash"), "h")
         .filter(F.col("doc_id") != F.col("owner"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(DUP_SPAN_K - 1))
-            ).alias("p"),
-        )
-        .dropDuplicates(["doc_id", "p"])
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("pos")).alias("starts"))
     )
-    toks = w.select("doc_id", F.posexplode("w").alias("p", "tok"))
-    kept = toks.join(
-        removed_pos.hint("merge"), ["doc_id", "p"], "left_anti"
+    # merge sorted span starts [s, s+K-1] into disjoint removal
+    # intervals INSIDE the row — O(spans) appends; on a fully-
+    # duplicated doc everything collapses into one interval
+    ivals = F.expr(
+        """aggregate(
+             starts,
+             cast(array() as array<struct<lo:int,hi:int>>),
+             (acc, s) -> CASE
+               WHEN size(acc) > 0 AND s <= element_at(acc, -1).hi + 1
+               THEN concat(
+                 slice(acc, 1, size(acc) - 1),
+                 array(named_struct(
+                   'lo', element_at(acc, -1).lo,
+                   'hi', greatest(element_at(acc, -1).hi,
+                                  s + {K} - 1))))
+               ELSE concat(acc, array(named_struct(
+                 'lo', s, 'hi', s + {K} - 1)))
+             END)""".replace("{K}", str(DUP_SPAN_K))
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("cleaned_text"),
-        F.count(F.lit(1)).cast("bigint").alias("kept_tokens"),
+    # complement slices rebuild the cleaned token list map-side:
+    # head [0, lo1-1], the gaps between intervals, tail [hi_last+1, n)
+    kept_arr = F.expr(
+        """CASE WHEN iv IS NULL OR size(iv) = 0 THEN w ELSE
+             flatten(concat(
+               array(slice(w, 1, element_at(iv, 1).lo)),
+               transform(
+                 CASE WHEN size(iv) > 1 THEN sequence(1, size(iv) - 1)
+                      ELSE cast(array() as array<int>) END,
+                 i -> slice(w, element_at(iv, i).hi + 2,
+                            element_at(iv, i + 1).lo
+                              - element_at(iv, i).hi - 1)),
+               array(CASE
+                 WHEN element_at(iv, -1).hi + 2 > size(w)
+                 THEN array()
+                 ELSE slice(w, element_at(iv, -1).hi + 2,
+                            size(w) - element_at(iv, -1).hi - 1)
+               END)))
+           END"""
     )
     return (
-        w.select("doc_id", F.size("w").cast("bigint").alias("n_words"))
-        .join(rebuilt.hint("merge"), "doc_id", "left")
+        w.join(starts, "doc_id", "left")
+        .withColumn("iv", ivals)
+        .withColumn("kept_arr", kept_arr)
         .select(
             "doc_id",
-            "n_words",
-            F.coalesce("kept_tokens", F.lit(0).cast("bigint")).alias(
-                "kept_tokens"
+            F.size("w").cast("bigint").alias("n_words"),
+            F.size("kept_arr").cast("bigint").alias("kept_tokens"),
+            (F.size("w") - F.size("kept_arr")).cast("bigint").alias(
+                "removed_tokens"
             ),
-            (
-                F.col("n_words")
-                - F.coalesce("kept_tokens", F.lit(0).cast("bigint"))
-            ).cast("bigint").alias("removed_tokens"),
-            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+            F.concat_ws(" ", F.col("kept_arr")).alias("cleaned_text"),
         )
     )
 
