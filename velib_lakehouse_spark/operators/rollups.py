@@ -1773,7 +1773,7 @@ def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
-        "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
         (F.col("o_orderkey") % IVMJ_O_MOD == 0).alias("is_delta_o"),
     )
     l = load_table(spark, sf_dir, "lineitem").select(
@@ -1842,7 +1842,7 @@ def ivm_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE["ivm_join_view_delta"] = f"""
     WITH o AS (
-      SELECT o_orderkey, o_orderdate,
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
              o_orderkey % {IVMJ_O_MOD} = 0 AS is_delta_o
       FROM orders
     ),

@@ -1731,8 +1731,8 @@ ORACLE["heavy_hitters_mg_audit"] = f"""
       WHERE s - tg > 0
     ),
     bounds AS (
-      SELECT (SELECT coalesce(sum(t), 0) FROM t_shard)
-             + (SELECT tg FROM tg) AS dec_bound,
+      SELECT CAST((SELECT coalesce(sum(t), 0) FROM t_shard)
+                  + (SELECT tg FROM tg) AS BIGINT) AS dec_bound,
              (SELECT CAST(sum(c) AS BIGINT) FROM sc) AS n_total
     ),
     exact AS (
