@@ -606,3 +606,114 @@ def test_random_tpch_tables_match_oracle(spark, tpch_fuzz_dir, orders):
             tpch_fuzz_dir,
         )
         assert not problems, f"{name}: " + "; ".join(problems)
+
+
+# ---- TPC-H-shaped fuzz (round-7 fourth batch) -------------------------------
+#
+# Random orders/lineitem corpora: empty partitions, delta slices that
+# cover none/all of a side, orderkeys with no lineitems and vice versa,
+# repeated keys with extreme per-key fan-out.  Exercises the
+# statistics/uniformity arithmetic of the join-size audit and the
+# three-term IVM delta rule where the fixed fixture cannot.
+
+TPCH_FUZZED = [
+    "partition_join_size_audit",
+    "ivm_join_view_delta",
+    "join_shuffle_revenue",
+]
+
+orders_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # o_orderkey
+        st.integers(min_value=0, max_value=9),    # custkey
+        st.integers(min_value=0, max_value=400),  # price (as int)
+        st.integers(min_value=0, max_value=60),   # orderdate offset days
+    ),
+    min_size=0,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+lines_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),   # l_orderkey
+        st.integers(min_value=0, max_value=300),  # extendedprice int
+        st.integers(min_value=0, max_value=10),   # discount %
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+
+@pytest.fixture(scope="module")
+def tpch_fuzz_dir(spark):
+    out = tempfile.mkdtemp(prefix="t_fuzz_tpch_")
+    for t in TABLES:
+        if t in ("orders", "lineitem"):
+            continue
+        load_table(spark, SF_DIR, t).limit(0).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    return out
+
+
+@given(orders=orders_strategy, lines=lines_strategy)
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_tpch_tables_match_oracle(spark, tpch_fuzz_dir, orders, lines):
+    import datetime
+
+    base = datetime.date(1995, 1, 1)
+    o_rows = [
+        (
+            k,
+            c,
+            "O",
+            float(p),
+            base + datetime.timedelta(days=d),
+            "1-URGENT",
+        )
+        for k, c, p, d in orders
+    ]
+    l_rows = [
+        (
+            k,
+            1,
+            1,
+            i,
+            1.0,
+            float(p),
+            dsc / 100.0,
+            0.0,
+            "N",
+            "O",
+            base,
+        )
+        for i, (k, p, dsc) in enumerate(lines)
+    ]
+    spark.createDataFrame(
+        o_rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tpch_fuzz_dir}/orders.parquet"
+    )
+    spark.createDataFrame(
+        l_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber long, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate date",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tpch_fuzz_dir}/lineitem.parquet"
+    )
+    spark.catalog.clearCache()
+    for name in TPCH_FUZZED:
+        problems = compare(
+            registry.QUERIES[name](spark, tpch_fuzz_dir),
+            registry.ORACLE[name],
+            tpch_fuzz_dir,
+        )
+        assert not problems, f"{name}: " + "; ".join(problems)
