@@ -616,7 +616,7 @@ def test_random_tpch_tables_match_oracle(spark, tpch_fuzz_dir, orders):
 # statistics/uniformity arithmetic of the join-size audit and the
 # three-term IVM delta rule where the fixed fixture cannot.
 
-TPCH_FUZZED = [
+TPCH_DELTA_FUZZED = [
     "partition_join_size_audit",
     "ivm_join_view_delta",
     "join_shuffle_revenue",
@@ -645,8 +645,8 @@ lines_strategy = st.lists(
 
 
 @pytest.fixture(scope="module")
-def tpch_fuzz_dir(spark):
-    out = tempfile.mkdtemp(prefix="t_fuzz_tpch_")
+def tpch_delta_fuzz_dir(spark):
+    out = tempfile.mkdtemp(prefix="t_fuzz_tpchd_")
     for t in TABLES:
         if t in ("orders", "lineitem"):
             continue
@@ -662,7 +662,7 @@ def tpch_fuzz_dir(spark):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_random_tpch_tables_match_oracle(spark, tpch_fuzz_dir, orders, lines):
+def test_random_tpch_delta_tables_match_oracle(spark, tpch_delta_fuzz_dir, orders, lines):
     import datetime
 
     base = datetime.date(1995, 1, 1)
@@ -698,7 +698,7 @@ def test_random_tpch_tables_match_oracle(spark, tpch_fuzz_dir, orders, lines):
         "o_orderkey long, o_custkey long, o_orderstatus string,"
         " o_totalprice double, o_orderdate date, o_orderpriority string",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{tpch_fuzz_dir}/orders.parquet"
+        f"{tpch_delta_fuzz_dir}/orders.parquet"
     )
     spark.createDataFrame(
         l_rows,
@@ -707,13 +707,13 @@ def test_random_tpch_tables_match_oracle(spark, tpch_fuzz_dir, orders, lines):
         " l_discount double, l_tax double, l_returnflag string,"
         " l_linestatus string, l_shipdate date",
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{tpch_fuzz_dir}/lineitem.parquet"
+        f"{tpch_delta_fuzz_dir}/lineitem.parquet"
     )
     spark.catalog.clearCache()
-    for name in TPCH_FUZZED:
+    for name in TPCH_DELTA_FUZZED:
         problems = compare(
-            registry.QUERIES[name](spark, tpch_fuzz_dir),
+            registry.QUERIES[name](spark, tpch_delta_fuzz_dir),
             registry.ORACLE[name],
-            tpch_fuzz_dir,
+            tpch_delta_fuzz_dir,
         )
         assert not problems, f"{name}: " + "; ".join(problems)

@@ -271,6 +271,27 @@ def test_recency_decay_matches_bruteforce(spark):
         1 << (DECAY_HORIZON_DAYS - age)
         for age in range(1, DECAY_HORIZON_DAYS + 1)
     )
+    # ...and on the actual scores: whenever a user's freshest active
+    # day carries at least as much raw total as any older day, that
+    # single day's contribution strictly exceeds the rest combined
+    # (sum_{a>a0} x_a 2^(H-a) <= max_x (2^(H-a0) - 1) < x_{a0} 2^(H-a0))
+    per_user: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        age = (ref - r["day"]).days
+        if age <= DECAY_HORIZON_DAYS:
+            per_user.setdefault(r["u"], []).append((age, r["x"]))
+    checked = 0
+    for u, contribs in per_user.items():
+        a0 = min(a for a, _ in contribs)
+        x0 = sum(x for a, x in contribs if a == a0)
+        older = [(a, x) for a, x in contribs if a > a0]
+        if older and x0 >= max(x for _, x in older) and x0 > 0:
+            head = x0 << (DECAY_HORIZON_DAYS - a0)
+            tail = sum(x << (DECAY_HORIZON_DAYS - a) for a, x in older)
+            assert head > tail, f"user {u}: {head} <= {tail}"
+            assert got[u] == head + tail
+            checked += 1
+    assert checked > 0, "fixture produced no dominance-eligible user"
 
 
 # ---- hll_set_overlap_audit --------------------------------------------------

@@ -2062,8 +2062,12 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                END)))
            END"""
     )
+    # starts grows with the corpus (one row per doc containing
+    # duplicated grams) — pin to SHJ so the planner can never
+    # broadcast an aggregate-shadowed corpus-width side (the exact
+    # failure mode of the r4 history above: 8 GiB broadcast OOM)
     return (
-        w.join(starts, "doc_id", "left")
+        w.join(starts.hint("shuffle_hash"), "doc_id", "left")
         .withColumn("iv", ivals)
         .withColumn("kept_arr", kept_arr)
         .select(
