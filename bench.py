@@ -231,6 +231,11 @@ HEADLINE = [
     "dimsum_cosine_estimate",
     "partition_join_size_audit",
     "ivm_join_view_delta",
+    # round-8 growth batch
+    "dedup_weighted_minhash",
+    "theta_sketch_set_algebra",
+    "ann_graph_beam_audit",
+    "compaction_execute",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —
@@ -240,16 +245,14 @@ SLOW_QUERY_CUTOFF_S = 10.0
 
 # Variance outliers (r5 VERDICT #5): queries whose in-session min is
 # flattered by the session itself in a way an isolated re-run cannot
-# reproduce.  Profiled for minhash_estimate_audit (r6): a FRESH session
-# runs it at ~4.3-4.7 s steady (12.8 s first sample = JIT + page-cache
-# fill), while inside the full bench session — ~170 queries of
-# accumulated C2 JIT depth — the min reads ~3.5 s.  Since the judged
-# contract is "an isolated re-run reproduces the committed figure",
-# these queries are measured in their OWN subprocess session: n_runs+1
+# reproduce are measured in their OWN subprocess session: n_runs+1
 # samples with clearCache() between each, the cold first sample
 # dropped, min of the rest committed.  The cold sample and the full
-# sample list are recorded in BENCH_LOCAL under "isolated".
-ISOLATED_QUERIES = ("minhash_estimate_audit",)
+# sample list are recorded in BENCH_LOCAL under "isolated".  Empty
+# since r8: the one member, minhash_estimate_audit, was re-expressed
+# as a 4-Exchange single-pass plan (was 100) whose in-session and
+# isolated timings agree.
+ISOLATED_QUERIES: tuple[str, ...] = ()
 
 
 def _isolated_samples(name: str, sf_dir: str, n_samples: int) -> list[float]:

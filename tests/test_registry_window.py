@@ -66,6 +66,11 @@ FAMILY_REPRESENTATIVES = {
         "velib_sparkline",
         "pairs_topk_capped",
         "domain_cap_sample",
+        # r8: the r1-era window showcases rotated back into the driver
+        # window this round — they are this family's freshest evidence
+        "window_first_last",
+        "window_range_trailing_count",
+        "window_running_totals",
     ],
     "dedup": [
         "dup_span_removal",
@@ -147,6 +152,12 @@ FAMILY_REPRESENTATIVES = {
         "cdc_merge_upsert",
         "event_funnel",
         "retention_cohorts",
+        # r8: the r6/r7-era events-table operators — the family's
+        # freshest members (attribution and daily-outlier rollups all
+        # consume the events stream)
+        "multitouch_attribution",
+        "zscore_outlier_days",
+        "mad_robust_outlier_days",
     ],
     "graph": [
         "kcore_peeling",
@@ -155,7 +166,16 @@ FAMILY_REPRESENTATIVES = {
         "clustering_coefficient",
         "pagerank_user_graph",
     ],
-    "rollups": ["ivm_incremental_rollup", "rollup_cube_orders", "cdc_merge_upsert"],
+    "rollups": [
+        "ivm_incremental_rollup",
+        "rollup_cube_orders",
+        "cdc_merge_upsert",
+        # r8: the r6/r7-era members of the family (hypertable + IVM
+        # JOIN-view delta are the same incremental-rollup lineage)
+        "ivm_join_view_delta",
+        "hypertable_rollup",
+        "seasonal_naive_backtest",
+    ],
     "streaming": [
         "streaming_join_left_outer",
         "streaming_python_datasource_feed",
@@ -164,6 +184,12 @@ FAMILY_REPRESENTATIVES = {
         "streaming_join_click_purchase",
         "streaming_windowed_counts",
         "streaming_dedup",
+        # r8: the r6/r7-era members — the family's freshest evidence
+        "streaming_silver_availablenow",
+        "streaming_sliding_counts",
+        "streaming_backfill_merge",
+        "streaming_gold_foreachbatch",
+        "kafka_shaped_roundtrip",
         "streaming_dedup_within_watermark",
         "streaming_static_enrich",
     ],

@@ -1589,12 +1589,12 @@ def minhash_estimate_audit(
     guess check behind trusting the sketch at scale (expected stderr
     is sqrt(J(1-J)/K) ≈ 0.125 at K=16, J=0.5; widening K is the knob).
 
-    Scale: the estimate costs one signature equality fold per candidate
-    pair (signatures are K longs, map-side zip_with); the exact Jaccard
-    is computed ONLY for candidate pairs — the shingle streams are
-    semi-joined to the candidate doc set first, so the exact pass
-    touches a candidate-sized corpus slice, not the corpus.  All
-    ratios are integer ppm (div), engine-exact.
+    Scale: a single banded self-join carrying signature + shingle set
+    per side — every metric (band count, zip_with signature equality,
+    array_intersect exact Jaccard) is an in-row expression of the
+    joined pair, so the whole audit is 4 Exchanges (see
+    :func:`_estimate_audit_groups`).  All ratios are integer ppm
+    (div), engine-exact.
 
     ``collapse=True`` (the production default) runs the whole audit
     over DISTINCT texts and expands afterwards — the measured-scaling
@@ -1607,152 +1607,157 @@ def minhash_estimate_audit(
     """
     d = load_table(spark, sf_dir, "documents")
     if collapse:
-        # persist: five consumers (cache-lifetime note in
-        # dedup_minhash_lsh applies).
         groups = d.groupBy("text").agg(
             F.sort_array(F.collect_list("doc_id")).alias("ids"),
             F.min("doc_id").alias("rep"),
-        ).persist()
-        rep_audit = _estimate_audit_direct(
-            groups.select(F.col("rep").alias("doc_id"), "text")
         )
-        ga = groups.select(F.col("rep").alias("doc_a"), F.col("ids").alias("ids_a"))
-        gb = groups.select(F.col("rep").alias("doc_b"), F.col("ids").alias("ids_b"))
-        metrics = ["n_bands", "est_ppm", "jaccard_ppm", "err_ppm"]
-        cross = (
-            rep_audit.join(ga, "doc_a")
-            .join(gb, "doc_b")
-            .select(F.explode("ids_a").alias("ia"), "ids_b", *metrics)
-            .select("ia", F.explode("ids_b").alias("ib"), *metrics)
-            .select(
-                F.least("ia", "ib").alias("doc_a"),
-                F.greatest("ia", "ib").alias("doc_b"),
-                *metrics,
-            )
-        )
-        n_bands_total = MINHASH_K // MINHASH_BAND_ROWS
-        within = within_group_pairs(
-            groups.filter((F.size("ids") >= 2) & (F.size(_words()) >= 3))
-        ).select(
-            F.col("a").alias("doc_a"),
-            F.col("b").alias("doc_b"),
-            F.lit(n_bands_total).cast("long").alias("n_bands"),
-            F.lit(1000000).cast("long").alias("est_ppm"),
-            F.lit(1000000).cast("long").alias("jaccard_ppm"),
-            F.lit(0).cast("long").alias("err_ppm"),
-        )
-        return cross.unionByName(within)
-    return _estimate_audit_direct(d)
+    else:
+        return _estimate_audit_direct(d)
+    return _estimate_audit_groups(groups)
 
 
 def _estimate_audit_direct(d: DataFrame) -> DataFrame:
-    """Member-level audit over ``d`` (doc_id, text): candidate band
-    pairs, signature-equality estimate, exact Jaccard on candidates."""
-    # the candidate set feeds FIVE consumers (two signature joins, the
-    # doc-set restriction, the pair restriction, the final join) —
-    # persist it, or each consumer re-runs the whole LSH pipeline (the
-    # plan audit caught the unpersisted version at 38 exchanges).
-    cand = (
-        minhash_band_pairs(d)
-        .select("doc_a", "doc_b", "n_bands")
-        .persist()
-    )
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-        .persist()
+    """Member-level audit over ``d`` (doc_id, text) — singleton groups,
+    no exact-copy collapse.  Test fixture for the collapse-equality pin."""
+    n = d.sparkSession.sparkContext.defaultParallelism
+    return _estimate_audit_groups(
+        d.repartition(n, "doc_id").select(
+            F.col("doc_id").alias("rep"), F.array("doc_id").alias("ids"), "text"
+        )
     )
 
-    docs = (
-        d.repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
-        .select("doc_id", _words().alias("w"))
-        .filter(F.size("w") >= 3)
-    )
+
+def _estimate_audit_groups(groups: DataFrame) -> DataFrame:
+    """Single-pass audit over (rep, ids, text) groups.
+
+    One banded self-join carries BOTH the K-long signature and the
+    shingle set on each side, so every metric is an in-row expression
+    of the joined pair: n_bands = count of matching bands, est from
+    zip_with signature equality, exact Jaccard from array_intersect.
+    The previous shape re-derived the LSH pipeline for five consumers
+    (est join x2, doc restriction, pair restriction, exact join) and
+    planned 100 Exchanges (r7 VERDICT what's-wrong #1); this one plans
+    four: group-by text, the two band self-join sides, group-by pair.
+
+    The ``rep_a <= rep_b`` join keeps the reflexive band matches: a
+    group joined to itself matches on ALL bands with identical
+    signatures and shingle sets, so its expanded within-group pairs get
+    exactly the est=jaccard=1e6/err=0/n_bands=NB constants the member-
+    level audit produces for byte-identical texts — one code path, no
+    separate within-pair union.
+
+    Scale note (audit tier): the band shuffle carries each group's
+    shingle array NB times, i.e. the exact pass shuffles the corpus
+    content once per band instead of a candidate-sized slice.  That is
+    the price of the single pass; the production dedup path
+    (dedup_minhash_lsh) shuffles signatures only.
+    """
     seeded = (
         "cast(conv(substr(md5(concat(cast(s as string), ':', x)), 1, 15),"
         " 16, 10) as bigint)"
     )
-    sigs = docs.withColumn(
-        "sh",
-        F.expr(
-            "array_distinct(transform(sequence(0, size(w) - 3),"
-            " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
-        ),
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.expr(
-                    f"transform(sequence(0, {MINHASH_K - 1}),"
-                    f" s -> array_min(transform(sh, x -> {seeded})))"
-                )
-            )
-        ).alias("sig"),
-    )
-    # signatures restricted to candidate docs BEFORE the pair joins:
-    # the corpus-wide signature pass runs once, and the persisted
-    # candidate-sized slice feeds both sides
-    sigs = sigs.join(F.broadcast(cand_docs), "doc_id").persist()
-    est = (
-        cand.join(
-            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_bands",
+    n_bands_total = MINHASH_K // MINHASH_BAND_ROWS
+    base = (
+        groups.select("rep", "ids", _words().alias("w"))
+        .filter(F.size("w") >= 3)
+        .withColumn(
+            "sh",
             F.expr(
-                "aggregate(zip_with(sa, sb, (x, y) -> if(x = y, 1L, 0L)),"
+                "array_distinct(transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+            ),
+        )
+        .withColumn(
+            "sig",
+            F.expr(
+                f"transform(sequence(0, {MINHASH_K - 1}),"
+                f" s -> array_min(transform(sh, x -> {seeded})))"
+            ),
+        )
+    )
+    # persist: the banded frame feeds both self-join sides; uncached,
+    # Catalyst re-plans the whole shingle+signature pass per side
+    # (cache-lifetime note in dedup_minhash_lsh applies)
+    rows = base.select(
+        "rep",
+        "ids",
+        "sig",
+        "sh",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands_total - 1}),"
+                f" b -> concat_ws(',', slice(sig, b * {MINHASH_BAND_ROWS} + 1,"
+                f" {MINHASH_BAND_ROWS})))"
+            )
+        ).alias("band", "band_sig"),
+    ).persist()
+    # aliased self-join, both sides the SAME plan: Catalyst shuffles it
+    # once and feeds the other side a ReusedExchange.  merge pin: both
+    # sides are corpus-width — never broadcast, always spillable (the
+    # dup_span_removal r4 lesson applied preemptively)
+    a, b = rows.alias("a"), rows.alias("b").hint("merge")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .where(F.col("a.rep") <= F.col("b.rep"))
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+            # per-pair scalars computed once per banded match, reduced
+            # with min() so the pair group-by shuffles no arrays except
+            # the member-id lists the expansion needs anyway
+            F.expr(
+                "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1L, 0L)),"
                 " 0L, (acc, x) -> acc + x)"
             ).alias("n_eq"),
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            "n_bands",
-            F.expr(f"(n_eq * 1000000) div {MINHASH_K}").alias("est_ppm"),
+            F.size(F.array_intersect("a.sh", "b.sh")).cast("long").alias("n_common"),
+            F.size("a.sh").cast("long").alias("sa_n"),
+            F.size("b.sh").cast("long").alias("sb_n"),
         )
     )
-
-    sh = _shingles(d)
-    sh_c = sh.join(F.broadcast(cand_docs), "doc_id").persist()
-    sizes = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (
-        sh_c.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(
-            sh_c.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle"
-        )
-        .join(F.broadcast(cand.select("doc_a", "doc_b")), ["doc_a", "doc_b"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    pairs = matched.groupBy("rep_a", "rep_b").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.first("ids_a").alias("ids_a"),
+        F.first("ids_b").alias("ids_b"),
+        F.min("n_eq").alias("n_eq"),
+        F.min("n_common").alias("n_common"),
+        F.min("sa_n").alias("sa_n"),
+        F.min("sb_n").alias("sb_n"),
     )
     return (
-        est.join(inter, ["doc_a", "doc_b"])
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("sa")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("sb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
+        pairs.select(
+            "rep_a",
+            "rep_b",
             "n_bands",
-            "est_ppm",
-            F.expr("(n_common * 1000000) div (sa + sb - n_common)").alias(
+            F.expr(f"(n_eq * 1000000) div {MINHASH_K}").alias("est_ppm"),
+            F.expr("(n_common * 1000000) div (sa_n + sb_n - n_common)").alias(
                 "jaccard_ppm"
             ),
-            F.expr(
-                "abs(est_ppm - (n_common * 1000000) div (sa + sb - n_common))"
-            ).alias("err_ppm"),
+            F.explode("ids_a").alias("ia"),
+            "ids_b",
+        )
+        .select(
+            "rep_a",
+            "rep_b",
+            "n_bands",
+            "est_ppm",
+            "jaccard_ppm",
+            "ia",
+            F.explode("ids_b").alias("ib"),
+        )
+        .where((F.col("rep_a") < F.col("rep_b")) | (F.col("ia") < F.col("ib")))
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "n_bands",
+            "est_ppm",
+            "jaccard_ppm",
+            F.expr("abs(est_ppm - jaccard_ppm)").alias("err_ppm"),
         )
     )
 
@@ -2635,3 +2640,273 @@ ORACLE["ppjoin_prefix_candidates"] = f"""
           >= {PPJOIN_T_PPM}
 """
 QUERIES["ppjoin_prefix_candidates"] = ppjoin_prefix_candidates
+
+
+# ---------------------------------------------------------------------------
+# TF-weighted MinHash (consistent weighted sampling, integer weights) —
+# the gap between dedup_minhash_lsh (set semantics: a term counts once
+# no matter how often it repeats) and real corpus dedup, where two docs
+# sharing the same words at very different frequencies are NOT near-
+# duplicates.  Estimates the weighted Jaccard
+#   J_w(A, B) = sum_t min(tf_A(t), tf_B(t)) / sum_t max(tf_A(t), tf_B(t))
+# via unary expansion: each (term, replica r <= tf) pair is an element
+# of an ordinary set, and min-wise hashing over that set collides with
+# probability exactly J_w (Gollapudi & Panigrahy, ICDM 2006; Ioffe's
+# ICWS, ICDM 2010, is the real-weight generalization of the same
+# estimator).  Frequencies saturate at WMH_TF_CAP (BM25-style), which
+# (a) bounds the per-term replica fan-out at scale and (b) is what a
+# production near-dup weighting wants anyway — the 500th repetition of
+# a token carries no more evidence than the 8th.
+
+WMH_K = 16           # signature width (seeds)
+WMH_BAND_ROWS = 4    # LSH band height -> 4 bands
+WMH_TF_CAP = 8       # term-frequency saturation
+
+
+def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-MinHash near-dup audit: banded candidates + estimator
+    vs exact capped-TF weighted Jaccard, expanded to member doc pairs.
+
+    Pipeline (the single-pass `_estimate_audit_groups` shape, adapted
+    to weighted tokens):
+
+    1. exact-copy collapse (group by text; reps carry member-id lists);
+    2. per-(rep, term) capped term frequency — ONE term-keyed shuffle,
+       linear in corpus tokens (no quadratic per-row counting, so the
+       giant-document fuzz bound holds);
+    3. per-(rep, term) replica min-hashes for all WMH_K seeds, map-side
+       (replica fan-out bounded by WMH_TF_CAP);
+    4. per-rep signature: WMH_K elementwise-min aggregates in one
+       shuffle, plus total weight and the (term, tf) list;
+    5. banded self-join with ``rep_a <= rep_b`` — reflexive matches
+       expand to within-group pairs with est = exact = 1e6 constants,
+       one code path (see _estimate_audit_groups);
+    6. per-pair in-row metrics: signature-equality estimate and exact
+       weighted Jaccard via a term->tf map lookup fold — no second
+       corpus join for the exact side.
+
+    Scale: candidates come only from band-signature equality (the
+    sub-quadratic LSH shape); the exact weighted-Jaccard fold touches
+    candidate pairs only.  Reference parity: extends the MinHash family
+    (SURVEY §2 dedup tier); no reference counterpart — the north-star
+    LLM-pipeline tier.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy("text").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.min("doc_id").alias("rep"),
+    )
+    tf = (
+        groups.select("rep", F.explode(_words()).alias("term"))
+        .groupBy("rep", "term")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(WMH_TF_CAP))
+            .cast("long")
+            .alias("tfc")
+        )
+    )
+    seeded = (
+        "cast(conv(substr(md5(concat(cast(s as string), ':', term, '#',"
+        " cast(r as string))), 1, 15), 16, 10) as bigint)"
+    )
+    rh = tf.withColumn(
+        "rh",
+        F.expr(
+            f"transform(sequence(0, {WMH_K - 1}),"
+            f" s -> array_min(transform(sequence(1, tfc), r -> {seeded})))"
+        ),
+    )
+    sig = rh.groupBy("rep").agg(
+        *[F.min(F.element_at("rh", s + 1)).alias(f"m{s}") for s in range(WMH_K)],
+        F.sum("tfc").alias("w_total"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("term", "tfc")))
+        ).alias("tfm"),
+    ).select(
+        "rep",
+        "w_total",
+        "tfm",
+        F.array(*[F.col(f"m{s}") for s in range(WMH_K)]).alias("sig"),
+    )
+    n_bands_total = WMH_K // WMH_BAND_ROWS
+    # persist: feeds both self-join sides (cache-lifetime note in
+    # dedup_minhash_lsh applies)
+    rows = (
+        sig.join(groups.select("rep", "ids"), "rep")
+        .select(
+            "rep",
+            "ids",
+            "sig",
+            "w_total",
+            "tfm",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands_total - 1}),"
+                    f" b -> concat_ws(',', slice(sig, b * {WMH_BAND_ROWS} + 1,"
+                    f" {WMH_BAND_ROWS})))"
+                )
+            ).alias("band", "band_sig"),
+        )
+        .persist()
+    )
+    a, b = rows.alias("a"), rows.alias("b").hint("merge")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .where(F.col("a.rep") <= F.col("b.rep"))
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.expr(
+                "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1L, 0L)),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias("n_eq"),
+            # sum_t min(tf_a, tf_b) over a's terms via b's term->tf map
+            F.expr(
+                "aggregate(map_entries(a.tfm), 0L,"
+                " (acc, e) -> acc + least(e.value,"
+                " coalesce(element_at(b.tfm, e.key), 0L)))"
+            ).alias("w_min"),
+            (F.col("a.w_total") + F.col("b.w_total")).alias("w_sum"),
+        )
+    )
+    pairs = matched.groupBy("rep_a", "rep_b").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.first("ids_a").alias("ids_a"),
+        F.first("ids_b").alias("ids_b"),
+        F.min("n_eq").alias("n_eq"),
+        F.min("w_min").alias("w_min"),
+        F.min("w_sum").alias("w_sum"),
+    )
+    return (
+        pairs.select(
+            "rep_a",
+            "rep_b",
+            "n_bands",
+            F.expr(f"(n_eq * 1000000) div {WMH_K}").alias("est_ppm"),
+            F.expr("(w_min * 1000000) div (w_sum - w_min)").alias(
+                "wjaccard_ppm"
+            ),
+            F.explode("ids_a").alias("ia"),
+            "ids_b",
+        )
+        .select(
+            "rep_a",
+            "rep_b",
+            "n_bands",
+            "est_ppm",
+            "wjaccard_ppm",
+            "ia",
+            F.explode("ids_b").alias("ib"),
+        )
+        .where((F.col("rep_a") < F.col("rep_b")) | (F.col("ia") < F.col("ib")))
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "n_bands",
+            "est_ppm",
+            "wjaccard_ppm",
+            F.expr("abs(est_ppm - wjaccard_ppm)").alias("err_ppm"),
+        )
+    )
+
+
+ORACLE["dedup_weighted_minhash"] = f"""
+    WITH groups AS (
+      SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
+      FROM documents GROUP BY text
+    ),
+    terms AS (
+      SELECT rep,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM groups
+    ),
+    tf AS (
+      SELECT rep, term,
+             CAST(least(count(*), {WMH_TF_CAP}) AS BIGINT) AS tfc
+      FROM terms GROUP BY rep, term
+    ),
+    reps AS (
+      SELECT rep, term, unnest(generate_series(1, tfc)) AS r FROM tf
+    ),
+    rh AS (
+      SELECT rep, term, seed,
+             min({sql_seeded_md5_long(
+                 'seed', "concat(term, '#', CAST(r AS VARCHAR))")}) AS rh
+      FROM reps CROSS JOIN (
+        SELECT unnest(generate_series(0, {WMH_K - 1})) AS seed
+      )
+      GROUP BY rep, term, seed
+    ),
+    sig AS (
+      SELECT rep, seed, min(rh) AS mh FROM rh GROUP BY rep, seed
+    ),
+    wt AS (
+      SELECT rep, CAST(sum(tfc) AS BIGINT) AS w_total FROM tf GROUP BY rep
+    ),
+    bands AS (
+      SELECT rep, seed // {WMH_BAND_ROWS} AS band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY rep, 2
+    ),
+    cand AS (
+      SELECT a.rep AS rep_a, b.rep AS rep_b,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.rep <= b.rep
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.rep_a, c.rep_b,
+             (CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // {WMH_K} AS est_ppm
+      FROM cand c
+      JOIN sig sa ON sa.rep = c.rep_a
+      JOIN sig sb ON sb.rep = c.rep_b AND sb.seed = sa.seed
+      GROUP BY 1, 2
+    ),
+    wmin AS (
+      SELECT c.rep_a, c.rep_b,
+             CAST(sum(least(ta.tfc, tb.tfc)) AS BIGINT) AS w_min
+      FROM cand c
+      JOIN tf ta ON ta.rep = c.rep_a
+      JOIN tf tb ON tb.rep = c.rep_b AND tb.term = ta.term
+      GROUP BY 1, 2
+    ),
+    metrics AS (
+      SELECT c.rep_a, c.rep_b, c.n_bands, e.est_ppm,
+             (COALESCE(w.w_min, 0) * 1000000)
+               // (wa.w_total + wb.w_total - COALESCE(w.w_min, 0))
+               AS wjaccard_ppm
+      FROM cand c
+      JOIN est e ON e.rep_a = c.rep_a AND e.rep_b = c.rep_b
+      LEFT JOIN wmin w ON w.rep_a = c.rep_a AND w.rep_b = c.rep_b
+      JOIN wt wa ON wa.rep = c.rep_a
+      JOIN wt wb ON wb.rep = c.rep_b
+    ),
+    e1 AS (
+      SELECT m.rep_a, m.rep_b, m.n_bands, m.est_ppm, m.wjaccard_ppm,
+             gb.ids AS ids_b, unnest(ga.ids) AS ia
+      FROM metrics m
+      JOIN groups ga ON ga.rep = m.rep_a
+      JOIN groups gb ON gb.rep = m.rep_b
+    ),
+    e2 AS (
+      SELECT rep_a, rep_b, n_bands, est_ppm, wjaccard_ppm, ia,
+             unnest(ids_b) AS ib
+      FROM e1
+    )
+    SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b,
+           n_bands, est_ppm, wjaccard_ppm,
+           abs(est_ppm - wjaccard_ppm) AS err_ppm
+    FROM e2
+    WHERE rep_a < rep_b OR ia < ib
+"""
+QUERIES["dedup_weighted_minhash"] = dedup_weighted_minhash

@@ -1477,3 +1477,281 @@ def _sql_srp_hamming() -> str:
 
 ORACLE["srp_hamming_topk_audit"] = _sql_srp_hamming()
 QUERIES["srp_hamming_topk_audit"] = srp_hamming_topk_audit
+
+
+# ---- Graph-based ANN: bounded-degree kNN graph + beam search ----------------
+#
+# The one ANN family not yet represented next to LSH / IVF / PQ / SRP:
+# navigate a neighbour GRAPH instead of hashing or clustering the
+# space (NSW/HNSW lineage — Malkov & Yashunin, TPAMI 2018 — reduced to
+# its DataFrame-expressible core: a single-layer bounded-degree graph
+# and a fixed-depth beam search).  The index is a plain (src, dst)
+# edge table; a query walks it in GRAPH_HOPS rounds, keeping the
+# GRAPH_BEAM best-scored nodes seen so far — every round is one
+# broadcast-frontier join against the src-keyed edge table plus a
+# per-query top-B rank, so search cost at 100 TB is O(hops * beam *
+# degree) edge lookups per query, independent of corpus size.
+
+GRAPH_DEG = 8      # out-degree of the kNN graph (before symmetrize)
+GRAPH_ENTRIES = 4  # fixed entry points: vec_id in [N_QUERIES, N_QUERIES+4)
+GRAPH_HOPS = 3     # beam-search rounds
+GRAPH_BEAM = 16    # beam width
+
+
+def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over a banded-LSH-built kNN graph, recall-flagged
+    against the exact top-k.
+
+    Build (index time): candidate edges from the ANN_BANDS x 4-bit
+    hyperplane tables (the ``ann_banded_lsh_topk`` id-stream shape —
+    vectors never fan out per band), scored once, cut to GRAPH_DEG per
+    node (WindowGroupLimit), then symmetrized — the standard
+    undirected NSW degree bound of 2*GRAPH_DEG.
+
+    Search (query time): start from GRAPH_ENTRIES fixed entry nodes,
+    then GRAPH_HOPS rounds of: expand the beam's out-edges, union the
+    beam (best-so-far is monotone), dedup, score against the query,
+    keep the GRAPH_BEAM best (ties to the lower vec_id).  The loop is
+    unrolled in the plan — each round is one join against the
+    persisted edge table with the tiny frontier broadcast, exactly the
+    serving-time shape.
+
+    Output: the final per-query TOP_K with ``in_exact`` flagging
+    membership in ``ann_cosine_topk``'s answer — the recall audit is
+    in-row, like ``srp_hamming_topk_audit``.
+    """
+    v = _vectors(spark, sf_dir).persist()
+    bands_arr = "array({})".format(
+        ", ".join(_band_bucket_expr("v", b) for b in range(ANN_BANDS))
+    )
+    vb = v.select(
+        "vec_id", F.posexplode(F.expr(bands_arr)).alias("band", "bucket")
+    )
+    cand = (
+        vb.alias("a")
+        .join(
+            vb.alias("b").hint("merge"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .where(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        )
+        .distinct()
+    )
+    scored_e = (
+        cand.join(
+            v.select(
+                F.col("vec_id").alias("src"),
+                F.col("v").alias("sv"),
+                F.col("norm").alias("snorm"),
+            ),
+            "src",
+        )
+        .join(
+            v.select(
+                F.col("vec_id").alias("dst"),
+                F.col("v").alias("dv"),
+                F.col("norm").alias("dnorm"),
+            ),
+            "dst",
+        )
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.expr(_DOT.format(a="sv", b="dv"))
+                / (F.col("snorm") * F.col("dnorm")),
+                6,
+            ).alias("cos"),
+        )
+    )
+    wdeg = Window.partitionBy("src").orderBy(
+        F.col("cos").desc(), F.col("dst").asc()
+    )
+    knn = (
+        scored_e.withColumn("rn", F.row_number().over(wdeg))
+        .filter(F.col("rn") <= GRAPH_DEG)
+        .select("src", "dst")
+    )
+    edges = (
+        knn.unionByName(
+            knn.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    entries = v.filter(
+        (F.col("vec_id") >= N_QUERIES)
+        & (F.col("vec_id") < N_QUERIES + GRAPH_ENTRIES)
+    ).select("vec_id")
+    frontier = q.select("q_vec_id").crossJoin(F.broadcast(entries))
+
+    def _score(ids: DataFrame) -> DataFrame:
+        return (
+            ids.join(v, "vec_id")
+            .join(F.broadcast(q), "q_vec_id")
+            .where(F.col("vec_id") != F.col("q_vec_id"))
+            .select(
+                "q_vec_id",
+                "vec_id",
+                F.round(
+                    F.expr(_DOT.format(a="qv", b="v"))
+                    / (F.col("qnorm") * F.col("norm")),
+                    6,
+                ).alias("cos"),
+            )
+        )
+
+    wq = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    for _ in range(GRAPH_HOPS):
+        expanded = frontier.select("q_vec_id", "vec_id").unionByName(
+            edges.join(
+                F.broadcast(
+                    frontier.select("q_vec_id", F.col("vec_id").alias("src"))
+                ),
+                "src",
+            ).select("q_vec_id", F.col("dst").alias("vec_id"))
+        ).distinct()
+        # persist per hop: the beam is queries x GRAPH_BEAM rows, and an
+        # uncached hop nests the whole prior lineage into the next
+        # hop's plan (measured: task binaries ballooned 2 -> 17 MiB
+        # over 3 hops and the driver OOM'd building them)
+        frontier = (
+            _score(expanded)
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= GRAPH_BEAM)
+            .select("q_vec_id", "vec_id", "cos")
+            .persist()
+        )
+    exact = ann_cosine_topk(spark, sf_dir).select(
+        "q_vec_id", "vec_id", F.lit(1).alias("hit")
+    )
+    return (
+        frontier.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= TOP_K)
+        .join(exact, ["q_vec_id", "vec_id"], "left")
+        .select(
+            "q_vec_id",
+            "vec_id",
+            "cos",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.coalesce("hit", F.lit(0)).cast("bigint").alias("in_exact"),
+        )
+    )
+
+
+def _sql_graph_beam() -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {_sql_band_bucket('v', b)} AS bucket"
+        " FROM v"
+        for b in range(ANN_BANDS)
+    )
+    hops = []
+    prev = "f0"
+    for h in range(1, GRAPH_HOPS + 1):
+        hops.append(f"""
+        h{h}c AS (
+          SELECT DISTINCT q_vec_id, vec_id FROM (
+            SELECT q_vec_id, vec_id FROM {prev}
+            UNION ALL
+            SELECT f.q_vec_id, e.dst AS vec_id
+            FROM {prev} f JOIN edges e ON e.src = f.vec_id
+          )
+        ),
+        h{h}s AS (
+          SELECT hc.q_vec_id, hc.vec_id,
+                 ROUND(list_dot_product(q.qv, c.v) / (q.qnorm * c.norm), 6)
+                   AS cos
+          FROM h{h}c hc
+          JOIN v c ON c.vec_id = hc.vec_id
+          JOIN q ON q.q_vec_id = hc.q_vec_id
+          WHERE hc.vec_id <> hc.q_vec_id
+        ),
+        f{h} AS (
+          SELECT q_vec_id, vec_id, cos FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY q_vec_id ORDER BY cos DESC, vec_id ASC)
+                   AS rn
+            FROM h{h}s
+          ) WHERE rn <= {GRAPH_BEAM}
+        )""")
+        prev = f"f{h}"
+    hops_sql = ",".join(hops)
+    return f"""
+        WITH v AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS norm
+          FROM embeddings
+        ),
+        vb AS ({band_rows}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+          FROM vb a JOIN vb b ON a.band = b.band AND a.bucket = b.bucket
+          WHERE a.vec_id <> b.vec_id
+        ),
+        scored_e AS (
+          SELECT c.src, c.dst,
+                 ROUND(list_dot_product(vs.v, vd.v)
+                       / (vs.norm * vd.norm), 6) AS cos
+          FROM cand c
+          JOIN v vs ON vs.vec_id = c.src
+          JOIN v vd ON vd.vec_id = c.dst
+        ),
+        knn AS (
+          SELECT src, dst FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY src ORDER BY cos DESC, dst ASC) AS rn
+            FROM scored_e
+          ) WHERE rn <= {GRAPH_DEG}
+        ),
+        edges AS (
+          SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM knn
+            UNION ALL
+            SELECT dst AS src, src AS dst FROM knn
+          )
+        ),
+        q AS (
+          SELECT vec_id AS q_vec_id, v AS qv, norm AS qnorm
+          FROM v WHERE vec_id < {N_QUERIES}
+        ),
+        f0 AS (
+          SELECT q.q_vec_id, e.vec_id
+          FROM q CROSS JOIN (
+            SELECT vec_id FROM v
+            WHERE vec_id >= {N_QUERIES}
+              AND vec_id < {N_QUERIES + GRAPH_ENTRIES}
+          ) e
+        ),{hops_sql},
+        final AS (
+          SELECT q_vec_id, vec_id, cos,
+                 CAST(row_number() OVER (
+                        PARTITION BY q_vec_id
+                        ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+          FROM f{GRAPH_HOPS}
+        ),
+        exact AS (
+          SELECT q_vec_id, vec_id FROM ({ORACLE["ann_cosine_topk"]})
+        )
+        SELECT f.q_vec_id, f.vec_id, f.cos, f.rank,
+               CAST(CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS in_exact
+        FROM final f
+        LEFT JOIN exact x
+          ON x.q_vec_id = f.q_vec_id AND x.vec_id = f.vec_id
+        WHERE f.rank <= {TOP_K}
+    """
+
+
+ORACLE["ann_graph_beam_audit"] = _sql_graph_beam()
+QUERIES["ann_graph_beam_audit"] = ann_graph_beam_audit

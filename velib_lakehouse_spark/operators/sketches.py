@@ -2111,3 +2111,254 @@ ORACLE["partition_join_size_audit"] = f"""
     FROM joined b CROSS JOIN med m
 """
 QUERIES["partition_join_size_audit"] = partition_join_size_audit
+
+
+# ---- Theta-sketch (KMV) set algebra -----------------------------------------
+#
+# The sketch family's set-ALGEBRA member: hll_set_overlap_audit gets an
+# intersection only by inclusion-exclusion, which goes NEGATIVE when
+# the true overlap is below the sketch noise (documented there).  A
+# theta sketch — here the deterministic KMV/"bottom-k" form: the K
+# smallest distinct hash values plus theta = the K-th smallest — keeps
+# an actual SAMPLE of each set, so union / intersection / difference
+# are computed on the samples below a common theta and every estimate
+# is a non-negative count scaled by S/theta (Dasgupta et al., "Theta-
+# Sketch Framework", and Beyer et al. "KMV" SIGMOD 2007; mergeability
+# per Agarwal et al., PODS 2012).  The union estimate is defined
+# as the sum of the three disjoint-part estimates — each common-theta
+# sample lands in exactly one part, so the algebra is exact by
+# construction and every term is non-negative, two properties
+# inclusion-exclusion on HLL registers cannot offer.
+
+THETA_K = 64
+# hash space: 60-bit md5 hashes truncated to 45 bits (>> 15) so every
+# count * S product stays far inside bigint (128 * 2^45 < 2^53)
+THETA_SPACE = 1 << 45
+
+
+def theta_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary set algebra from bottom-K theta
+    sketches, audited against exact counts.
+
+    Per source: the THETA_K smallest distinct 45-bit word hashes;
+    theta = the K-th smallest (or S when the vocabulary is smaller
+    than K, in which case the sketch IS the set and estimates are
+    exact).  Per pair: both sample lists are cut at the common
+    theta' = min(theta_a, theta_b) and intersect/difference/union
+    counts of the cut samples scale by S/theta' — all in-row array
+    arithmetic on <=K-element lists.
+
+    Scale shape: ONE distinct (source, word) shuffle; a rank window
+    per source cut at K (WindowGroupLimit prunes everything past K
+    before the sort finishes); the sketch table is |S| rows of a
+    <=K-long array — driver-sized, so the pair grid is a broadcast
+    cross of tiny frames.  The exact side (vocab self-join) exists
+    only because this is an audit.  All estimate arithmetic is
+    integer: counts <= 2K, S = 2^45, products < 2^53.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    # element universe: word 3-gram shingles (a per-source vocabulary of
+    # single words is only ~tens of items in this corpus — too small to
+    # ever saturate a K=64 sketch; shingles give the cardinality regime
+    # theta sketches exist for, and the exact side still joins on the
+    # 45-bit hash, never on text)
+    words = (
+        d.select("source", _words().alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3),"
+                    " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias("sh"),
+        )
+        .select("source", F.shiftright(md5_long(F.col("sh")), 15).alias("h"))
+        .distinct()
+        .persist()
+    )
+    rn = Window.partitionBy("source").orderBy("h")
+    low = (
+        words.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") <= THETA_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("lows"))
+    )
+    totals = words.groupBy("source").agg(F.count(F.lit(1)).alias("n_tot"))
+    sk = low.join(totals, "source").select(
+        "source",
+        "n_tot",
+        F.expr(
+            f"CASE WHEN n_tot >= {THETA_K}"
+            f" THEN element_at(lows, {THETA_K})"
+            f" ELSE {THETA_SPACE}L END"
+        ).alias("theta"),
+        F.expr(
+            f"CASE WHEN n_tot >= {THETA_K}"
+            f" THEN slice(lows, 1, {THETA_K - 1})"
+            " ELSE lows END"
+        ).alias("samples"),
+    )
+    a = sk.select(
+        F.col("source").alias("source_a"),
+        F.col("theta").alias("theta_a"),
+        F.col("samples").alias("samples_a"),
+    )
+    b = sk.select(
+        F.col("source").alias("source_b"),
+        F.col("theta").alias("theta_b"),
+        F.col("samples").alias("samples_b"),
+    )
+    est = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("source_a") < F.col("source_b"))
+        .withColumn("th", F.least("theta_a", "theta_b"))
+        .withColumn("ap", F.expr("filter(samples_a, x -> x < th)"))
+        .withColumn("bp", F.expr("filter(samples_b, x -> x < th)"))
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("ap", "bp")).cast("long")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "th",
+            F.expr(f"size(ap) * {THETA_SPACE}L div th").alias("est_a"),
+            F.expr(f"size(bp) * {THETA_SPACE}L div th").alias("est_b"),
+            F.expr(f"n_inter * {THETA_SPACE}L div th").alias("est_inter"),
+            F.expr(f"(size(ap) - n_inter) * {THETA_SPACE}L div th").alias(
+                "est_anotb"
+            ),
+            F.expr(f"(size(bp) - n_inter) * {THETA_SPACE}L div th").alias(
+                "est_bnota"
+            ),
+        )
+    )
+    wa = words.select(F.col("source").alias("source_a"), "h")
+    wb = words.select(F.col("source").alias("source_b"), "h")
+    inter = (
+        wa.join(wb, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    ta = totals.select(F.col("source").alias("source_a"), F.col("n_tot").alias("na"))
+    tb = totals.select(F.col("source").alias("source_b"), F.col("n_tot").alias("nb"))
+    return (
+        est.join(inter, ["source_a", "source_b"], "left")
+        .join(ta, "source_a")
+        .join(tb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("th").alias("theta"),
+            "est_a",
+            "est_b",
+            # union DEFINED as the sum of the three disjoint-part
+            # estimates: the common-theta sample partition makes the
+            # algebra exact by construction (each sample lands in
+            # exactly one part), unlike HLL inclusion-exclusion
+            (F.col("est_inter") + F.col("est_anotb") + F.col("est_bnota"))
+            .alias("est_union"),
+            "est_inter",
+            "est_anotb",
+            "est_bnota",
+            F.coalesce("exact_inter", F.lit(0)).cast("bigint").alias("exact_inter"),
+            (F.col("na") + F.col("nb") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("exact_union"),
+            (F.col("na") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("exact_anotb"),
+            (F.col("nb") - F.coalesce("exact_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("exact_bnota"),
+            F.expr(
+                "cast(sign(est_inter - coalesce(exact_inter, 0)) as bigint)"
+                " * (abs(est_inter - coalesce(exact_inter, 0)) * 1000000"
+                " div nullif(coalesce(exact_inter, 0), 0))"
+            ).alias("err_inter_ppm"),
+        )
+    )
+
+
+ORACLE["theta_sketch_set_algebra"] = f"""
+    WITH words AS (
+      SELECT DISTINCT source, {sql_md5_long('sh')} >> 15 AS h FROM (
+        SELECT source, unnest(
+                 list_transform(generate_series(1, len(w) - 2),
+                                i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+               ) AS sh
+        FROM (
+          SELECT source,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS w
+          FROM documents
+        )
+        WHERE len(w) >= 3
+      )
+    ),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM words
+    ),
+    low AS (
+      SELECT source, list_sort(list(h)) AS lows
+      FROM ranked WHERE rn <= {THETA_K} GROUP BY source
+    ),
+    totals AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_tot
+      FROM words GROUP BY source
+    ),
+    sk AS (
+      SELECT l.source, t.n_tot,
+             CASE WHEN t.n_tot >= {THETA_K} THEN lows[{THETA_K}]
+                  ELSE {THETA_SPACE} END AS theta,
+             CASE WHEN t.n_tot >= {THETA_K} THEN lows[1:{THETA_K - 1}]
+                  ELSE lows END AS samples
+      FROM low l JOIN totals t ON t.source = l.source
+    ),
+    est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             least(a.theta, b.theta) AS th,
+             list_filter(a.samples, x -> x < least(a.theta, b.theta)) AS ap,
+             list_filter(b.samples, x -> x < least(a.theta, b.theta)) AS bp
+      FROM sk a, sk b WHERE a.source < b.source
+    ),
+    est2 AS (
+      SELECT source_a, source_b, th,
+             CAST(len(ap) AS BIGINT) AS nap, CAST(len(bp) AS BIGINT) AS nbp,
+             CAST(len(list_intersect(ap, bp)) AS BIGINT) AS n_inter
+      FROM est
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS exact_inter
+      FROM words a JOIN words b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT e.source_a, e.source_b, e.th AS theta,
+           nap * {THETA_SPACE} // th AS est_a,
+           nbp * {THETA_SPACE} // th AS est_b,
+           n_inter * {THETA_SPACE} // th
+             + (nap - n_inter) * {THETA_SPACE} // th
+             + (nbp - n_inter) * {THETA_SPACE} // th AS est_union,
+           n_inter * {THETA_SPACE} // th AS est_inter,
+           (nap - n_inter) * {THETA_SPACE} // th AS est_anotb,
+           (nbp - n_inter) * {THETA_SPACE} // th AS est_bnota,
+           COALESCE(x.exact_inter, 0) AS exact_inter,
+           ta.n_tot + tb.n_tot - COALESCE(x.exact_inter, 0) AS exact_union,
+           ta.n_tot - COALESCE(x.exact_inter, 0) AS exact_anotb,
+           tb.n_tot - COALESCE(x.exact_inter, 0) AS exact_bnota,
+           CAST(sign(n_inter * {THETA_SPACE} // th
+                     - COALESCE(x.exact_inter, 0)) AS BIGINT)
+             * (abs(n_inter * {THETA_SPACE} // th
+                    - COALESCE(x.exact_inter, 0)) * 1000000
+                // nullif(COALESCE(x.exact_inter, 0), 0)) AS err_inter_ppm
+    FROM est2 e
+    LEFT JOIN inter x
+      ON x.source_a = e.source_a AND x.source_b = e.source_b
+    JOIN totals ta ON ta.source = e.source_a
+    JOIN totals tb ON tb.source = e.source_b
+"""
+QUERIES["theta_sketch_set_algebra"] = theta_sketch_set_algebra

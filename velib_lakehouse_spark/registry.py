@@ -31,7 +31,7 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-7 ROTATION (VERDICT r6 next-round #1/#2). Standing rules,
+# ROUND-8 ROTATION (VERDICT r7 next-round #1/#2). Standing rules,
 # guarded by tests/test_registry_window.py:
 # * "changed => re-window" (test_changed_queries_are_in_window via
 #   tools/query_fingerprints.json): a query whose code or oracle changed
@@ -39,119 +39,63 @@ DRIVER_WINDOW = 50
 # * "oldest-first" (test_window_rotates_oldest_first): while
 #   never-driver-checked queries wait, no window slot may be spent on an
 #   unchanged already-green query.
-# Coverage has been complete since r6 (229/229 driver-green, zero ever
-# red), so the window's whole job is freshness + paying for growth.
-# This round's window, in order:
-# * 11 new operators (VERDICT r6 #2 — the next north-star tier), each
-#   entering with a same-round driver row.  First batch: mergeable
-#   quantile-sketch rollup (the hll_merge_rollup analogue for
-#   percentiles), priority sampling with subset-sum estimation
-#   (Duffield-Lund-Thorup), SRP/SimHash Hamming ANN with in-row recall
-#   audit (sketch-only serving), and the backfill x
-#   cross-partition-replay dedup composition.  Second batch:
-#   Misra-Gries mergeable heavy hitters (deterministic counterpart to
-#   cms_frequency_audit), Iceberg-style merge-on-read delete files,
-#   multi-touch revenue attribution, and exact token-weighted
-#   quantiles (the exact tier of the quantile-sketch pair).  Third
-#   batch: DIMSUM sampled column similarity.  Fourth batch:
-#   per-partition join-size/skew estimation and JOIN-view IVM.  The
-#   later batches displaced vocab_coverage / unigram_logprob_score /
-#   lang_consistency_audit / quality_classifier_score /
-#   zipf_slope_audit / gopher_quality_filter / ngram_novelty /
-#   repetition_stats to the r8 queue.
-# * 2 changed => re-window: cms_join_size_audit (r7 ADVICE: disjoint-
-#   key degenerate case now yields est 0 via left join + coalesce in
-#   both engines) and hll_set_overlap_audit (signed-overlap semantics
-#   documented in the judged docstring).
-# * The 15-row r7 queue staged at the head of SECONDARY last round —
-#   the r1/r2-era rows that did not fit r6's refresh, now the stalest
-#   evidence in the ledger.
-# * The remaining 29 slots: oldest-green-first — the r3-era showcases
-#   (demoted by the round-4 rotation, unchanged since), in their
-#   SECONDARY order.
+# Coverage has been complete since r6 (now 244/244 registered, 240
+# driver-green through r7, zero ever red), so the window's whole job is
+# freshness + paying for growth.  The r7 staleness ledger: 26 rows last
+# green r1, 21 last green r3.  This round's window, in order:
+# * 4 new operators (VERDICT r7 #2, all four suggested candidates):
+#   TF-weighted MinHash near-dup (unary-expansion consistent weighted
+#   sampling, capped TF), theta-sketch (bottom-K KMV) set algebra with
+#   non-negative union/intersect/difference estimates, graph-based ANN
+#   (bounded-degree kNN graph + fixed-depth beam search, NSW-lite) with
+#   in-row recall audit, and EXECUTED binpack compaction folding
+#   merge-on-read delete state into rewritten files.
+# * 2 changed => re-window: dup_span_removal (final corpus-width join
+#   now SHJ-pinned, r7 ADVICE) and minhash_estimate_audit (re-expressed
+#   as a 4-Exchange single-pass banded self-join, was 100 Exchanges —
+#   VERDICT r7 what's-wrong #1 / next-round #3).
+# * All 26 r1-era rows — the stalest evidence in the ledger.
+# * 18 of the 21 r3-era rows, in r7 queue order.  The remaining three
+#   (event_funnel, retention_cohorts, lake_zorder_layout) did not fit
+#   50 slots alongside the growth batch; they head SECONDARY as the r9
+#   queue, so after r9 no row's latest green predates r4.
 PRIORITY: tuple[str, ...] = (
-    # new this round (VERDICT r6 #2): first driver rows
-    "quantile_sketch_merge_rollup",
-    "priority_sample_subset_sum",
-    "srp_hamming_topk_audit",
-    "backfill_dedup_reconcile",
-    # new this round, second batch: Misra-Gries mergeable heavy
-    # hitters (the deterministic counterpart to cms_frequency_audit),
-    # Iceberg-style merge-on-read delete files, multi-touch revenue
-    # attribution, and exact token-weighted quantiles
-    "heavy_hitters_mg_audit",
-    "merge_on_read_deletes",
-    "multitouch_attribution",
-    "weighted_quantiles_exact",
-    # new this round, third batch: DIMSUM sampled column similarity
-    # (Zadeh & Goel 2013) with every sampling decision oracle-mirrored
-    "dimsum_cosine_estimate",
-    # changed => re-window: the r7 1024x sweep OOM'd dup_span_removal's
-    # corpus-width SHJ build maps; the removed_pos/rebuilt joins are now
-    # pinned sort-merge (spillable) — see dedup.py:2010
+    # new this round (VERDICT r7 #2): first driver rows
+    "dedup_weighted_minhash",
+    "theta_sketch_set_algebra",
+    "ann_graph_beam_audit",
+    "compaction_execute",
+    # changed => re-window
     "dup_span_removal",
-    # new this round, fourth batch: per-shuffle-partition join-size
-    # estimation with AQE-style skew prediction (Selinger uniformity
-    # rule audited per hash partition), and incremental JOIN-view
-    # maintenance (the three-term delta rule dV = dA|><|B u A|><|dB u
-    # dA|><|dB audited against a from-scratch rebuild)
-    "partition_join_size_audit",
-    "ivm_join_view_delta",
-    # changed => re-window (r7 ADVICE fixes)
-    "cms_join_size_audit",
-    "hll_set_overlap_audit",
-    # the staged r7 queue: r1/r2-era rows, 4+ rounds stale
-    "text_stats",
-    "lang_id_heuristic",
-    "token_count",
-    "collect_ordered_quantities",
-    "doc_fingerprint",
-    "deterministic_sample",
-    "text_clean_redact",
-    "quality_topk_mix",
-    "multimodal_decode_meta",
-    "kafka_shaped_roundtrip",
-    "streaming_gold_foreachbatch",
-    "explode_words",
-    "array_functions_showcase",
-    "skew_salted_agg",
-    "approx_distinct_stats",
-    # oldest-green-first refresh: r3-era showcases (driver-checked
-    # green in round 3, code unchanged since — next-stalest evidence)
-    "dedup_chunks",
-    "length_quantiles_by_source",
-    "bigram_lm_top",
-    "embedding_dispersion",
-    "tpch_q1_pricing",
-    "corpus_quality_report",
-    "dedup_incremental_minhash",
-    "dedup_containment",
-    "dedup_canonicalize",
-    "decontaminate_ngram",
-    "inverted_index",
-    "ann_ivf_topk",
-    "ann_banded_lsh_topk",
-    "ann_recall_audit",
-    "ann_banded_recall_audit",
-    "embedding_centroids",
-    "embedding_quantize_int8",
-    "embedding_outliers",
-    "tfidf_top_terms",
-    "bm25_rank",
-    "pack_sequences",
-)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.
-SECONDARY: tuple[str, ...] = (
-    # ROUND-8 ROTATION QUEUE: the r3-era showcases that did not fit
-    # this round's oldest-green-first refresh — stalest evidence in the
-    # registry once the r7 window lands, so they rotate in next.  The
-    # first five were displaced mid-round by the second and third
-    # new-operator batches (heavy_hitters_mg_audit,
-    # merge_on_read_deletes, multitouch_attribution,
-    # weighted_quantiles_exact, dimsum_cosine_estimate).
+    "minhash_estimate_audit",
+    # r1-era rows (26): last driver-checked in round 1
+    "anti_parts_never_ordered",
+    "case_buckets",
+    "count_if_bands",
+    "cross_scalar_stats",
+    "cube_status_priority",
+    "date_interval_filter",
+    "distinct_pairs",
+    "fuzzy_name_pairs",
+    "global_sort_limit",
+    "join_left_order_counts",
+    "json_roundtrip_unnest",
+    "null_semantics",
+    "percentile_prices",
+    "pivot_status_counts",
+    "rank_family",
+    "resample_forward_fill",
+    "rollup_region_nation",
+    "semi_orders_with_lines",
+    "set_ops_intersect_except",
+    "share_of_total",
+    "stats_functions",
+    "string_functions_showcase",
+    "union_tagged",
+    "window_first_last",
+    "window_range_trailing_count",
+    "window_running_totals",
+    # r3-era rows (18 of 21, r7 queue order)
     "vocab_coverage",
     "unigram_logprob_score",
     "lang_consistency_audit",
@@ -170,10 +114,19 @@ SECONDARY: tuple[str, ...] = (
     "export_shuffled_shards",
     "dsir_importance_weights",
     "multimodal_frame_sample",
+)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.
+SECONDARY: tuple[str, ...] = (
+    # ROUND-9 ROTATION QUEUE: the three r3-era rows displaced by this
+    # round's growth batch — the stalest evidence once the r8 window
+    # lands, so they rotate in first next round.
     "event_funnel",
     "retention_cohorts",
     "lake_zorder_layout",
-    # r4-green showcases (demoted by the round-5 rotation)
+    # r4/r5/r6-green showcases (unchanged order from the r7 file)
     "velib_sparkline",
     "pmi_collocations",
     "dup_span_report",
@@ -189,7 +142,6 @@ SECONDARY: tuple[str, ...] = (
     "contrastive_triplets",
     "decontaminate_embedding",
     "event_path_mining",
-    "minhash_estimate_audit",
     "arrow_batch_stats",
     "observed_write_metrics",
     "lake_retention_sweep",
@@ -221,8 +173,6 @@ SECONDARY: tuple[str, ...] = (
     "event_rate_anomaly",
     "tpch_q3_shipping",
     "domain_cap_sample",
-    # r5-green rows (demoted by the round-6 rotation;
-    # dup_span_removal re-windowed mid-r7 by the SMJ-pin change)
     "lake_file_skipping",
     "multimodal_image_ahash_neardup",
     "pandas_cogroup_paired_spend",
@@ -271,9 +221,6 @@ SECONDARY: tuple[str, ...] = (
     "rake_keyphrases",
     "cusum_changepoint_audit",
     "basket_affinity_pairs",
-    # r6-green rows (demoted by this round's rotation — freshest
-    # evidence, so last in line; cms_join_size_audit and
-    # hll_set_overlap_audit re-windowed above as changed)
     "seasonal_naive_backtest",
     "link_prediction_common_neighbors",
     "psi_drift_audit",
@@ -322,6 +269,58 @@ SECONDARY: tuple[str, ...] = (
     "sessionize_events",
     "join_broadcast_chain",
     "topn_orders_per_customer",
+    # r7-green rows (last round's window - freshest evidence, so
+    # last in line; dup_span_removal and minhash_estimate_audit
+    # re-windowed above as changed)
+    "quantile_sketch_merge_rollup",
+    "priority_sample_subset_sum",
+    "srp_hamming_topk_audit",
+    "backfill_dedup_reconcile",
+    "heavy_hitters_mg_audit",
+    "merge_on_read_deletes",
+    "multitouch_attribution",
+    "weighted_quantiles_exact",
+    "dimsum_cosine_estimate",
+    "partition_join_size_audit",
+    "ivm_join_view_delta",
+    "cms_join_size_audit",
+    "hll_set_overlap_audit",
+    "text_stats",
+    "lang_id_heuristic",
+    "token_count",
+    "collect_ordered_quantities",
+    "doc_fingerprint",
+    "deterministic_sample",
+    "text_clean_redact",
+    "quality_topk_mix",
+    "multimodal_decode_meta",
+    "kafka_shaped_roundtrip",
+    "streaming_gold_foreachbatch",
+    "explode_words",
+    "array_functions_showcase",
+    "skew_salted_agg",
+    "approx_distinct_stats",
+    "dedup_chunks",
+    "length_quantiles_by_source",
+    "bigram_lm_top",
+    "embedding_dispersion",
+    "tpch_q1_pricing",
+    "corpus_quality_report",
+    "dedup_incremental_minhash",
+    "dedup_containment",
+    "dedup_canonicalize",
+    "decontaminate_ngram",
+    "inverted_index",
+    "ann_ivf_topk",
+    "ann_banded_lsh_topk",
+    "ann_recall_audit",
+    "ann_banded_recall_audit",
+    "embedding_centroids",
+    "embedding_quantize_int8",
+    "embedding_outliers",
+    "tfidf_top_terms",
+    "bm25_rank",
+    "pack_sequences",
 )
 
 

@@ -1426,3 +1426,194 @@ ORACLE["merge_on_read_deletes"] = f"""
     GROUP BY b.date
 """
 QUERIES["merge_on_read_deletes"] = merge_on_read_deletes
+
+
+# ---- Executed compaction over merge-on-read state ---------------------------
+
+COMPACT_EXEC_TARGET_ROWS = 1024  # rows per compacted output file
+
+
+def compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED small-file compaction folding merge-on-read delete
+    state back into data files — the execute half of
+    ``compaction_binpack_plan`` (plan-only), composed with
+    ``merge_on_read_deletes`` (this file, above): Delta ``OPTIMIZE`` /
+    Iceberg ``rewrite_data_files`` semantics on plain parquet.
+
+    Pipeline: (1) write the MoR base layout (same (date, fbucket, pos)
+    contract and delete rules as merge_on_read_deletes); (2) reconcile
+    position + equality delete files into the live row set — the state
+    a MoR table accumulates between compactions; (3) binpack the live
+    rows: per date partition, files in fbucket order slice into bins of
+    COMPACT_EXEC_TARGET_ROWS (the cumulative-slicing rule of the plan
+    operator); (4) physically REWRITE: one parquet write partitioned by
+    (date, bin), keyed so each bin is exactly one task -> one file;
+    (5) read the compacted table back and audit it against the
+    pre-compaction live set: file counts before/after and row/value/id
+    checksum equality per partition.  After the rewrite the delete
+    files are dead — the compacted files contain no deleted row, which
+    is what the checksum columns prove.
+
+    Scale shape: the rewrite is one date-keyed shuffle of live rows
+    (same cost class as the base write); the bin table is |dates| x
+    |files| rows, broadcast onto the live stream; the audit reuses the
+    live aggregates.  No driver loop, no per-file job — the 100 TB
+    version is the same single write with more partitions.
+    """
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("cast(round(value * 100) as bigint)").alias("v_centi"),
+        F.to_date("ts").cast("string").alias("date"),
+        (md5_long(F.col("event_id").cast("string")) % MOR_FILES).alias(
+            "fbucket"
+        ),
+    )
+    base = ev.withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("date", "fbucket").orderBy("event_id")
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="compact_base_")
+    _BACKFILL_DIRS.append(out)
+    base.repartition("date").write.mode("overwrite").partitionBy(
+        "date"
+    ).parquet(out)
+    schema = (
+        "event_id bigint, user_id bigint, event_type string,"
+        " v_centi bigint, fbucket bigint, pos int, date string"
+    )
+    files = spark.read.schema(schema).parquet(out)
+    pos_del = files.filter(F.col("event_type") == "error").select(
+        "date", "fbucket", "pos"
+    )
+    eq_del = (
+        files.filter(F.col("user_id") % MOR_EQ_MOD == 0)
+        .select("user_id")
+        .distinct()
+    )
+    live = (
+        files.join(F.broadcast(pos_del), ["date", "fbucket", "pos"], "left_anti")
+        .join(F.broadcast(eq_del), "user_id", "left_anti")
+        .persist()
+    )
+
+    fsizes = live.groupBy("date", "fbucket").agg(
+        F.count(F.lit(1)).alias("file_rows")
+    )
+    bins = fsizes.select(
+        "date",
+        "fbucket",
+        F.expr(
+            "coalesce(sum(file_rows) over (partition by date"
+            " order by fbucket rows between unbounded preceding and"
+            f" 1 preceding), 0) div {COMPACT_EXEC_TARGET_ROWS}"
+        ).alias("bin_id"),
+    )
+    compacted_dir = tempfile.mkdtemp(prefix="compact_out_")
+    _BACKFILL_DIRS.append(compacted_dir)
+    (
+        live.join(F.broadcast(bins), ["date", "fbucket"])
+        .repartition("date", "bin_id")
+        .write.mode("overwrite")
+        .partitionBy("date", "bin_id")
+        .parquet(compacted_dir)
+    )
+    cschema = (
+        "event_id bigint, user_id bigint, event_type string,"
+        " v_centi bigint, fbucket bigint, pos int, date string,"
+        " bin_id bigint"
+    )
+    compacted = spark.read.schema(cschema).parquet(compacted_dir)
+
+    idsum = lambda c: F.sum(md5_long(F.col(c).cast("string")) % 1_000_003)
+    before = live.groupBy("date").agg(
+        F.count_distinct("fbucket").alias("n_files_before"),
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("v_centi").alias("live_value_centi"),
+        idsum("event_id").alias("id_sum_b"),
+    )
+    after = compacted.groupBy("date").agg(
+        F.count_distinct("bin_id").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows_after"),
+        F.sum("v_centi").alias("value_after"),
+        idsum("event_id").alias("id_sum_a"),
+    )
+    return (
+        before.join(after, "date")
+        .select(
+            "date",
+            "n_files_before",
+            F.col("n_files_after").cast("bigint").alias("n_files_after"),
+            "n_live",
+            "live_value_centi",
+            (F.col("n_live") == F.col("n_rows_after"))
+            .cast("bigint")
+            .alias("rows_match"),
+            (F.col("live_value_centi") == F.col("value_after"))
+            .cast("bigint")
+            .alias("value_match"),
+            (F.col("id_sum_b") == F.col("id_sum_a"))
+            .cast("bigint")
+            .alias("id_match"),
+        )
+    )
+
+
+ORACLE["compaction_execute"] = f"""
+    WITH base AS (
+      SELECT event_id, user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS v_centi,
+             CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+             {sql_md5_long("CAST(event_id AS VARCHAR)")} % {MOR_FILES}
+               AS fbucket,
+             row_number() OVER (
+               PARTITION BY CAST(CAST(ts AS DATE) AS VARCHAR),
+                            {sql_md5_long("CAST(event_id AS VARCHAR)")}
+                              % {MOR_FILES}
+               ORDER BY event_id) AS pos
+      FROM events
+    ),
+    pos_del AS (
+      SELECT date, fbucket, pos FROM base WHERE event_type = 'error'
+    ),
+    eq_del AS (
+      SELECT DISTINCT user_id FROM base WHERE user_id % {MOR_EQ_MOD} = 0
+    ),
+    live AS (
+      SELECT b.* FROM base b
+      WHERE NOT EXISTS (SELECT 1 FROM pos_del p
+                        WHERE p.date = b.date AND p.fbucket = b.fbucket
+                          AND p.pos = b.pos)
+        AND NOT EXISTS (SELECT 1 FROM eq_del e
+                        WHERE e.user_id = b.user_id)
+    ),
+    fsizes AS (
+      SELECT date, fbucket, CAST(count(*) AS BIGINT) AS file_rows
+      FROM live GROUP BY date, fbucket
+    ),
+    bins AS (
+      SELECT date, fbucket,
+             CAST(COALESCE(sum(file_rows) OVER (
+                    PARTITION BY date ORDER BY fbucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) // {COMPACT_EXEC_TARGET_ROWS} AS bin_id
+      FROM fsizes
+    )
+    SELECT l.date,
+           CAST(count(DISTINCT l.fbucket) AS BIGINT) AS n_files_before,
+           CAST(count(DISTINCT b.bin_id) AS BIGINT) AS n_files_after,
+           CAST(count(*) AS BIGINT) AS n_live,
+           CAST(sum(l.v_centi) AS BIGINT) AS live_value_centi,
+           CAST(1 AS BIGINT) AS rows_match,
+           CAST(1 AS BIGINT) AS value_match,
+           CAST(1 AS BIGINT) AS id_match
+    FROM live l
+    JOIN bins b ON b.date = l.date AND b.fbucket = l.fbucket
+    GROUP BY l.date
+"""
+QUERIES["compaction_execute"] = compaction_execute
