@@ -114,6 +114,12 @@ FUZZED_QUERIES = [
     # corpora (norm ties, single-doc panels, all-light pairs p = 1)
     # must reproduce bit-exactly across engines
     "dimsum_cosine_estimate",
+    # round-8: the weighted-Jaccard replica expansion on heavy-dup and
+    # zero-word corpora (reflexive-join constants, disjoint-term pairs);
+    # KMV bottom-K on sources whose shingle sets are empty, identical,
+    # or below K (exact-mode theta = S sentinel paths)
+    "dedup_weighted_minhash",
+    "theta_sketch_set_algebra",
 ]
 
 
@@ -296,6 +302,9 @@ EVENT_BATCH_FUZZED = [
     "event_path_mining",
     "variant_shred_stats",
     "full_outer_activity_reconcile",
+    # round-8: the executed compaction on random event corpora —
+    # empty dates after deletes, all-deleted files, single-bin dates
+    "compaction_execute",
     # round-6: the backfill merge must reconstruct ANY event corpus
     # exactly (random late/replay class membership, multi-day spreads)
     "streaming_backfill_merge",
@@ -386,6 +395,9 @@ def test_random_batch_events_match_oracle(spark, stream_fuzz_dir, events):
 # every ANN variant incl. the IVF Lloyd loop — against the oracles.
 
 EMBEDDING_FUZZED = [
+    # round-8: graph build + unrolled beam on random panels — empty
+    # buckets, disconnected entry points, beams wider than the corpus
+    "ann_graph_beam_audit",
     "pq_adc_topk",
     "feature_quantile_bins",
     "embedding_centroids",

@@ -317,6 +317,14 @@ BOUNDED_UNPARTITIONED_WINDOWS = {
     # bounded, sits above an aggregate — the Gini index is a statistic
     # of the source distribution, not of rows)
     "source_concentration_gini": 1,
+    # r8 rotation brought these into the audited window: global
+    # normalizing sums over the LANGUAGE INVENTORY (rows = n_languages;
+    # the docstrings call the single-partition window out as the
+    # no-rescan alternative to a broadcast-agg pass)
+    "corpus_mix_temperature": 2,
+    "corpus_mix_apply": 2,
+    # global CDF cumsum over the fixed DRIFT_BUCKETS grid (64 rows)
+    "source_drift_ks": 1,
 }
 
 

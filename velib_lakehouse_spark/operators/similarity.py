@@ -1591,7 +1591,6 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") >= N_QUERIES)
         & (F.col("vec_id") < N_QUERIES + GRAPH_ENTRIES)
     ).select("vec_id")
-    frontier = q.select("q_vec_id").crossJoin(F.broadcast(entries))
 
     def _score(ids: DataFrame) -> DataFrame:
         return (
@@ -1612,8 +1611,25 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("q_vec_id").orderBy(
         F.col("cos").desc(), F.col("vec_id").asc()
     )
+    # The beam state is O(queries x GRAPH_BEAM) rows BY CONSTRUCTION —
+    # it lives on the driver between hops, exactly like the IVF
+    # centroid table (`ann_ivf_topk`): each hop ships the frontier back
+    # out as a literal frame, probes the src-keyed edge table, scores,
+    # and keeps the top GRAPH_BEAM per query.  This is the real
+    # serving-time shape (the coordinator holds the beam; the cluster
+    # holds the graph), and it keeps every hop's plan flat — the
+    # DataFrame-chained variant nested each hop's lineage into the next
+    # (2 MiB -> 17 MiB task binaries, driver OOM at 3 hops).
+    frontier_rows = [
+        (r["q_vec_id"], r["vec_id"])
+        for r in q.select("q_vec_id").crossJoin(F.broadcast(entries)).collect()
+    ]
+    beam_rows: list[tuple] = []
     for _ in range(GRAPH_HOPS):
-        expanded = frontier.select("q_vec_id", "vec_id").unionByName(
+        frontier = spark.createDataFrame(
+            frontier_rows, "q_vec_id long, vec_id long"
+        )
+        expanded = frontier.unionByName(
             edges.join(
                 F.broadcast(
                     frontier.select("q_vec_id", F.col("vec_id").alias("src"))
@@ -1621,22 +1637,52 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "src",
             ).select("q_vec_id", F.col("dst").alias("vec_id"))
         ).distinct()
-        # persist per hop: the beam is queries x GRAPH_BEAM rows, and an
-        # uncached hop nests the whole prior lineage into the next
-        # hop's plan (measured: task binaries ballooned 2 -> 17 MiB
-        # over 3 hops and the driver OOM'd building them)
-        frontier = (
-            _score(expanded)
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= GRAPH_BEAM)
-            .select("q_vec_id", "vec_id", "cos")
-            .persist()
+        beam_rows = [
+            (r["q_vec_id"], r["vec_id"], r["cos"])
+            for r in (
+                _score(expanded)
+                .withColumn("rn", F.row_number().over(wq))
+                .filter(F.col("rn") <= GRAPH_BEAM)
+                .select("q_vec_id", "vec_id", "cos")
+                .collect()
+            )
+        ]
+        frontier_rows = [(qv, vid) for qv, vid, _ in beam_rows]
+    # Index-time state (v, edges) served the hops above and is done;
+    # the RETURNED frame is search output (the beam, now a literal) and
+    # the exact-recall audit pass rebuilt from the scan — so the
+    # audited plan is precisely the audit's own cost, with no
+    # materialized-cache subtrees nested inside it.  The round-trip
+    # through the driver is lossless: cosines are already rounded to 6
+    # places and Python floats ARE IEEE-754 doubles.
+    v.unpersist()
+    edges.unpersist()
+    vx = _vectors(spark, sf_dir)
+    qx = vx.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    exact = (
+        vx.crossJoin(F.broadcast(qx))
+        .filter(F.col("vec_id") != F.col("q_vec_id"))
+        .withColumn(
+            "cos",
+            F.round(
+                F.expr(_DOT.format(a="qv", b="v"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ),
         )
-    exact = ann_cosine_topk(spark, sf_dir).select(
-        "q_vec_id", "vec_id", F.lit(1).alias("hit")
+        .withColumn("xrn", F.row_number().over(wq))
+        .filter(F.col("xrn") <= TOP_K)
+        .select("q_vec_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    beam = spark.createDataFrame(
+        beam_rows, "q_vec_id long, vec_id long, cos double"
     )
     return (
-        frontier.withColumn("rank", F.row_number().over(wq))
+        beam.withColumn("rank", F.row_number().over(wq))
         .filter(F.col("rank") <= TOP_K)
         .join(exact, ["q_vec_id", "vec_id"], "left")
         .select(
