@@ -113,12 +113,22 @@ def test_weighted_minhash_weighting_separates_frequency_skew(spark):
 
 
 def test_weighted_minhash_estimator_tracks_exact(spark):
-    """Mean |est - exact| over all candidate pairs must be inside a few
-    K=16 standard errors (sqrt(J(1-J)/16) <= 0.125) — the estimator is
-    unbiased, so a systematic drift means broken replica hashing."""
+    """In the near-dup regime the op targets (exact weighted Jaccard
+    >= 0.8) the estimator must track tightly: conditioning on an
+    8-row band match barely biases pairs that genuinely agree on most
+    positions, so mean |est - exact| sits well inside one K=16
+    standard error (sqrt(J(1-J)/16) <= 0.125).  Below the banding
+    threshold, surviving candidates exist BECAUSE 8 consecutive
+    positions matched — selection inflates est upward there by
+    design (measured +0.21e6 ppm mean signed) — so the low tier gets
+    only a sanity ceiling, not a tightness bound."""
     rows = registry.QUERIES["dedup_weighted_minhash"](spark, SF_DIR).collect()
+    hi = [r for r in rows if r["wjaccard_ppm"] >= 800_000]
+    assert hi, "fixture has no near-dup-regime candidate pair"
+    hi_err = sum(r["err_ppm"] for r in hi) / len(hi)
+    assert hi_err < 100_000, f"near-dup tier mean |err| {hi_err} ppm"
     mean_err = sum(r["err_ppm"] for r in rows) / len(rows)
-    assert mean_err < 150_000, f"mean |err| {mean_err} ppm — estimator drift"
+    assert mean_err < 300_000, f"overall mean |err| {mean_err} ppm"
 
 
 # ---- theta_sketch_set_algebra -----------------------------------------------
@@ -289,3 +299,41 @@ def test_compaction_drops_all_deleted_rows(spark):
     compacted = spark.read.parquet(out)
     assert compacted.filter(F.col("event_type") == "error").count() == 0
     assert compacted.filter(F.col("user_id") % MOR_EQ_MOD == 0).count() == 0
+
+
+def test_graph_build_candidate_stream_is_linear(spark):
+    """The sorted-neighborhood candidate generation must emit at most
+    n * ANN_BANDS * GRAPH_NBHD directed probes before dedup — the
+    O(n) bound that replaces the quadratic full-bucket self-join (a
+    256x exact-dup replica corpus makes Sum(bucket^2) explode while
+    n * C grows linearly)."""
+    from velib_lakehouse_spark.operators.similarity import (
+        ANN_BANDS,
+        GRAPH_NBHD,
+        _band_bucket_expr,
+        _vectors,
+    )
+    from velib_lakehouse_spark.functions.hashing import md5_long
+    from pyspark.sql import Window
+
+    v = _vectors(spark, SF_DIR)
+    n = v.count()
+    bands_arr = "array({})".format(
+        ", ".join(_band_bucket_expr("v", b) for b in range(ANN_BANDS))
+    )
+    wb = Window.partitionBy("band", "bucket").orderBy(
+        md5_long(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    vb = v.select(
+        "vec_id", F.posexplode(F.expr(bands_arr)).alias("band", "bucket")
+    ).withColumn("r", F.row_number().over(wb))
+    steps = spark.range(1, GRAPH_NBHD + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    probes = vb.crossJoin(F.broadcast(steps)).select(
+        "band", "bucket", (F.col("r") + F.col("step")).alias("r"),
+        F.col("vec_id").alias("peer"),
+    )
+    matched = vb.join(probes, ["band", "bucket", "r"]).count()
+    assert matched <= n * ANN_BANDS * GRAPH_NBHD
+    assert matched > 0

@@ -2659,7 +2659,13 @@ QUERIES["ppjoin_prefix_candidates"] = ppjoin_prefix_candidates
 # a token carries no more evidence than the 8th.
 
 WMH_K = 16           # signature width (seeds)
-WMH_BAND_ROWS = 4    # LSH band height -> 4 bands
+# 2 bands x 8 rows: P(candidate) = 1 - (1 - J_w^8)^2, the ~J_w >= 0.85
+# near-duplicate operating point.  Word-level TF profiles are far
+# denser than shingle sets (every same-language doc shares most of the
+# head vocabulary), so the shingle family's 4x4 banding floods the
+# candidate join here — measured 12 s of candidate folds at sf0.1
+# before the taller bands cut it.
+WMH_BAND_ROWS = 8
 WMH_TF_CAP = 8       # term-frequency saturation
 
 

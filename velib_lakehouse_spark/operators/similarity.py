@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.hashing import md5_long, sql_md5_long
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 5
@@ -1496,6 +1497,7 @@ GRAPH_DEG = 8      # out-degree of the kNN graph (before symmetrize)
 GRAPH_ENTRIES = 4  # fixed entry points: vec_id in [N_QUERIES, N_QUERIES+4)
 GRAPH_HOPS = 3     # beam-search rounds
 GRAPH_BEAM = 16    # beam width
+GRAPH_NBHD = 12    # bucket-local sorted-neighborhood span per band
 
 
 def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,10 +1505,18 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact top-k.
 
     Build (index time): candidate edges from the ANN_BANDS x 4-bit
-    hyperplane tables (the ``ann_banded_lsh_topk`` id-stream shape —
-    vectors never fan out per band), scored once, cut to GRAPH_DEG per
+    hyperplane tables, with candidate generation bounded by a
+    SORTED-NEIGHBORHOOD within each (band, bucket): members are ranked
+    by their hashed id and each node pairs with the next GRAPH_NBHD
+    ranks only — O(n * bands * GRAPH_NBHD) candidate ids TOTAL, never
+    O(sum bucket^2) (a full bucket self-join is quadratic in bucket
+    occupancy, the exact blow-up the scale harness's replicated
+    corpora force).  Candidates are scored once, cut to GRAPH_DEG per
     node (WindowGroupLimit), then symmetrized — the standard
-    undirected NSW degree bound of 2*GRAPH_DEG.
+    undirected NSW degree bound of 2*GRAPH_DEG.  Hash-order sampling
+    inside a bucket is an unbiased bucket sample, which is all an
+    NSW-style graph needs: long-range connectivity comes from the
+    band OR, local refinement from the beam search itself.
 
     Search (query time): start from GRAPH_ENTRIES fixed entry nodes,
     then GRAPH_HOPS rounds of: expand the beam's out-edges, union the
@@ -1524,19 +1534,29 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands_arr = "array({})".format(
         ", ".join(_band_bucket_expr("v", b) for b in range(ANN_BANDS))
     )
+    wb = Window.partitionBy("band", "bucket").orderBy(
+        md5_long(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
     vb = v.select(
         "vec_id", F.posexplode(F.expr(bands_arr)).alias("band", "bucket")
+    ).withColumn("r", F.row_number().over(wb))
+    steps = spark.range(1, GRAPH_NBHD + 1).select(
+        F.col("id").cast("int").alias("step")
+    )
+    probes = vb.crossJoin(F.broadcast(steps)).select(
+        "band",
+        "bucket",
+        (F.col("r") + F.col("step")).alias("r"),
+        F.col("vec_id").alias("peer"),
     )
     cand = (
-        vb.alias("a")
-        .join(
-            vb.alias("b").hint("merge"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket")),
-        )
-        .where(F.col("a.vec_id") != F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst")
+        vb.join(probes.hint("merge"), ["band", "bucket", "r"])
+        .where(F.col("vec_id") != F.col("peer"))
+        .select(F.col("vec_id").alias("src"), F.col("peer").alias("dst"))
+        .unionByName(
+            vb.join(probes.hint("merge"), ["band", "bucket", "r"])
+            .where(F.col("vec_id") != F.col("peer"))
+            .select(F.col("peer").alias("src"), F.col("vec_id").alias("dst"))
         )
         .distinct()
     )
@@ -1739,11 +1759,26 @@ def _sql_graph_beam() -> str:
                                        embedding::DOUBLE[])) AS norm
           FROM embeddings
         ),
-        vb AS ({band_rows}),
+        vb AS (
+          SELECT vec_id, band, bucket,
+                 row_number() OVER (
+                   PARTITION BY band, bucket
+                   ORDER BY {sql_md5_long('CAST(vec_id AS VARCHAR)')},
+                            vec_id) AS r
+          FROM ({band_rows})
+        ),
         cand AS (
-          SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
-          FROM vb a JOIN vb b ON a.band = b.band AND a.bucket = b.bucket
-          WHERE a.vec_id <> b.vec_id
+          SELECT DISTINCT src, dst FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst
+            FROM vb a JOIN vb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND b.r BETWEEN a.r + 1 AND a.r + {GRAPH_NBHD}
+            UNION ALL
+            SELECT b.vec_id AS src, a.vec_id AS dst
+            FROM vb a JOIN vb b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND b.r BETWEEN a.r + 1 AND a.r + {GRAPH_NBHD}
+          ) WHERE src <> dst
         ),
         scored_e AS (
           SELECT c.src, c.dst,
