@@ -2711,15 +2711,38 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tfc")
         )
     )
-    seeded = (
-        "cast(conv(substr(md5(concat(cast(s as string), ':', term, '#',"
+    # K min-wise rankings from K/4 digests: each 60-bit md5 splits into
+    # four 15-bit lanes, one ranking per lane — 4x fewer digests than
+    # seeding the digest per ranking (measured: the per-seed variant
+    # spent ~6 s of the sf0.1 run inside md5).  15-bit resolution adds
+    # a ~|terms|/2^15 tie probability at the minimum (<1% here), a
+    # negligible upward nudge on the collision estimate; the estimator-
+    # quality test bounds it.
+    base = (
+        "cast(conv(substr(md5(concat(cast(j as string), ':', term, '#',"
         " cast(r as string))), 1, 15), 16, 10) as bigint)"
     )
-    rh = tf.withColumn(
+    # explode(array(...)) is a generator barrier (the minhash_bands
+    # idiom): without it Catalyst inlines the digest expression into
+    # each of the 16 lane lambdas and hashes 16x instead of 4x
+    rh = tf.select(
+        "rep",
+        "term",
+        "tfc",
+        F.explode(
+            F.array(
+                F.expr(
+                    f"transform(sequence(0, {WMH_K // 4 - 1}),"
+                    f" j -> transform(sequence(1, tfc), r -> {base}))"
+                )
+            )
+        ).alias("hs"),
+    ).withColumn(
         "rh",
         F.expr(
-            f"transform(sequence(0, {WMH_K - 1}),"
-            f" s -> array_min(transform(sequence(1, tfc), r -> {seeded})))"
+            f"transform(sequence(0, {WMH_K - 1}), s ->"
+            " array_min(transform(hs[s div 4],"
+            " d -> shiftright(d, 15 * (s % 4)) & 32767)))"
         ),
     )
     sig = rh.groupBy("rep").agg(
@@ -2841,13 +2864,21 @@ ORACLE["dedup_weighted_minhash"] = f"""
     reps AS (
       SELECT rep, term, unnest(generate_series(1, tfc)) AS r FROM tf
     ),
+    digests AS (
+      SELECT rep, term, r, j,
+             {sql_seeded_md5_long('j', "concat(term, '#', CAST(r AS VARCHAR))")}
+               AS d
+      FROM reps CROSS JOIN (
+        SELECT unnest(generate_series(0, {WMH_K // 4 - 1})) AS j
+      )
+    ),
     rh AS (
       SELECT rep, term, seed,
-             min({sql_seeded_md5_long(
-                 'seed', "concat(term, '#', CAST(r AS VARCHAR))")}) AS rh
-      FROM reps CROSS JOIN (
+             min((d >> (15 * (seed % 4))) & 32767) AS rh
+      FROM digests CROSS JOIN (
         SELECT unnest(generate_series(0, {WMH_K - 1})) AS seed
       )
+      WHERE j = seed // 4
       GROUP BY rep, term, seed
     ),
     sig AS (

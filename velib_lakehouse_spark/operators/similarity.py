@@ -1537,9 +1537,15 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     wb = Window.partitionBy("band", "bucket").orderBy(
         md5_long(F.col("vec_id").cast("string")), F.col("vec_id")
     )
-    vb = v.select(
-        "vec_id", F.posexplode(F.expr(bands_arr)).alias("band", "bucket")
-    ).withColumn("r", F.row_number().over(wb))
+    # persist: feeds the probe fan-out AND the rank-match join side
+    # (released with v/edges below — index-build state only)
+    vb = (
+        v.select(
+            "vec_id", F.posexplode(F.expr(bands_arr)).alias("band", "bucket")
+        )
+        .withColumn("r", F.row_number().over(wb))
+        .persist()
+    )
     steps = spark.range(1, GRAPH_NBHD + 1).select(
         F.col("id").cast("int").alias("step")
     )
@@ -1549,15 +1555,24 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r") + F.col("step")).alias("r"),
         F.col("vec_id").alias("peer"),
     )
+    # one rank-match join; both edge directions explode from the
+    # matched row (the duplicated-join variant ran the join twice)
     cand = (
         vb.join(probes.hint("merge"), ["band", "bucket", "r"])
         .where(F.col("vec_id") != F.col("peer"))
-        .select(F.col("vec_id").alias("src"), F.col("peer").alias("dst"))
-        .unionByName(
-            vb.join(probes.hint("merge"), ["band", "bucket", "r"])
-            .where(F.col("vec_id") != F.col("peer"))
-            .select(F.col("peer").alias("src"), F.col("vec_id").alias("dst"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("vec_id").alias("src"), F.col("peer").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("peer").alias("src"), F.col("vec_id").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
     )
     scored_e = (
@@ -1676,6 +1691,7 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the driver is lossless: cosines are already rounded to 6
     # places and Python floats ARE IEEE-754 doubles.
     v.unpersist()
+    vb.unpersist()
     edges.unpersist()
     vx = _vectors(spark, sf_dir)
     qx = vx.filter(F.col("vec_id") < N_QUERIES).select(
