@@ -1,6 +1,6 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five dedup families over the ``documents`` / ``embeddings`` tables, each
+Six dedup families over the ``documents`` / ``embeddings`` tables, each
 expressed as declarative DataFrame ops (no Python in the hot path) and
 mirrored in DuckDB SQL for the correctness gate:
 
@@ -8,6 +8,9 @@ mirrored in DuckDB SQL for the correctness gate:
 * n-gram Jaccard  — shingle -> rare-shingle self-join -> set overlap
 * MinHash + LSH   — shingle -> K seeded min-hashes -> banded signatures
                     -> bucket join (the sub-quadratic scale path)
+* weighted MinHash — capped-TF (term, replica) expansion -> lane-split
+                    min-wise rankings -> banded candidates + in-row
+                    exact weighted Jaccard (frequency-aware near-dup)
 * SimHash         — per-token hash bits -> majority vote -> 60-bit sketch
 * embedding near-dup — banded sign-LSH candidate join -> cosine filter
 
@@ -2680,8 +2683,10 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     2. per-(rep, term) capped term frequency — ONE term-keyed shuffle,
        linear in corpus tokens (no quadratic per-row counting, so the
        giant-document fuzz bound holds);
-    3. per-(rep, term) replica min-hashes for all WMH_K seeds, map-side
-       (replica fan-out bounded by WMH_TF_CAP);
+    3. per-(rep, term) replica min-hashes for all WMH_K rankings,
+       map-side: WMH_K/4 md5 digests per replica, four 15-bit lanes
+       each, behind an explode barrier (replica fan-out bounded by
+       WMH_TF_CAP; see the lane comment at the expression);
     4. per-rep signature: WMH_K elementwise-min aggregates in one
        shuffle, plus total weight and the (term, tf) list;
     5. banded self-join with ``rep_a <= rep_b`` — reflexive matches
