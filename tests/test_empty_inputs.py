@@ -76,6 +76,12 @@ EMPTY_TO_EMPTY = [
     "e2e_curation_report",
     "lake_retention_sweep",
     "csv_roundtrip_scan",
+    # round-8 additions: the growth batch on 0-row tables (no signature
+    # rows, no sketches, no graph nodes, no live rows to compact)
+    "dedup_weighted_minhash",
+    "theta_sketch_set_algebra",
+    "ann_graph_beam_audit",
+    "compaction_execute",
 ]
 # empty in -> a defined aggregate row (global aggregates)
 EMPTY_TO_AGG = ["velib_alert_bands", "velib_health"]
