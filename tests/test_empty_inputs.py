@@ -82,6 +82,12 @@ EMPTY_TO_EMPTY = [
     "theta_sketch_set_algebra",
     "ann_graph_beam_audit",
     "compaction_execute",
+    # round-9 additions: no candidate pairs, no vocabulary to merge, no
+    # rows for the racing writers to stage
+    "dedup_weighted_minhash_capped",
+    "dedup_icws_weighted_minhash",
+    "bpe_train_merges",
+    "snapshot_concurrent_commit",
 ]
 # empty in -> a defined aggregate row (global aggregates)
 EMPTY_TO_AGG = ["velib_alert_bands", "velib_health"]

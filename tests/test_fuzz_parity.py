@@ -120,6 +120,15 @@ FUZZED_QUERIES = [
     # or below K (exact-mode theta = S sentinel paths)
     "dedup_weighted_minhash",
     "theta_sketch_set_algebra",
+    # round-9: ICWS on random corpora — idf boundary cases (term in
+    # every doc -> idf_q = 1), single-term docs, heavy dups (reflexive
+    # constants), and the engine-vs-DuckDB double argmin agreement the
+    # estimator rides on; the capped consumer's rank determinism on
+    # tied weighted-Jaccard values; BPE's merge decisions on corpora
+    # with 1-char words, all-identical words, and zero-pair stages
+    "dedup_icws_weighted_minhash",
+    "dedup_weighted_minhash_capped",
+    "bpe_train_merges",
 ]
 
 

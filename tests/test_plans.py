@@ -325,6 +325,20 @@ BOUNDED_UNPARTITIONED_WINDOWS = {
     "corpus_mix_apply": 2,
     # global CDF cumsum over the fixed DRIFT_BUCKETS grid (64 rows)
     "source_drift_ks": 1,
+    # r9 rotation brought these into the audited window:
+    # vocabulary ranking (Zipf-bounded, above the word-count aggregate;
+    # docstring names ordered bucketing as the extreme-scale successor)
+    "export_tokenized_sequences": 1,
+    # three bounded windows: the dense top-k row_number carries a
+    # rank<=20 predicate Spark pushes as WindowGroupLimit (partial
+    # top-k per input partition before the single-partition finish);
+    # the lexical re-rank runs over bm25_rank's LIMIT-20 output; the
+    # fused re-rank over the <=40-row full-outer union of both lists
+    "hybrid_rank_fusion": 3,
+    # count-of-counts cumulative walk over DISTINCT per-key
+    # multiplicity values (value-range-bounded; the corpus-sized
+    # per-key rank window it replaced was rewritten this round)
+    "join_skew_audit": 1,
 }
 
 

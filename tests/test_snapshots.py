@@ -59,3 +59,165 @@ def test_manifest_commit_is_atomic_shape(tmp_path, spark):
     # no stray temp manifests left behind
     assert not [p for p in (tmp_path / "gold").iterdir()
                 if p.name.startswith("._manifest_")]
+
+
+# ---- optimistic concurrency (r8 VERDICT next-round #2) ----------------------
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, prio string")
+
+
+def test_interleaved_writers_one_winner_one_retry_no_lost_rows(spark, tmp_path):
+    """The canonical race: B stages a delete from v0, A commits an
+    append into B's read window, B detects ConcurrentAppend, re-stages
+    from v1 and commits — final state has A's rows minus B's predicate,
+    i.e. nothing lost and nothing resurrected."""
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    schema = "k bigint, prio string"
+    base = _mk(spark, [(1, "U"), (2, "U"), (3, "U"), (10, "L")])
+
+    snap.optimistic_commit(
+        table, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(base, table, "base", "prio"), []),
+    )
+
+    calls = {"b": 0}
+
+    def stage_b(rv):
+        calls["b"] += 1
+        cur = snap.read_table(spark, table, schema, version=rv, domain={"U"})
+        kept = cur.filter("k % 2 != 0")  # delete even urgent keys
+        adds = snap.stage_partition_files(
+            kept, table, f"b{calls['b']}", "prio"
+        )
+        removes = [f for f in snap.live_files(table, rv) if f[1] == "U"]
+        return adds, removes
+
+    b_read = snap.table_head(table)
+    b_pre = stage_b(b_read)
+
+    # A appends an even AND an odd urgent key while B is stalled
+    a_rows = _mk(spark, [(4, "U"), (5, "U")])
+    entry_a = snap.optimistic_commit(
+        table, "append", {"U"}, "a",
+        lambda rv: (snap.stage_partition_files(a_rows, table, "a", "prio"), []),
+    )
+    assert entry_a["attempt"] == 1 and entry_a["conflicts"] == []
+
+    entry_b = snap.optimistic_commit(
+        table, "delete", {"U"}, "b", stage_b, prestaged=(b_read, *b_pre)
+    )
+    assert entry_b["attempt"] == 2
+    assert entry_b["conflicts"] == [
+        {"kind": "ConcurrentAppend", "with_version": entry_a["version"]}
+    ]
+    assert calls["b"] == 2  # the re-stage actually re-read the snapshot
+
+    got = {
+        (r.k, r.prio)
+        for r in snap.read_table(spark, table, schema).collect()
+    }
+    # odd urgent keys survive (1, 3 from base; 5 from A), evens die
+    # (2 from base; 4 from A — the lost-update check), L untouched
+    assert got == {(1, "U"), (3, "U"), (5, "U"), (10, "L")}
+
+
+def test_disjoint_domain_append_never_retries(spark, tmp_path):
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    base = _mk(spark, [(1, "U"), (10, "L")])
+    snap.optimistic_commit(
+        table, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(base, table, "base", "prio"), []),
+    )
+    # two appends from the SAME stale read version: appends are blind,
+    # both commit first-attempt
+    r0 = snap.table_head(table)
+    adds1 = snap.stage_partition_files(
+        _mk(spark, [(2, "U")]), table, "w1", "prio"
+    )
+    adds2 = snap.stage_partition_files(
+        _mk(spark, [(11, "L")]), table, "w2", "prio"
+    )
+    e1 = snap.optimistic_commit(
+        table, "append", {"U"}, "w1", None, prestaged=(r0, adds1, [])
+    )
+    e2 = snap.optimistic_commit(
+        table, "append", {"L"}, "w2", None, prestaged=(r0, adds2, [])
+    )
+    assert (e1["attempt"], e2["attempt"]) == (1, 1)
+    assert e1["conflicts"] == [] and e2["conflicts"] == []
+    assert snap.read_table(spark, table, "k bigint, prio string").count() == 4
+
+
+def test_delete_delete_same_domain_conflicts(spark, tmp_path):
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    schema = "k bigint, prio string"
+    base = _mk(spark, [(1, "U"), (2, "U"), (3, "U")])
+    snap.optimistic_commit(
+        table, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(base, table, "base", "prio"), []),
+    )
+
+    def deleter(name, predicate_keep):
+        calls = {"n": 0}
+
+        def stage(rv):
+            calls["n"] += 1
+            cur = snap.read_table(spark, table, schema, version=rv, domain={"U"})
+            adds = snap.stage_partition_files(
+                cur.filter(predicate_keep), table, f"{name}{calls['n']}", "prio"
+            )
+            removes = [f for f in snap.live_files(table, rv) if f[1] == "U"]
+            return adds, removes
+
+        return stage
+
+    r0 = snap.table_head(table)
+    s1 = deleter("d1", "k != 1")
+    s2 = deleter("d2", "k != 2")
+    pre2 = s2(r0)
+    e1 = snap.optimistic_commit(table, "delete", {"U"}, "d1", s1)
+    e2 = snap.optimistic_commit(
+        table, "delete", {"U"}, "d2", s2, prestaged=(r0, *pre2)
+    )
+    assert e1["attempt"] == 1
+    assert e2["attempt"] == 2
+    assert e2["conflicts"][0]["kind"] == "ConcurrentDeleteDelete"
+    got = {r.k for r in snap.read_table(spark, table, schema).collect()}
+    assert got == {3}  # both deletes applied, neither lost
+
+
+def test_try_commit_cas_exactly_one_winner(tmp_path):
+    """The CAS primitive itself, raced by real threads — exactly one
+    O_EXCL create succeeds per version."""
+    import threading
+
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    results = []
+    barrier = threading.Barrier(8)
+
+    def worker(i):
+        barrier.wait()
+        results.append(
+            (i, snap.try_commit(table, 7, {"version": 7, "txn": f"w{i}",
+                                           "action": "append", "adds": [],
+                                           "removes": [], "domain": None}))
+        )
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert sum(1 for _, ok in results if ok) == 1
+    # and the losers' retry path sees the winner's entry
+    assert len(snap.read_commits(table)) == 1

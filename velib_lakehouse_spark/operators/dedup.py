@@ -2718,8 +2718,22 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs only.  Reference parity: extends the MinHash family
     (SURVEY §2 dedup tier); no reference counterpart — the north-star
     LLM-pipeline tier.
+
+    Output contract: the member-pair expansion is an R^2 term in the
+    exact-dup group sizes — the required answer for an audit, but the
+    scale-bounded consumer is :func:`dedup_weighted_minhash_capped`,
+    which reads the SAME rep-level pairs and caps output per anchor.
     """
-    d = load_table(spark, sf_dir, "documents")
+    return _wmh_expand(
+        _wmh_rep_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _wmh_rep_pairs(d: DataFrame) -> DataFrame:
+    """Steps 1-6 of the weighted-MinHash pipeline at REP granularity:
+    ``(rep_a, rep_b, ids_a, ids_b, n_bands, est_ppm, wjaccard_ppm)``.
+    Shared by the full member-pair expansion (dedup_weighted_minhash)
+    and the per-anchor capped ranking (dedup_weighted_minhash_capped)."""
     # persist: groups feeds BOTH the tf expansion and the ids join
     # below — uncached, the corpus scan + text group-by execute twice
     # (r8 ADVICE; cache-lifetime note in dedup_minhash_lsh applies)
@@ -2837,15 +2851,29 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("w_min").alias("w_min"),
         F.min("w_sum").alias("w_sum"),
     )
+    return pairs.select(
+        "rep_a",
+        "rep_b",
+        "ids_a",
+        "ids_b",
+        "n_bands",
+        F.expr(f"(n_eq * 1000000) div {WMH_K}").alias("est_ppm"),
+        F.expr("(w_min * 1000000) div (w_sum - w_min)").alias(
+            "wjaccard_ppm"
+        ),
+    )
+
+
+def _wmh_expand(rep_pairs: DataFrame) -> DataFrame:
+    """Member-pair expansion tail: every (doc_a, doc_b) from the rep
+    pair's id lists — the R^2-in-group-size output term."""
     return (
-        pairs.select(
+        rep_pairs.select(
             "rep_a",
             "rep_b",
             "n_bands",
-            F.expr(f"(n_eq * 1000000) div {WMH_K}").alias("est_ppm"),
-            F.expr("(w_min * 1000000) div (w_sum - w_min)").alias(
-                "wjaccard_ppm"
-            ),
+            "est_ppm",
+            "wjaccard_ppm",
             F.explode("ids_a").alias("ia"),
             "ids_b",
         )
@@ -2870,8 +2898,10 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE["dedup_weighted_minhash"] = f"""
-    WITH groups AS (
+# Shared CTE prefix: exact-dup groups -> capped TF -> unary-expansion
+# weighted-MinHash signatures -> banded candidates -> per-pair metrics.
+# Consumed by the full expansion oracle AND the capped-ranking oracle.
+_SQL_WMH_METRICS_CTES = f"""groups AS (
       SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
       FROM documents GROUP BY text
     ),
@@ -2952,7 +2982,10 @@ ORACLE["dedup_weighted_minhash"] = f"""
       LEFT JOIN wmin w ON w.rep_a = c.rep_a AND w.rep_b = c.rep_b
       JOIN wt wa ON wa.rep = c.rep_a
       JOIN wt wb ON wb.rep = c.rep_b
-    ),
+    )"""
+
+ORACLE["dedup_weighted_minhash"] = f"""
+    WITH {_SQL_WMH_METRICS_CTES},
     e1 AS (
       SELECT m.rep_a, m.rep_b, m.n_bands, m.est_ppm, m.wjaccard_ppm,
              gb.ids AS ids_b, unnest(ga.ids) AS ia
@@ -2972,3 +3005,489 @@ ORACLE["dedup_weighted_minhash"] = f"""
     WHERE rep_a < rep_b OR ia < ib
 """
 QUERIES["dedup_weighted_minhash"] = dedup_weighted_minhash
+
+
+# ---- capped consumer of the weighted-MinHash pairs (r8 VERDICT #4) ---------
+
+WMH_PAIR_TOPK = 5  # neighbors kept per anchor group
+
+
+def dedup_weighted_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor capped ranking over the weighted-MinHash candidate
+    pairs — the scale-bounded consumer contract for the full audit's
+    R^2 member-pair output (the ``pairs_topk_capped`` pattern applied
+    to rep-level groups).
+
+    The full ``dedup_weighted_minhash`` expands every member doc pair:
+    on an exact-dup-adversarial corpus (R-fold replication) a dup group
+    of R members emits R^2 rows per candidate — required output for an
+    audit, unbounded for a pipeline.  This variant stays at REP
+    granularity: for each anchor group, its candidate neighbor groups
+    ranked by exact weighted Jaccard (tie-break: estimate, then
+    neighbor id), top ``WMH_PAIR_TOPK`` kept, with both GROUP SIZES as
+    columns — a consumer reads membership cardinality instead of
+    enumerating member pairs, so output is O(reps * K) no matter how
+    deep the dup groups go.  The reflexive row (anchor = neighbor,
+    est = exact = 1e6) is kept on purpose: it IS the exact-dup group
+    record, sized by ``n_a``.
+
+    Scale: identical candidate generation to the full audit (banded
+    self-join over collapsed reps); the ranking is one window whose
+    rank predicate pushes down to a partial top-K before the shuffle
+    (WindowGroupLimit).  The 1024x/4096x sweep rows in SCALE.md run
+    THIS operator — compute tracks reps (constant under replication),
+    output tracks reps * K.
+    """
+    rp = _wmh_rep_pairs(load_table(spark, sf_dir, "documents"))
+    fwd = rp.select(
+        F.col("rep_a").alias("anchor"),
+        F.col("rep_b").alias("neighbor"),
+        F.size("ids_a").cast("bigint").alias("n_a"),
+        F.size("ids_b").cast("bigint").alias("n_b"),
+        "n_bands",
+        "est_ppm",
+        "wjaccard_ppm",
+    )
+    rev = rp.where(F.col("rep_a") != F.col("rep_b")).select(
+        F.col("rep_b").alias("anchor"),
+        F.col("rep_a").alias("neighbor"),
+        F.size("ids_b").cast("bigint").alias("n_a"),
+        F.size("ids_a").cast("bigint").alias("n_b"),
+        "n_bands",
+        "est_ppm",
+        "wjaccard_ppm",
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("wjaccard_ppm"), F.desc("est_ppm"), F.asc("neighbor")
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= WMH_PAIR_TOPK)
+        .select(
+            "anchor",
+            "neighbor",
+            "n_a",
+            "n_b",
+            "n_bands",
+            "est_ppm",
+            "wjaccard_ppm",
+            "rnk",
+        )
+    )
+
+
+ORACLE["dedup_weighted_minhash_capped"] = f"""
+    WITH {_SQL_WMH_METRICS_CTES},
+    gsz AS (SELECT rep, CAST(len(ids) AS BIGINT) AS n FROM groups),
+    sym AS (
+      SELECT rep_a AS anchor, rep_b AS neighbor, n_bands, est_ppm,
+             wjaccard_ppm
+      FROM metrics
+      UNION ALL
+      SELECT rep_b, rep_a, n_bands, est_ppm, wjaccard_ppm
+      FROM metrics WHERE rep_a <> rep_b
+    ),
+    ranked AS (
+      SELECT s.anchor, s.neighbor, ga.n AS n_a, gb.n AS n_b,
+             s.n_bands, s.est_ppm, s.wjaccard_ppm,
+             row_number() OVER (
+               PARTITION BY s.anchor
+               ORDER BY s.wjaccard_ppm DESC, s.est_ppm DESC,
+                        s.neighbor ASC) AS rnk
+      FROM sym s
+      JOIN gsz ga ON ga.rep = s.anchor
+      JOIN gsz gb ON gb.rep = s.neighbor
+    )
+    SELECT anchor, neighbor, n_a, n_b, n_bands, est_ppm, wjaccard_ppm,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {WMH_PAIR_TOPK}
+"""
+QUERIES["dedup_weighted_minhash_capped"] = dedup_weighted_minhash_capped
+
+
+# ---- real-weight ICWS weighted MinHash (r8 VERDICT #3) ----------------------
+#
+# dedup_weighted_minhash estimates weighted Jaccard over INTEGER capped
+# term frequencies by unary expansion — exact, but the replica fan-out
+# ties the hash cost to the weight magnitude and the weights to
+# integers.  Ioffe's Improved Consistent Weighted Sampling (ICDM 2010)
+# removes both limits: for REAL weights S > 0 it samples, per hash
+# ranking k and term t,
+#
+#   r, c ~ Gamma(2,1),  beta ~ Uniform(0,1)      (functions of (t, k))
+#   t_k  = floor(ln S / r + beta)
+#   a_k  = c * exp(-r * (t_k - beta + 1))
+#
+# and keeps the (term, t_k) of the minimum a_k; two documents pick the
+# same (term, t_k) with probability EXACTLY their weighted Jaccard
+# sum(min w)/sum(max w).  Cost per term is K fixed-size samples —
+# independent of the weight value, so tf-idf (real idf) weights cost
+# the same as tf=1.
+#
+# Randomness is the repo's md5-lane family: per (term, k) two digests
+# split into 15-bit lanes -> five uniforms (u + 0.5)/32768; Gamma(2,1)
+# as -ln(u*u').  The affine-shortcut warning from the r8 lane work
+# applies unchanged: small-multiplier seeded families break min-wise
+# independence, md5 lanes do not (tests/test_r9_ops.py pins estimator
+# drift).  Weights are fixed-point: w_micro = tfc * idf_q with
+# idf_q = 1 + floor(ln(n_docs/df) * ICWS_IDF_QUANT) — both engines
+# compute the SAME integer weight, so the exact wjaccard_ppm side stays
+# engine-exact integer arithmetic; only the estimator touches doubles.
+
+ICWS_K = 16
+ICWS_BAND_ROWS = 8   # 2 bands x 8 rows — the WMH operating point
+ICWS_IDF_QUANT = 1000
+
+
+def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf-weighted near-dup audit via real-weight ICWS (Ioffe,
+    ICDM 2010): banded candidates from consistent weighted samples +
+    exact fixed-point weighted Jaccard, expanded to member doc pairs.
+
+    Pipeline (the `_wmh_rep_pairs` shape with ICWS signatures):
+
+    1. exact-copy collapse (group by text, reps carry member ids);
+    2. per-(rep, term) capped tf — one term-keyed shuffle;
+    3. per-term document frequency + fixed-point idf (broadcast scalar
+       doc count); weight w_micro = tfc * idf_q, a BIGINT both engines
+       derive identically;
+    4. per-(term, k) ICWS parameters (r, c, beta) from md5 lanes at
+       VOCABULARY granularity behind an explode barrier — the digests
+       are per distinct term, never per (doc, term);
+    5. per-(rep, term, k) the ICWS sample (t_k, a_k); per (rep, k) the
+       argmin element via one wide min(struct(a, elem)) aggregate —
+       ONE rep-keyed shuffle for all K rankings + total weight + the
+       term->weight map the exact side folds over;
+    6. 2x8 banded self-join (merge-pinned, corpus-width sides) and
+       in-row metrics: est_ppm = equal-position share, wjaccard_ppm =
+       integer sum(min)/sum(max) over the weight maps.
+
+    Scale: vocabulary-granular parameter hashing (O(|vocab| * K)
+    digests), candidate pairs only from band equality, the exact side
+    in-row — same sub-quadratic shape as the integer-weight op, with
+    weight magnitude removed from the cost model entirely.  Reference
+    parity: none (north-star LLM-pipeline tier); extends SURVEY §2
+    dedup with the real-weight estimator the r8 VERDICT requested.
+    """
+    return _wmh_expand(
+        _icws_rep_pairs(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _icws_rep_pairs(d: DataFrame) -> DataFrame:
+    """Rep-level ICWS candidate pairs: (rep_a, rep_b, ids_a, ids_b,
+    n_bands, est_ppm, wjaccard_ppm)."""
+    # persist: groups feeds the tf expansion and the ids join (the
+    # dedup_weighted_minhash cache-lifetime note applies)
+    groups = d.groupBy("text").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+        F.min("doc_id").alias("rep"),
+    ).persist()
+    tf = (
+        groups.select("rep", F.explode(_words()).alias("term"))
+        .groupBy("rep", "term")
+        .agg(
+            F.least(F.count(F.lit(1)), F.lit(WMH_TF_CAP))
+            .cast("long")
+            .alias("tfc")
+        )
+        # persist: feeds the doc-count scalar, the per-term df
+        # aggregate, and the weight join — three consumers, one
+        # term-explode pass
+        .persist()
+    )
+    n_docs = tf.select(F.count_distinct("rep").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (
+                F.lit(1)
+                + F.floor(
+                    F.log(F.col("n_docs").cast("double") / F.col("df"))
+                    * ICWS_IDF_QUANT
+                )
+            ).cast("long").alias("idf_q"),
+        )
+    )
+    d0 = (
+        "cast(conv(substr(md5(concat('icws0:', cast(s as string), ':',"
+        " term)), 1, 15), 16, 10) as bigint)"
+    )
+    d1 = (
+        "cast(conv(substr(md5(concat('icws1:', cast(s as string), ':',"
+        " term)), 1, 15), 16, 10) as bigint)"
+    )
+    lane = "(((shiftright({d}, {o}) & 32767) + 0.5) / 32768.0)"
+    # explode(array(...)) barrier (the minhash_bands idiom): without it
+    # Catalyst inlines each digest into its four lane references and
+    # hashes 4x per uniform instead of once per digest
+    params = idf.select(
+        "term",
+        "idf_q",
+        F.explode(
+            F.array(
+                F.expr(
+                    f"transform(sequence(0, {ICWS_K - 1}),"
+                    f" s -> named_struct('d0', {d0}, 'd1', {d1}))"
+                )
+            )
+        ).alias("ds"),
+    ).select(
+        "term",
+        "idf_q",
+        F.expr(
+            "transform(ds, x -> named_struct("
+            f"'r', -ln({lane.format(d='x.d0', o=0)}"
+            f" * {lane.format(d='x.d0', o=15)}),"
+            f"'c', -ln({lane.format(d='x.d0', o=30)}"
+            f" * {lane.format(d='x.d0', o=45)}),"
+            f"'beta', {lane.format(d='x.d1', o=0)}))"
+        ).alias("ps"),
+    )
+    samples = (
+        tf.join(params, "term")
+        .select(
+            "rep",
+            "term",
+            (F.col("tfc") * F.col("idf_q")).alias("w_micro"),
+            F.expr(
+                "transform(ps, p -> named_struct('r', p.r, 'c', p.c,"
+                " 'beta', p.beta))"
+            ).alias("ps"),
+        )
+        .withColumn(
+            "icws",
+            F.expr(
+                "transform(transform(ps, p -> named_struct("
+                " 'r', p.r, 'c', p.c, 'beta', p.beta,"
+                " 't', floor(ln(cast(w_micro as double)) / p.r + p.beta))),"
+                " q -> named_struct("
+                " 'a', q.c * exp(-q.r * (q.t - q.beta + 1)),"
+                " 'e', concat(term, ':', cast(q.t as string))))"
+            ),
+        )
+    )
+    wide = samples.select(
+        "rep",
+        "w_micro",
+        "term",
+        *[
+            F.expr(f"icws[{k}].a").alias(f"a{k}")
+            for k in range(ICWS_K)
+        ],
+        *[
+            F.expr(f"icws[{k}].e").alias(f"e{k}")
+            for k in range(ICWS_K)
+        ],
+    )
+    sig = wide.groupBy("rep").agg(
+        *[
+            F.min(
+                F.struct(
+                    F.col(f"a{k}").alias("a"), F.col(f"e{k}").alias("e")
+                )
+            ).alias(f"m{k}")
+            for k in range(ICWS_K)
+        ],
+        F.sum("w_micro").alias("w_total"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("term", "w_micro")))
+        ).alias("tfm"),
+    ).select(
+        "rep",
+        "w_total",
+        "tfm",
+        F.array(
+            *[F.col(f"m{k}").getField("e") for k in range(ICWS_K)]
+        ).alias("sig"),
+    )
+    n_bands_total = ICWS_K // ICWS_BAND_ROWS
+    # persist: feeds both self-join sides
+    rows = (
+        sig.join(groups.select("rep", "ids"), "rep")
+        .select(
+            "rep",
+            "ids",
+            "sig",
+            "w_total",
+            "tfm",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {n_bands_total - 1}),"
+                    f" b -> concat_ws(',', slice(sig, b * {ICWS_BAND_ROWS}"
+                    f" + 1, {ICWS_BAND_ROWS})))"
+                )
+            ).alias("band", "band_sig"),
+        )
+        .persist()
+    )
+    a, b = rows.alias("a"), rows.alias("b").hint("merge")
+    matched = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .where(F.col("a.rep") <= F.col("b.rep"))
+        .select(
+            F.col("a.rep").alias("rep_a"),
+            F.col("b.rep").alias("rep_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
+            F.expr(
+                "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1L,"
+                " 0L)), 0L, (acc, x) -> acc + x)"
+            ).alias("n_eq"),
+            F.expr(
+                "aggregate(map_entries(a.tfm), 0L,"
+                " (acc, e) -> acc + least(e.value,"
+                " coalesce(element_at(b.tfm, e.key), 0L)))"
+            ).alias("w_min"),
+            (F.col("a.w_total") + F.col("b.w_total")).alias("w_sum"),
+        )
+    )
+    pairs = matched.groupBy("rep_a", "rep_b").agg(
+        F.count(F.lit(1)).alias("n_bands"),
+        F.first("ids_a").alias("ids_a"),
+        F.first("ids_b").alias("ids_b"),
+        F.min("n_eq").alias("n_eq"),
+        F.min("w_min").alias("w_min"),
+        F.min("w_sum").alias("w_sum"),
+    )
+    return pairs.select(
+        "rep_a",
+        "rep_b",
+        "ids_a",
+        "ids_b",
+        "n_bands",
+        F.expr(f"(n_eq * 1000000) div {ICWS_K}").alias("est_ppm"),
+        F.expr("(w_min * 1000000) div (w_sum - w_min)").alias(
+            "wjaccard_ppm"
+        ),
+    )
+
+
+ORACLE["dedup_icws_weighted_minhash"] = f"""
+    WITH groups AS (
+      SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
+      FROM documents GROUP BY text
+    ),
+    terms AS (
+      SELECT rep,
+             unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+               AS term
+      FROM groups
+    ),
+    tf AS (
+      SELECT rep, term,
+             CAST(least(count(*), {WMH_TF_CAP}) AS BIGINT) AS tfc
+      FROM terms GROUP BY rep, term
+    ),
+    nrep AS (SELECT CAST(count(DISTINCT rep) AS BIGINT) AS n FROM tf),
+    widf AS (
+      SELECT term,
+             1 + CAST(floor(ln(CAST(n AS DOUBLE) / df)
+                            * {ICWS_IDF_QUANT}) AS BIGINT) AS idf_q
+      FROM (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term)
+      CROSS JOIN nrep
+    ),
+    w AS (
+      SELECT t.rep, t.term, t.tfc * wi.idf_q AS w_micro
+      FROM tf t JOIN widf wi ON wi.term = t.term
+    ),
+    prc AS (
+      SELECT term, seed,
+             -ln(((((d0 >> 0) & 32767) + 0.5) / 32768.0)
+                 * ((((d0 >> 15) & 32767) + 0.5) / 32768.0)) AS r,
+             -ln(((((d0 >> 30) & 32767) + 0.5) / 32768.0)
+                 * ((((d0 >> 45) & 32767) + 0.5) / 32768.0)) AS c,
+             ((((d1 >> 0) & 32767) + 0.5) / 32768.0) AS beta
+      FROM (
+        SELECT term, seed,
+               {sql_md5_long("concat('icws0:', CAST(seed AS VARCHAR), ':', term)")} AS d0,
+               {sql_md5_long("concat('icws1:', CAST(seed AS VARCHAR), ':', term)")} AS d1
+        FROM (SELECT DISTINCT term FROM tf)
+        CROSS JOIN (SELECT unnest(generate_series(0, {ICWS_K - 1})) AS seed)
+      )
+    ),
+    icws AS (
+      SELECT w.rep, w.term, p.seed, p.r, p.c, p.beta,
+             CAST(floor(ln(CAST(w.w_micro AS DOUBLE)) / p.r + p.beta)
+                  AS BIGINT) AS t
+      FROM w JOIN prc p ON p.term = w.term
+    ),
+    sig AS (
+      SELECT rep, seed,
+             min({{'a': c * exp(-r * (t - beta + 1)),
+                   'e': term || ':' || CAST(t AS VARCHAR)}})['e'] AS e
+      FROM icws GROUP BY rep, seed
+    ),
+    wt AS (
+      SELECT rep, CAST(sum(w_micro) AS BIGINT) AS w_total
+      FROM w GROUP BY rep
+    ),
+    bands AS (
+      SELECT rep, seed // {ICWS_BAND_ROWS} AS band,
+             string_agg(e, ',' ORDER BY seed) AS band_sig
+      FROM sig GROUP BY rep, 2
+    ),
+    cand AS (
+      SELECT a.rep AS rep_a, b.rep AS rep_b,
+             CAST(count(*) AS BIGINT) AS n_bands
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+      WHERE a.rep <= b.rep
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.rep_a, c.rep_b,
+             (CAST(sum(CASE WHEN sa.e = sb.e THEN 1 ELSE 0 END) AS BIGINT)
+              * 1000000) // {ICWS_K} AS est_ppm
+      FROM cand c
+      JOIN sig sa ON sa.rep = c.rep_a
+      JOIN sig sb ON sb.rep = c.rep_b AND sb.seed = sa.seed
+      GROUP BY 1, 2
+    ),
+    wmin AS (
+      SELECT c.rep_a, c.rep_b,
+             CAST(sum(least(ta.w_micro, tb.w_micro)) AS BIGINT) AS w_min
+      FROM cand c
+      JOIN w ta ON ta.rep = c.rep_a
+      JOIN w tb ON tb.rep = c.rep_b AND tb.term = ta.term
+      GROUP BY 1, 2
+    ),
+    metrics AS (
+      SELECT c.rep_a, c.rep_b, c.n_bands, e.est_ppm,
+             (COALESCE(x.w_min, 0) * 1000000)
+               // (wa.w_total + wb.w_total - COALESCE(x.w_min, 0))
+               AS wjaccard_ppm
+      FROM cand c
+      JOIN est e ON e.rep_a = c.rep_a AND e.rep_b = c.rep_b
+      LEFT JOIN wmin x ON x.rep_a = c.rep_a AND x.rep_b = c.rep_b
+      JOIN wt wa ON wa.rep = c.rep_a
+      JOIN wt wb ON wb.rep = c.rep_b
+    ),
+    e1 AS (
+      SELECT m.rep_a, m.rep_b, m.n_bands, m.est_ppm, m.wjaccard_ppm,
+             gb.ids AS ids_b, unnest(ga.ids) AS ia
+      FROM metrics m
+      JOIN groups ga ON ga.rep = m.rep_a
+      JOIN groups gb ON gb.rep = m.rep_b
+    ),
+    e2 AS (
+      SELECT rep_a, rep_b, n_bands, est_ppm, wjaccard_ppm, ia,
+             unnest(ids_b) AS ib
+      FROM e1
+    )
+    SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b,
+           n_bands, est_ppm, wjaccard_ppm,
+           abs(est_ppm - wjaccard_ppm) AS err_ppm
+    FROM e2
+    WHERE rep_a < rep_b OR ia < ib
+"""
+QUERIES["dedup_icws_weighted_minhash"] = dedup_icws_weighted_minhash

@@ -763,10 +763,16 @@ def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     after it straggles.
 
     Scale: one partial-aggregated count per key, then exact quantiles
-    over the per-key counts via the rank technique (one vocabulary-
-    sized window, WindowGroupLimit-free but keys-not-rows sized); the
-    output is a single summary row.  All ratios are integer micro
-    arithmetic.
+    via a COUNT-OF-COUNTS cumulative walk: the ranked window runs over
+    DISTINCT multiplicity values (value-range-bounded — rows-per-key
+    tops out in the tens however big the table), never over the key
+    inventory.  The r4 shape ranked every key in one unpartitioned
+    window — keys grow with the corpus, so that single-partition sort
+    was this audit's own 100 TB straggler (caught by the r9 window
+    audit when the rotation brought it back); the p-th percentile of
+    per-key counts is identically the smallest count value whose
+    cumulative key-frequency reaches ceil(p * n_keys / 100).  Output is
+    a single summary row; all ratios integer micro arithmetic.
     """
     from pyspark.sql import Window as _W
 
@@ -775,29 +781,29 @@ def join_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = _W.orderBy(F.asc("c"), F.asc("l_orderkey"))
-    ranked = counts.withColumn("r", F.row_number().over(w))
+    cc = counts.groupBy("c").agg(F.count(F.lit(1)).alias("freq"))
+    walk = cc.withColumn("cum", F.sum("freq").over(_W.orderBy(F.asc("c"))))
     n = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("c").alias("n_rows"),
         F.max("c").alias("max_rows"),
     )
-    picks = ranked.crossJoin(F.broadcast(n)).filter(
-        F.expr(
-            " OR ".join(
-                f"r = floor(({p} * n_keys + 99) / 100)" for p in SKEW_PCTS
-            )
+    agg = (
+        walk.crossJoin(F.broadcast(n))
+        .groupBy("n_keys", "n_rows", "max_rows")
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.expr(
+                            f"cum >= floor(({p} * n_keys + 99) / 100)"
+                        ),
+                        F.col("c"),
+                    )
+                ).alias(f"p{p}_rows")
+                for p in SKEW_PCTS
+            ]
         )
-    )
-    agg = picks.groupBy("n_keys", "n_rows", "max_rows").agg(
-        *[
-            F.max(
-                F.when(
-                    F.expr(f"r = floor(({p} * n_keys + 99) / 100)"), F.col("c")
-                )
-            ).alias(f"p{p}_rows")
-            for p in SKEW_PCTS
-        ]
     )
     return agg.select(
         "n_keys",

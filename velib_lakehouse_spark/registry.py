@@ -31,7 +31,7 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-8 ROTATION (VERDICT r7 next-round #1/#2). Standing rules,
+# ROUND-9 ROTATION (VERDICT r8 next-round #1). Standing rules,
 # guarded by tests/test_registry_window.py:
 # * "changed => re-window" (test_changed_queries_are_in_window via
 #   tools/query_fingerprints.json): a query whose code or oracle changed
@@ -39,140 +39,118 @@ DRIVER_WINDOW = 50
 # * "oldest-first" (test_window_rotates_oldest_first): while
 #   never-driver-checked queries wait, no window slot may be spent on an
 #   unchanged already-green query.
-# Coverage has been complete since r6 (now 244/244 registered, 240
-# driver-green through r7, zero ever red), so the window's whole job is
-# freshness + paying for growth.  The r7 staleness ledger: 26 rows last
-# green r1, 21 last green r3.  This round's window, in order:
-# * 4 new operators (VERDICT r7 #2, all four suggested candidates):
-#   TF-weighted MinHash near-dup (unary-expansion consistent weighted
-#   sampling, capped TF), theta-sketch (bottom-K KMV) set algebra with
-#   non-negative union/intersect/difference estimates, graph-based ANN
-#   (bounded-degree kNN graph + fixed-depth beam search, NSW-lite) with
-#   in-row recall audit, and EXECUTED binpack compaction folding
-#   merge-on-read delete state into rewritten files.
-# * 2 changed => re-window: dup_span_removal (final corpus-width join
-#   now SHJ-pinned, r7 ADVICE) and minhash_estimate_audit (re-expressed
-#   as a 4-Exchange single-pass banded self-join, was 100 Exchanges —
-#   VERDICT r7 what's-wrong #1 / next-round #3).
-# * All 26 r1-era rows — the stalest evidence in the ledger.
-# * 18 of the 21 r3-era rows, in r7 queue order.  The remaining three
-#   (event_funnel, retention_cohorts, lake_zorder_layout) did not fit
-#   50 slots alongside the growth batch; they head SECONDARY as the r9
-#   queue, so after r9 no row's latest green predates r4.
+# Coverage has been complete since r6 (now 248/248 registered, 244
+# driver-green through r8, zero ever red), so the window's whole job is
+# freshness + paying for growth.  The r8 staleness ledger: 3 rows last
+# green r3, 46 last green r4.  This round's window, in order:
+# * 4 new operators (VERDICT r8 #2/#3/#4/#5): optimistic-concurrency
+#   snapshot commits (staged files + atomic-create CAS + Delta's
+#   conflict taxonomy, one detected-and-retried ConcurrentAppend in
+#   the audited interleave), real-weight ICWS weighted MinHash
+#   (Ioffe ICDM 2010, tf-idf fixed-point weights, vocabulary-granular
+#   md5-lane sampling), the per-anchor capped consumer of the
+#   weighted-MinHash pairs (the R^2-output bound for the 1024x/4096x
+#   sweeps), and the full BPE training loop (driver-held merge table,
+#   K-stage unrolled-CTE oracle replaying every merge decision).
+# * 3 changed => re-window: all three touched by the r8 ADVICE
+#   closures — dup_span_removal (corpus-width join re-pinned merge),
+#   minhash_estimate_audit (n_common shape guard + Exchange-count
+#   re-derivation), dedup_weighted_minhash (groups persist + rep-pair
+#   refactor shared with the capped variant).
+# * The last 3 r3-era rows (event_funnel, retention_cohorts,
+#   lake_zorder_layout) — after this round no row's latest green
+#   predates round 4.
+# * 40 of the 46 r4-era rows, name order with ONE swap: the remaining
+#   six (streaming_windowed_counts, tpch_q3_shipping,
+#   udtf_sentence_split, unpivot_metrics, variant_shred_stats,
+#   weighted_sample_topk, plus editdist_verified_pairs) head SECONDARY
+#   as the r10 queue, and
+#   velib_sparkline takes streaming_windowed_counts' alphabetical slot
+#   so the velib family keeps a window member (its other reps' latest
+#   green is r6, outside the two-artifact ratchet; streaming retains
+#   r7/r8-green members).  triangle_count similarly takes
+#   editdist_verified_pairs' slot: the graph family's newest rows are
+#   r5/r6, so without a window member the two-artifact ratchet trips
+#   (dedup keeps 7+ window members).
 PRIORITY: tuple[str, ...] = (
-    # new this round (VERDICT r7 #2): first driver rows
-    "dedup_weighted_minhash",
-    "theta_sketch_set_algebra",
-    "ann_graph_beam_audit",
-    "compaction_execute",
-    # changed => re-window
+    # new this round (VERDICT r8 #2/#3/#4/#5): first driver rows for
+    # the optimistic-concurrency commit audit, the real-weight ICWS
+    # estimator, the capped weighted-MinHash consumer, and the full
+    # BPE training loop
+    "snapshot_concurrent_commit",
+    "dedup_icws_weighted_minhash",
+    "dedup_weighted_minhash_capped",
+    "bpe_train_merges",
+    # changed => re-window: all three were touched by the r8 ADVICE
+    # closures (merge re-pin, n_common shape guard + docstring
+    # re-derivation, groups persist + rep-pair refactor)
     "dup_span_removal",
     "minhash_estimate_audit",
-    # r1-era rows (26): last driver-checked in round 1
-    "anti_parts_never_ordered",
-    "case_buckets",
-    "count_if_bands",
-    "cross_scalar_stats",
-    "cube_status_priority",
-    "date_interval_filter",
-    "distinct_pairs",
-    "fuzzy_name_pairs",
-    "global_sort_limit",
-    "join_left_order_counts",
-    "json_roundtrip_unnest",
-    "null_semantics",
-    "percentile_prices",
-    "pivot_status_counts",
-    "rank_family",
-    "resample_forward_fill",
-    "rollup_region_nation",
-    "semi_orders_with_lines",
-    "set_ops_intersect_except",
-    "share_of_total",
-    "stats_functions",
-    "string_functions_showcase",
-    "union_tagged",
-    "window_first_last",
-    "window_range_trailing_count",
-    "window_running_totals",
-    # r3-era rows (18 of 21, r7 queue order)
-    "vocab_coverage",
-    "unigram_logprob_score",
-    "lang_consistency_audit",
-    "quality_classifier_score",
-    "zipf_slope_audit",
-    "gopher_quality_filter",
-    "ngram_novelty",
-    "repetition_stats",
-    "bpe_merge_step",
-    "stratified_split",
-    "corpus_composition",
-    "corpus_mix_temperature",
-    "corpus_mix_apply",
-    "split_leakage_audit",
-    "source_drift_ks",
-    "export_shuffled_shards",
-    "dsir_importance_weights",
-    "multimodal_frame_sample",
+    "dedup_weighted_minhash",
+    # the last r3-era rows (r8 VERDICT #1): after this round no row's
+    # latest green predates round 4
+    "event_funnel",
+    "retention_cohorts",
+    "lake_zorder_layout",
+    # r4-era rows, 40 of 46 in name order — the stalest remaining
+    # evidence; the final 6 head SECONDARY as the r10 queue
+    "arrow_batch_stats",
+    "bucketed_join_priority_revenue",
+    "cdc_merge_upsert",
+    "chunk_documents",
+    "cms_frequency_audit",
+    "contrastive_triplets",
+    "corpus_profile",
+    "csv_roundtrip_scan",
+    "curriculum_phases",
+    "decontaminate_embedding",
+    "dedup_clusters_recursive",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "domain_cap_sample",
+    "dup_span_report",
+    "e2e_curation_report",
+    "triangle_count",
+    "event_path_mining",
+    "event_rate_anomaly",
+    "export_tokenized_sequences",
+    "fk_integrity_audit",
+    "full_outer_activity_reconcile",
+    "grouping_sets_orders",
+    "hybrid_rank_fusion",
+    "join_skew_audit",
+    "lake_retention_sweep",
+    "lake_schema_evolution",
+    "observed_write_metrics",
+    "pairs_topk_capped",
+    "pmi_collocations",
+    "python_datasource_bronze",
+    "rollup_cube_orders",
+    "semdedup",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
+    "streaming_join_click_purchase",
+    "streaming_session_windows",
+    "streaming_stateful_enumerate",
+    "streaming_static_enrich",
+    "velib_sparkline",
 )
 
 # Registered immediately AFTER the window, highest value first: if a
 # future driver checks more than DRIVER_WINDOW queries, these are the
 # ones it should reach next.
 SECONDARY: tuple[str, ...] = (
-    # ROUND-9 ROTATION QUEUE: the three r3-era rows displaced by this
-    # round's growth batch — the stalest evidence once the r8 window
-    # lands, so they rotate in first next round.
-    "event_funnel",
-    "retention_cohorts",
-    "lake_zorder_layout",
-    # r4/r5/r6-green showcases (unchanged order from the r7 file)
-    "velib_sparkline",
-    "pmi_collocations",
-    "dup_span_report",
-    "udtf_sentence_split",
-    "cms_frequency_audit",
-    "dedup_clusters_recursive",
-    "streaming_dedup_within_watermark",
-    "lake_schema_evolution",
-    "bucketed_join_priority_revenue",
-    "python_datasource_bronze",
-    "semdedup",
-    "curriculum_phases",
-    "contrastive_triplets",
-    "decontaminate_embedding",
-    "event_path_mining",
-    "arrow_batch_stats",
-    "observed_write_metrics",
-    "lake_retention_sweep",
-    "csv_roundtrip_scan",
-    "unpivot_metrics",
-    "grouping_sets_orders",
-    "variant_shred_stats",
-    "full_outer_activity_reconcile",
-    "e2e_curation_report",
-    "streaming_static_enrich",
-    "join_skew_audit",
-    "fk_integrity_audit",
-    "corpus_profile",
-    "export_tokenized_sequences",
-    "weighted_sample_topk",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "streaming_session_windows",
-    "streaming_stateful_enumerate",
-    "streaming_join_click_purchase",
-    "streaming_windowed_counts",
-    "streaming_dedup",
-    "chunk_documents",
-    "hybrid_rank_fusion",
-    "pairs_topk_capped",
+    # ROUND-10 ROTATION QUEUE: the seven r4-era rows the 50-slot budget
+    # could not fit this round — the stalest evidence once the r9
+    # window lands, so they rotate in first next round.
     "editdist_verified_pairs",
-    "rollup_cube_orders",
-    "cdc_merge_upsert",
-    "event_rate_anomaly",
+    "streaming_windowed_counts",
     "tpch_q3_shipping",
-    "domain_cap_sample",
+    "udtf_sentence_split",
+    "unpivot_metrics",
+    "variant_shred_stats",
+    "weighted_sample_topk",
+    # unchanged relative order from the r8 file
     "lake_file_skipping",
     "multimodal_image_ahash_neardup",
     "pandas_cogroup_paired_spend",
@@ -234,7 +212,6 @@ SECONDARY: tuple[str, ...] = (
     "kcore_peeling",
     "pagerank_user_graph",
     "label_propagation_communities",
-    "triangle_count",
     "clustering_coefficient",
     "curation_dag_lineage",
     "streaming_backfill_merge",
@@ -269,9 +246,6 @@ SECONDARY: tuple[str, ...] = (
     "sessionize_events",
     "join_broadcast_chain",
     "topn_orders_per_customer",
-    # r7-green rows (last round's window - freshest evidence, so
-    # last in line; dup_span_removal and minhash_estimate_audit
-    # re-windowed above as changed)
     "quantile_sketch_merge_rollup",
     "priority_sample_subset_sum",
     "srp_hamming_topk_audit",
@@ -321,6 +295,55 @@ SECONDARY: tuple[str, ...] = (
     "tfidf_top_terms",
     "bm25_rank",
     "pack_sequences",
+    # r8-green rows (last round's window — freshest evidence,
+    # so last in line; the three changed ops re-windowed above)
+    "theta_sketch_set_algebra",
+    "ann_graph_beam_audit",
+    "compaction_execute",
+    "anti_parts_never_ordered",
+    "case_buckets",
+    "count_if_bands",
+    "cross_scalar_stats",
+    "cube_status_priority",
+    "date_interval_filter",
+    "distinct_pairs",
+    "fuzzy_name_pairs",
+    "global_sort_limit",
+    "join_left_order_counts",
+    "json_roundtrip_unnest",
+    "null_semantics",
+    "percentile_prices",
+    "pivot_status_counts",
+    "rank_family",
+    "resample_forward_fill",
+    "rollup_region_nation",
+    "semi_orders_with_lines",
+    "set_ops_intersect_except",
+    "share_of_total",
+    "stats_functions",
+    "string_functions_showcase",
+    "union_tagged",
+    "window_first_last",
+    "window_range_trailing_count",
+    "window_running_totals",
+    "vocab_coverage",
+    "unigram_logprob_score",
+    "lang_consistency_audit",
+    "quality_classifier_score",
+    "zipf_slope_audit",
+    "gopher_quality_filter",
+    "ngram_novelty",
+    "repetition_stats",
+    "bpe_merge_step",
+    "stratified_split",
+    "corpus_composition",
+    "corpus_mix_temperature",
+    "corpus_mix_apply",
+    "split_leakage_audit",
+    "source_drift_ks",
+    "export_shuffled_shards",
+    "dsir_importance_weights",
+    "multimodal_frame_sample",
 )
 
 

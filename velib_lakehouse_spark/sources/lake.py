@@ -1617,3 +1617,183 @@ ORACLE["compaction_execute"] = f"""
     GROUP BY l.date
 """
 QUERIES["compaction_execute"] = compaction_execute
+
+
+# ---- optimistic-concurrency commits (multi-writer snapshot table) ----------
+
+SCC_OFFSET = 10_000_000  # appended copies get disjoint keys
+SCC_DEL_MOD = 3          # delete-where predicate: k % 3 == 0
+
+
+def snapshot_concurrent_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency commit audit: three writers race one
+    log-structured snapshot table; the loser detects the conflict,
+    re-stages from the fresh snapshot, and retries — no lost rows.
+
+    The reference's gold table is a raw ``mode("overwrite")`` parquet
+    (src/assets/velib_alerte.py:70-72): two concurrent runs interleave
+    file deletes and writes with no winner — the exact failure
+    Delta/Iceberg transaction logs exist to fix, and the acknowledged
+    weakest delta of the jar-less snapshot substitute (r8 VERDICT
+    next-round #2).  ``sources/snapshots.py`` now carries the missing
+    protocol: staged files + atomic-create CAS on log entries +
+    Delta's WriteSerializable conflict matrix.  This query drives the
+    canonical interleave:
+
+    * v0 ``base``: full overwrite of orders ``(k, prio)`` partitioned
+      by priority;
+    * writer B stages a DELETE-WHERE (``prio = '1-URGENT' AND
+      k % SCC_DEL_MOD = 0``) from its v0 read snapshot — then stalls;
+    * writer A commits v1: a blind APPEND of the urgent rows shifted
+      by ``SCC_OFFSET`` (same partition B is deleting from);
+    * B wakes and attempts to commit: validation finds A's append
+      inside its read window with an overlapping domain —
+      **ConcurrentAppend** — so B re-reads at v1, re-stages the
+      rewrite (now also deleting the appended rows the predicate
+      matches), and commits v2;
+    * writer C commits v3: an append to the disjoint ``'5-LOW'``
+      partition from a DELIBERATELY stale v0 read snapshot — clean on
+      attempt 1, proving the check is domain overlap, not version age.
+
+    Output: per-priority rowcount / key-sum / appended-count of the
+    final snapshot — values only correct if B's retry replayed its
+    delete over A's appended rows (a lost-update B would leave
+    ``n_appended`` too high for '1-URGENT' and ``n_rows`` too low) —
+    plus the log-derived commit and retry counters.
+
+    Scale shape: staging is one partitioned write per txn (no driver
+    loop); validation reads the tiny JSON log, never data; the CAS is
+    one O_EXCL create — the same O(1) commit cost Delta pays at any
+    table size.  Conflict granularity is the partition-value domain,
+    so disjoint-partition writers never serialize against each other.
+    """
+    import tempfile
+
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    table = tempfile.mkdtemp(prefix="scc_table_")
+    _BACKFILL_DIRS.append(table)
+    schema = "k bigint, prio string"
+    urgent = {"1-URGENT"}
+
+    def stage_base(read_version: int):
+        return (
+            snap.stage_partition_files(orders, table, "base_a1", "prio"),
+            [],
+        )
+
+    def stage_append_a(read_version: int):
+        new = orders.filter(F.col("prio") == "1-URGENT").withColumn(
+            "k", F.col("k") + F.lit(SCC_OFFSET)
+        )
+        return (
+            snap.stage_partition_files(new, table, "appA_a1", "prio"),
+            [],
+        )
+
+    attempt_counter = {"b": 0}
+
+    def stage_delete_b(read_version: int):
+        attempt_counter["b"] += 1
+        cur = snap.read_table(
+            spark, table, schema, version=read_version, domain=urgent
+        )
+        kept = cur.filter(~(F.col("k") % SCC_DEL_MOD == 0))
+        adds = snap.stage_partition_files(
+            kept, table, f"delB_a{attempt_counter['b']}", "prio"
+        )
+        removes = [
+            f for f in snap.live_files(table, read_version) if f[1] in urgent
+        ]
+        return adds, removes
+
+    def stage_append_c(read_version: int):
+        new = orders.filter(F.col("prio") == "5-LOW").withColumn(
+            "k", F.col("k") + F.lit(SCC_OFFSET)
+        )
+        return (
+            snap.stage_partition_files(new, table, "appC_a1", "prio"),
+            [],
+        )
+
+    # v0: base overwrite
+    snap.optimistic_commit(table, "overwrite", None, "base", stage_base)
+    # B stages from v0 ... and stalls before committing
+    b_read = snap.table_head(table)
+    b_staged = stage_delete_b(b_read)
+    # A commits v1 into B's read window
+    snap.optimistic_commit(table, "append", urgent, "writer_a", stage_append_a)
+    # B attempts: ConcurrentAppend -> re-stage from v1 -> commit v2
+    entry_b = snap.optimistic_commit(
+        table,
+        "delete",
+        urgent,
+        "writer_b",
+        stage_delete_b,
+        prestaged=(b_read, *b_staged),
+    )
+    assert entry_b["attempt"] == 2, entry_b  # the raced retry happened
+    # C: stale v0 read, disjoint domain -> clean first-attempt commit
+    snap.optimistic_commit(
+        table,
+        "append",
+        {"5-LOW"},
+        "writer_c",
+        stage_append_c,
+        prestaged=(0, *stage_append_c(0)),
+    )
+
+    commits = snap.read_commits(table)
+    n_versions = len(commits)
+    n_retried = sum(1 for c in commits if c["attempt"] > 1)
+    final = snap.read_table(spark, table, schema)
+    return (
+        final.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.sum((F.col("k") >= SCC_OFFSET).cast("bigint")).alias(
+                "n_appended"
+            ),
+        )
+        .select(
+            "prio",
+            "n_rows",
+            "key_sum",
+            "n_appended",
+            F.lit(n_versions).cast("bigint").alias("n_versions"),
+            F.lit(n_retried).cast("bigint").alias("n_retried"),
+        )
+    )
+
+
+ORACLE["snapshot_concurrent_commit"] = f"""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio
+      FROM orders
+    ),
+    appended AS (
+      SELECT k + {SCC_OFFSET} AS k, prio FROM base
+      WHERE prio IN ('1-URGENT', '5-LOW')
+    ),
+    final AS (
+      SELECT * FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM appended
+      ) u
+      WHERE NOT (prio = '1-URGENT' AND k % {SCC_DEL_MOD} = 0)
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(coalesce(sum(CASE WHEN k >= {SCC_OFFSET} THEN 1 END), 0)
+                AS BIGINT) AS n_appended,
+           CAST(4 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_retried
+    FROM final
+    GROUP BY prio
+"""
+QUERIES["snapshot_concurrent_commit"] = snapshot_concurrent_commit

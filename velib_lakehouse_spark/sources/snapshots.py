@@ -35,6 +35,7 @@ import time
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.session import apply_safe_confs
 
@@ -104,3 +105,238 @@ def vacuum(table_path: str, keep_last: int = 2) -> int:
     for v in victims:
         shutil.rmtree(os.path.join(table_path, f"v={v}"))
     return len(victims)
+
+
+# ---- optimistic concurrency: log-structured multi-writer commits -----------
+#
+# The manifest protocol above serializes ONE writer's versions; two
+# concurrent writers racing `write_snapshot` still last-write-win the
+# manifest (the reference's non-atomic gold overwrite, src/assets/
+# velib_alerte.py:70-72, fails the same way).  This section adds the
+# missing half of the Delta/Iceberg story: a log-structured table whose
+# state is the fold of append-only COMMIT FILES, committed by
+# atomic-create CAS, with Delta's optimistic-concurrency taxonomy
+# (ConcurrentAppend / ConcurrentDeleteRead / ConcurrentDeleteDelete)
+# deciding which losing writers must re-read and retry.
+#
+# Protocol (Delta's, on plain files):
+#   1. a writer STAGES its data files under `_staged/` (invisible —
+#      table state is defined only by the log);
+#   2. it attempts to create `_log/{version:08d}.json` with
+#      O_CREAT|O_EXCL — the filesystem's atomic compare-and-swap: for
+#      each version exactly one writer's create succeeds;
+#   3. a loser (file already exists) re-reads the log, checks every
+#      commit it raced against for a SEMANTIC conflict against its own
+#      action + domain, and either bumps its version and re-tries
+#      (no overlap — its staged files are still valid) or re-stages
+#      from the new snapshot first (overlap — its staged files were
+#      computed from stale reads).
+#
+# Domains are partition-value sets — the granularity Delta infers from
+# predicates; `None` means the whole table (blind overwrite).
+
+_LOG_DIR = "_log"
+_STAGE_DIR = "_staged"
+
+
+class CommitConflict(Exception):
+    """A commit raced a semantically conflicting commit and must
+    re-stage from a fresh snapshot.  ``kind`` follows Delta's
+    taxonomy; ``with_version`` is the commit it lost against."""
+
+    def __init__(self, kind: str, with_version: int):
+        self.kind = kind
+        self.with_version = with_version
+        super().__init__(f"{kind} vs commit {with_version}")
+
+
+def _log_dir(table_path: str) -> Path:
+    return Path(table_path) / _LOG_DIR
+
+
+def read_commits(table_path: str) -> list[dict]:
+    """All committed log entries, version order."""
+    d = _log_dir(table_path)
+    if not d.is_dir():
+        return []
+    out = []
+    for p in sorted(d.glob("*.json")):
+        out.append(json.loads(p.read_text()))
+    return out
+
+
+def table_head(table_path: str) -> int:
+    """Highest committed version, or -1 for an empty log."""
+    commits = read_commits(table_path)
+    return commits[-1]["version"] if commits else -1
+
+
+def try_commit(table_path: str, version: int, entry: dict) -> bool:
+    """Atomic CAS: create the version's log file if and only if no one
+    else has.  Returns False when the version is taken (caller lost the
+    race and must re-validate against the winner's entry)."""
+    d = _log_dir(table_path)
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{version:08d}.json"
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "w") as f:
+        json.dump(entry, f)
+    return True
+
+
+def live_files(table_path: str, version: int | None = None) -> list[list]:
+    """``[path, partition]`` pairs live at ``version`` (default head):
+    the fold of adds minus removes over the commit prefix."""
+    live: dict[str, str] = {}
+    for c in read_commits(table_path):
+        if version is not None and c["version"] > version:
+            break
+        if c["action"] == "overwrite" and c.get("domain") is None:
+            live.clear()
+        for path, _part in c.get("removes", []):
+            live.pop(path, None)
+        for path, part in c.get("adds", []):
+            live[path] = part
+    return [[p, part] for p, part in sorted(live.items())]
+
+
+def read_table(
+    spark: SparkSession,
+    table_path: str,
+    schema: str,
+    version: int | None = None,
+    domain: set[str] | None = None,
+) -> DataFrame:
+    """Snapshot read at ``version`` (default head), optionally
+    restricted to a partition-value ``domain``.  The explicit schema
+    keeps empty snapshots readable (zero live files)."""
+    apply_safe_confs(spark)
+    files = live_files(table_path, version)
+    if domain is not None:
+        files = [f for f in files if f[1] in domain]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_path, rel) for rel, _ in files]
+    )
+
+
+def stage_partition_files(
+    df: DataFrame, table_path: str, txn: str, part_col: str
+) -> list[list]:
+    """Stage ``df`` as one parquet directory per ``part_col`` value
+    under ``_staged/`` (invisible until committed); returns the
+    ``[relative_path, partition_value]`` add-list.
+
+    One partitioned write job — no per-partition driver loop; the
+    partition column is duplicated into the directory key so the data
+    files keep it as a regular column (snapshot reads take a bare
+    directory list, no hive discovery)."""
+    rel = os.path.join(_STAGE_DIR, txn)
+    out = os.path.join(table_path, rel)
+    (
+        df.withColumn("__part", F.col(part_col))
+        .repartition(F.col("__part"))
+        .write.mode("overwrite")
+        .partitionBy("__part")
+        .parquet(out)
+    )
+    adds = []
+    for child in sorted(Path(out).glob("__part=*")):
+        if child.is_dir():
+            adds.append([os.path.join(rel, child.name),
+                         child.name.split("=", 1)[1]])
+    return adds
+
+
+def _conflicts_with(action: str, domain: set[str] | None, other: dict) -> str | None:
+    """Delta's WriteSerializable conflict matrix, domain-granular.
+
+    * blind APPEND commutes with everything — it read nothing;
+    * DELETE / OVERWRITE read their domain, so an intervening commit
+      touching an overlapping domain invalidates what they staged:
+      vs append -> ConcurrentAppend, vs delete/overwrite ->
+      ConcurrentDeleteDelete;
+    * domain ``None`` (whole table) overlaps every domain.
+    """
+    if action == "append":
+        return None
+    o_domain = other.get("domain")
+    overlap = (
+        domain is None
+        or o_domain is None
+        or bool(set(domain) & set(o_domain))
+    )
+    if not overlap:
+        return None
+    return (
+        "ConcurrentAppend"
+        if other["action"] == "append"
+        else "ConcurrentDeleteDelete"
+    )
+
+
+def optimistic_commit(
+    table_path: str,
+    action: str,
+    domain: set[str] | None,
+    txn: str,
+    stage_fn,
+    prestaged: tuple[int, list, list] | None = None,
+    max_attempts: int = 5,
+) -> dict:
+    """Stage-validate-CAS loop; returns the winning log entry.
+
+    ``stage_fn(read_version) -> (adds, removes)`` stages data files
+    computed FROM the snapshot at ``read_version``.  ``prestaged``
+    injects an already-staged attempt (read_version, adds, removes) —
+    how callers model a writer that staged BEFORE a rival committed.
+
+    Each attempt validates against every commit in
+    ``(read_version, head]``: a semantic conflict (``_conflicts_with``)
+    forces a re-stage from the new head; a lost CAS with NO semantic
+    conflict just bumps the version and re-tries the same staged files
+    (Delta: blind appends never re-write their data).
+    """
+    if prestaged is not None:
+        read_version, adds, removes = prestaged
+    else:
+        read_version = table_head(table_path)
+        adds, removes = stage_fn(read_version)
+    conflicts: list[dict] = []
+    for attempt in range(1, max_attempts + 1):
+        head = table_head(table_path)
+        conflict = None
+        for other in read_commits(table_path):
+            if other["version"] <= read_version:
+                continue
+            kind = _conflicts_with(action, domain, other)
+            if kind is not None:
+                conflict = CommitConflict(kind, other["version"])
+                break
+        if conflict is not None:
+            conflicts.append(
+                {"kind": conflict.kind, "with_version": conflict.with_version}
+            )
+            read_version = head
+            adds, removes = stage_fn(read_version)
+            continue
+        entry = {
+            "version": head + 1,
+            "txn": txn,
+            "action": action,
+            "domain": sorted(domain) if domain is not None else None,
+            "read_version": read_version,
+            "attempt": attempt,
+            "adds": adds,
+            "removes": removes,
+            "conflicts": conflicts,
+            "committed_at": time.time(),
+        }
+        if try_commit(table_path, head + 1, entry):
+            return entry
+        # lost the CAS race: loop re-validates against the winner
+    raise RuntimeError(f"txn {txn}: gave up after {max_attempts} attempts")
