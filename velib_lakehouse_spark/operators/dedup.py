@@ -1643,10 +1643,14 @@ def _estimate_audit_groups(groups: DataFrame) -> DataFrame:
     four: group-by text, the two band self-join sides, group-by pair.
     (Re-derived r9 per the r8 ADVICE docstring/artifact mismatch: the
     executed plan carries exactly those 4 hash Exchanges at sf0.001 and
-    sf0.1, under both the old header-only and the fixed leaf-digest
-    cache-dedup of plans/report.py — the r8 PLANS.md row's fifth
-    Exchange does not reproduce against this plan and is attributed to
-    that session's cache-reprint accounting, not to the query.)
+    sf0.1 in isolation.  The r8 PLANS.md row's fifth Exchange was
+    DIAGNOSED, not just re-counted: a persist() registered by an
+    earlier HEADLINE query — the sibling weighted-MinHash op caches the
+    identical group-by-text frame — is substituted by the CacheManager
+    into this query's plan when both run in one session, shifting the
+    Exchange accounting.  plans/report.py now clearCache()s between
+    queries, so the audited row measures the query in isolation and
+    matches this docstring by construction.)
 
     The ``rep_a <= rep_b`` join keeps the reflexive band matches: a
     group joined to itself matches on ALL bands with identical
