@@ -234,12 +234,15 @@ def stage_partition_files(
     One partitioned write job — no per-partition driver loop; the
     partition column is duplicated into the directory key so the data
     files keep it as a regular column (snapshot reads take a bare
-    directory list, no hive discovery)."""
+    directory list, no hive discovery).  Writer parallelism follows the
+    upstream partitioning on purpose: adds are DIRECTORIES, so the file
+    count per partition is free to vary — a repartition on the
+    partition value would cap the write at |partition values| tasks,
+    the 100 TB straggler shape."""
     rel = os.path.join(_STAGE_DIR, txn)
     out = os.path.join(table_path, rel)
     (
         df.withColumn("__part", F.col(part_col))
-        .repartition(F.col("__part"))
         .write.mode("overwrite")
         .partitionBy("__part")
         .parquet(out)
