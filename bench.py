@@ -241,6 +241,7 @@ HEADLINE = [
     "dedup_icws_weighted_minhash",
     "dedup_weighted_minhash_capped",
     "bpe_train_merges",
+    "bpe_encode_tokens",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

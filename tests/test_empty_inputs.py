@@ -87,6 +87,7 @@ EMPTY_TO_EMPTY = [
     "dedup_weighted_minhash_capped",
     "dedup_icws_weighted_minhash",
     "bpe_train_merges",
+    "bpe_encode_tokens",
     "snapshot_concurrent_commit",
 ]
 # empty in -> a defined aggregate row (global aggregates)

@@ -129,6 +129,7 @@ FUZZED_QUERIES = [
     "dedup_icws_weighted_minhash",
     "dedup_weighted_minhash_capped",
     "bpe_train_merges",
+    "bpe_encode_tokens",
 ]
 
 

@@ -326,3 +326,79 @@ def test_bpe_merge_applies_to_overlapping_occurrences(spark):
     assert got[1] == ("a", "b", 14)
     assert got[2] == ("a", "a", 10)
     assert got[3] == ("ab", "ab", 7)
+
+
+# ---- bpe_encode_tokens --------------------------------------------------------
+
+
+def _bpe_encode_reference(word_counts: dict[str, int], k: int):
+    """Token count per word after replaying the reference merges."""
+    merges = _bpe_reference(word_counts, k)
+    seqs = {w: list(w) for w in word_counts}
+    for _rank, a, b, _m, _c in merges:
+        for w, syms in seqs.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            seqs[w] = out
+    return {w: len(s) for w, s in seqs.items()}
+
+
+def test_bpe_encode_matches_reference_tokenization(spark):
+    """Per-document token counts must equal the reference encoder's:
+    train on the corpus, apply every merge, count tokens per word,
+    sum per doc."""
+    from velib_lakehouse_spark.operators.text import (
+        BPE_TRAIN_MERGES,
+        bpe_encode_tokens,
+    )
+
+    words = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "a": 4}
+    docs = [
+        (1, "low lower low"),
+        (2, "newest widest newest a"),
+        (3, "a a low newest"),
+    ]
+    # word counts must reflect the DOCS, so derive them
+    wc = collections.Counter(w for _i, t in docs for w in t.split(" "))
+    per_word = _bpe_encode_reference(dict(wc), BPE_TRAIN_MERGES)
+    expected = {
+        doc_id: (
+            len(text.split(" ")),
+            sum(per_word[w] for w in text.split(" ")),
+        )
+        for doc_id, text in docs
+    }
+    corpus = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs], DOC_SCHEMA
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = bpe_encode_tokens(spark, _corpus_dir(spark, corpus, tmp)).collect()
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"]) for r in rows}
+    assert got == expected
+    for r in rows:
+        assert r["fertility_ppm"] == (r["n_tokens"] * 1_000_000) // r["n_words"]
+
+
+def test_bpe_encode_fertility_drops_as_merges_apply(spark):
+    """Applying merges can only shorten sequences: fertility must be
+    strictly below the char-per-word baseline on a merge-friendly
+    corpus, and >= 1 token per word always."""
+    from velib_lakehouse_spark.operators.text import bpe_encode_tokens
+
+    text = " ".join(["banana"] * 20)
+    corpus = spark.createDataFrame([(1, text, "en", "s", len(text))], DOC_SCHEMA)
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = bpe_encode_tokens(spark, _corpus_dir(spark, corpus, tmp)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_words"] == 20
+    # 6 chars/word unmerged; 8 merges on a single 6-char word collapse
+    # it entirely -> 1 token per word
+    assert r["n_tokens"] == 20
+    assert r["fertility_ppm"] == 1_000_000

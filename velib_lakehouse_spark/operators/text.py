@@ -1564,6 +1564,22 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tens of thousands) the loop batches non-overlapping merges per
     round; the per-round plan is unchanged.
     """
+    merges, _cur, base = _bpe_train(spark, sf_dir)
+    base.unpersist()
+    schema = (
+        "merge_rank bigint, left_sym string, right_sym string,"
+        " merged string, pair_count bigint"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared training loop: ``(merges, encoded_vocab, base)`` where
+    ``encoded_vocab`` is the persisted symbolized vocabulary with every
+    learned merge applied — ``(w, c, seq)``.  ``bpe_train_merges``
+    returns the merge table (and unpersists); ``bpe_encode_tokens``
+    keeps the base cached because its returned frame reads through it
+    (the cache-lifetime convention)."""
     d = load_table(spark, sf_dir, "documents")
     wc = (
         d.select(F.explode(_words()).alias("w"))
@@ -1572,16 +1588,13 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persist: every iteration re-scans the symbolized vocabulary
     base = wc.select(
+        "w",
         "c",
         F.concat(
             F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
         ).alias("seq"),
     ).persist()
     cur = base
-    schema = (
-        "merge_rank bigint, left_sym string, right_sym string,"
-        " merged string, pair_count bigint"
-    )
     merges: list[tuple] = []
     for rank in range(1, BPE_TRAIN_MERGES + 1):
         top = (
@@ -1610,12 +1623,15 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq",
             F.replace("seq", F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
         )
-    base.unpersist()
-    return spark.createDataFrame(merges, schema)
+    return merges, cur, base
 
 
-def _bpe_train_oracle(k: int) -> str:
-    """K-stage unrolled CTE replay of the training loop."""
+def _bpe_cte_chain(k: int) -> str:
+    """K-stage unrolled CTE replay of the training loop, shared by the
+    merge-table and encode oracles.  The stage chain is a LEFT JOIN on
+    the (at most one) winning merge, so a corpus that exhausts its
+    pairs before stage K carries the last state forward instead of
+    collapsing to empty — matching the Spark loop's early break."""
     ctes = [
         f"""wc AS (
       SELECT w, CAST(count(*) AS BIGINT) AS c
@@ -1623,7 +1639,8 @@ def _bpe_train_oracle(k: int) -> str:
       GROUP BY w
     ),
     s0 AS (
-      SELECT ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+      SELECT w,
+             ' ' || array_to_string(string_split(w, ''), '  ') || ' '
                AS seq, c
       FROM wc
     )"""
@@ -1642,18 +1659,94 @@ def _bpe_train_oracle(k: int) -> str:
       ORDER BY cnt DESC, a ASC, b ASC LIMIT 1
     ),
     s{i} AS (
-      SELECT replace(seq, ' ' || m.a || '  ' || m.b || ' ',
-                     ' ' || m.a || m.b || ' ') AS seq, c
-      FROM s{i - 1}, m{i} m
+      SELECT t.w,
+             CASE WHEN m.a IS NULL THEN t.seq
+                  ELSE replace(t.seq, ' ' || m.a || '  ' || m.b || ' ',
+                               ' ' || m.a || m.b || ' ') END AS seq,
+             t.c
+      FROM s{i - 1} t LEFT JOIN m{i} m ON TRUE
     )"""
         )
+    return ",\n    ".join(ctes)
+
+
+def _bpe_train_oracle(k: int) -> str:
     unions = "\n      UNION ALL\n      ".join(
         f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym,"
         f" b AS right_sym, a || b AS merged, cnt AS pair_count FROM m{i}"
         for i in range(1, k + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+    return "WITH " + _bpe_cte_chain(k) + f"\n    {unions}"
 
 
 ORACLE["bpe_train_merges"] = _bpe_train_oracle(BPE_TRAIN_MERGES)
 QUERIES["bpe_train_merges"] = bpe_train_merges
+
+
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode the corpus with the merge table
+    ``bpe_train_merges`` learns — per-document word/token counts and
+    the tokens-per-word fertility ratio (the number a tokenizer team
+    actually watches: fertility ~1 means the vocabulary fits the
+    corpus, high fertility means byte-fragmentation).
+
+    Train and apply in one operator because BPE encoding with a merge
+    table is VOCABULARY-granular, not corpus-granular: every occurrence
+    of a word tokenizes identically, so the merges are applied once per
+    DISTINCT word (the same K chained ``replace``s on the persisted
+    symbolized vocabulary the training loop ends with) and the corpus
+    pass is an explode + word-keyed join (AQE broadcasts the encoded
+    vocab while it fits) + per-doc count — at 100 TB the corpus is
+    touched once, the encode cost is Zipf-bounded.
+
+    Zero-word documents are excluded (no fertility defined; the
+    ``text_stats`` precedent), mirrored in the oracle's inner join.
+
+    The DuckDB oracle replays training AND encoding through the shared
+    ``_bpe_cte_chain`` — the per-document token counts are checked
+    against a full independent re-derivation of the merge table.
+    """
+    _merges, cur, _base = _bpe_train(spark, sf_dir)
+    enc = cur.select(
+        "w",
+        F.size(F.split(F.trim("seq"), "  ")).cast("long").alias("wt"),
+    )
+    d = load_table(spark, sf_dir, "documents")
+    docw = d.select("doc_id", F.explode(_words()).alias("w"))
+    return (
+        docw.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wt").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            F.expr("(n_tokens * 1000000) div n_words").alias(
+                "fertility_ppm"
+            ),
+        )
+    )
+
+
+ORACLE["bpe_encode_tokens"] = f"""
+    WITH {_bpe_cte_chain(BPE_TRAIN_MERGES)},
+    enc AS (
+      SELECT w,
+             CAST(len(string_split(trim(seq), '  ')) AS BIGINT) AS wt
+      FROM s{BPE_TRAIN_MERGES}
+    ),
+    docw AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(e.wt) AS BIGINT) AS n_tokens,
+           (CAST(sum(e.wt) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+             AS fertility_ppm
+    FROM docw d JOIN enc e ON e.w = d.w
+    GROUP BY d.doc_id
+"""
+QUERIES["bpe_encode_tokens"] = bpe_encode_tokens

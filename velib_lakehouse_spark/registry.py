@@ -43,7 +43,9 @@ DRIVER_WINDOW = 50
 # driver-green through r8, zero ever red), so the window's whole job is
 # freshness + paying for growth.  The r8 staleness ledger: 3 rows last
 # green r3, 46 last green r4.  This round's window, in order:
-# * 4 new operators (VERDICT r8 #2/#3/#4/#5): optimistic-concurrency
+# * 5 new operators (VERDICT r8 #2/#3/#4/#5 + the tokenizer APPLY
+#   path bpe_encode_tokens, which composes #5's merge table into
+#   vocabulary-granular corpus encoding): optimistic-concurrency
 #   snapshot commits (staged files + atomic-create CAS + Delta's
 #   conflict taxonomy, one detected-and-retried ConcurrentAppend in
 #   the audited interleave), real-weight ICWS weighted MinHash
@@ -60,11 +62,11 @@ DRIVER_WINDOW = 50
 # * The last 3 r3-era rows (event_funnel, retention_cohorts,
 #   lake_zorder_layout) — after this round no row's latest green
 #   predates round 4.
-# * 40 of the 46 r4-era rows, name order with ONE swap: the remaining
-#   six (streaming_windowed_counts, tpch_q3_shipping,
+# * 37 of the 46 r4-era rows, name order: the remaining eight
+#   (streaming_windowed_counts, tpch_q3_shipping,
 #   udtf_sentence_split, unpivot_metrics, variant_shred_stats,
-#   weighted_sample_topk, plus editdist_verified_pairs) head SECONDARY
-#   as the r10 queue, and
+#   weighted_sample_topk, plus editdist_verified_pairs and
+#   full_outer_activity_reconcile) head SECONDARY as the r10 queue, and
 #   velib_sparkline takes streaming_windowed_counts' alphabetical slot
 #   so the velib family keeps a window member (its other reps' latest
 #   green is r6, outside the two-artifact ratchet; streaming retains
@@ -81,6 +83,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_icws_weighted_minhash",
     "dedup_weighted_minhash_capped",
     "bpe_train_merges",
+    "bpe_encode_tokens",
     # changed => re-window: all three were touched by the r8 ADVICE
     # closures (merge re-pin, n_common shape guard + docstring
     # re-derivation, groups persist + rep-pair refactor)
@@ -92,8 +95,9 @@ PRIORITY: tuple[str, ...] = (
     "event_funnel",
     "retention_cohorts",
     "lake_zorder_layout",
-    # r4-era rows, 40 of 46 in name order — the stalest remaining
-    # evidence; the final 6 head SECONDARY as the r10 queue
+    # r4-era rows, 37 of 46 in name order — the stalest remaining
+    # evidence; the other 8 head SECONDARY as the r10 queue, with
+    # velib_sparkline and triangle_count holding family-coverage slots
     "arrow_batch_stats",
     "bucketed_join_priority_revenue",
     "cdc_merge_upsert",
@@ -115,7 +119,6 @@ PRIORITY: tuple[str, ...] = (
     "event_rate_anomaly",
     "export_tokenized_sequences",
     "fk_integrity_audit",
-    "full_outer_activity_reconcile",
     "grouping_sets_orders",
     "hybrid_rank_fusion",
     "join_skew_audit",
@@ -140,10 +143,11 @@ PRIORITY: tuple[str, ...] = (
 # future driver checks more than DRIVER_WINDOW queries, these are the
 # ones it should reach next.
 SECONDARY: tuple[str, ...] = (
-    # ROUND-10 ROTATION QUEUE: the seven r4-era rows the 50-slot budget
+    # ROUND-10 ROTATION QUEUE: the eight r4-era rows the 50-slot budget
     # could not fit this round — the stalest evidence once the r9
     # window lands, so they rotate in first next round.
     "editdist_verified_pairs",
+    "full_outer_activity_reconcile",
     "streaming_windowed_counts",
     "tpch_q3_shipping",
     "udtf_sentence_split",
