@@ -221,3 +221,63 @@ def test_try_commit_cas_exactly_one_winner(tmp_path):
     assert sum(1 for _, ok in results if ok) == 1
     # and the losers' retry path sees the winner's entry
     assert len(snap.read_commits(table)) == 1
+
+
+def test_log_checkpoint_equivalence_and_retention(spark, tmp_path):
+    """Checkpoint + vacuum_log: state reads are identical before and
+    after retiring the checkpointed prefix; time travel below the
+    horizon and stale transactions fail loudly instead of folding a
+    partial log."""
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    schema = "k bigint, prio string"
+    snap.optimistic_commit(
+        table, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(
+            _mk(spark, [(1, "U"), (10, "L")]), table, "base", "prio"), []),
+    )
+    for i in range(2, 6):  # v1..v4: appends
+        snap.optimistic_commit(
+            table, "append", {"U"}, f"w{i}",
+            lambda rv, i=i: (snap.stage_partition_files(
+                _mk(spark, [(i, "U")]), table, f"w{i}", "prio"), []),
+        )
+    head = snap.table_head(table)
+    assert head == 4
+    before = snap.live_files(table)
+    before_rows = {r.k for r in snap.read_table(spark, table, schema).collect()}
+
+    v = snap.write_log_checkpoint(table)
+    assert v == head
+    # checkpointed state == folded state, prefix still present
+    assert snap.live_files(table) == before
+    removed = snap.vacuum_log(table)
+    assert removed == 5  # v0..v4 retired, checkpoint carries the state
+    assert snap.table_head(table) == head
+    assert snap.live_files(table) == before
+    assert {r.k for r in snap.read_table(spark, table, schema).collect()} \
+        == before_rows
+
+    # commits on top of a checkpoint-only log keep working
+    e = snap.optimistic_commit(
+        table, "append", {"L"}, "post",
+        lambda rv: (snap.stage_partition_files(
+            _mk(spark, [(11, "L")]), table, "post", "prio"), []),
+    )
+    assert e["version"] == head + 1
+    assert snap.read_table(spark, table, schema).count() == len(before_rows) + 1
+
+    # time travel below the retention horizon is a loud error
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        snap.live_files(table, version=2)
+
+    # a transaction whose read window was vacuumed must restart
+    with _pytest.raises(RuntimeError, match="retention horizon"):
+        snap.optimistic_commit(
+            table, "delete", {"U"}, "stale",
+            lambda rv: ([], []),
+            prestaged=(1, [], []),
+        )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import tempfile
 import time
@@ -155,20 +156,27 @@ def _log_dir(table_path: str) -> Path:
 
 
 def read_commits(table_path: str) -> list[dict]:
-    """All committed log entries, version order."""
+    """All retained commit entries, version order (checkpoint files —
+    ``*.ckpt.json``, see the retention section below — are state
+    snapshots, not commits, and are excluded)."""
     d = _log_dir(table_path)
     if not d.is_dir():
         return []
     out = []
     for p in sorted(d.glob("*.json")):
-        out.append(json.loads(p.read_text()))
+        if re.match(r"^\d{8}\.json$", p.name):
+            out.append(json.loads(p.read_text()))
     return out
 
 
 def table_head(table_path: str) -> int:
-    """Highest committed version, or -1 for an empty log."""
+    """Highest committed version, or -1 for an empty log.  After log
+    retention the newest checkpoint may BE the head (zero tail
+    commits)."""
     commits = read_commits(table_path)
-    return commits[-1]["version"] if commits else -1
+    tail = commits[-1]["version"] if commits else -1
+    ckpt = _latest_checkpoint(table_path)
+    return max(tail, ckpt["version"] if ckpt else -1)
 
 
 def try_commit(table_path: str, version: int, entry: dict) -> bool:
@@ -189,9 +197,35 @@ def try_commit(table_path: str, version: int, entry: dict) -> bool:
 
 def live_files(table_path: str, version: int | None = None) -> list[list]:
     """``[path, partition]`` pairs live at ``version`` (default head):
-    the fold of adds minus removes over the commit prefix."""
+    the newest checkpoint at-or-below ``version`` (if any) plus the
+    fold of adds minus removes over the retained tail commits.
+
+    Raises when ``version`` predates the retention horizon: after
+    ``vacuum_log`` the commits at or before the checkpoint are gone, so
+    a fold for an older version would be silently partial — Delta's
+    log-retention trade, surfaced loudly."""
     live: dict[str, str] = {}
-    for c in read_commits(table_path):
+    base_version = -1
+    ckpt = _latest_checkpoint(table_path, version)
+    if ckpt is not None:
+        live = {path: part for path, part in ckpt["live"]}
+        base_version = ckpt["version"]
+    commits = read_commits(table_path)
+    oldest_retained = commits[0]["version"] if commits else None
+    if (
+        version is not None
+        and ckpt is None
+        and oldest_retained is not None
+        and version < oldest_retained - 1
+        and _latest_checkpoint(table_path) is not None
+    ):
+        raise FileNotFoundError(
+            f"version {version} predates the log-retention horizon"
+            f" (oldest retained commit: {oldest_retained})"
+        )
+    for c in commits:
+        if c["version"] <= base_version:
+            continue
         if version is not None and c["version"] > version:
             break
         if c["action"] == "overwrite" and c.get("domain") is None:
@@ -312,8 +346,21 @@ def optimistic_commit(
     conflicts: list[dict] = []
     for attempt in range(1, max_attempts + 1):
         head = table_head(table_path)
+        retained = read_commits(table_path)
+        # validation needs EVERY commit in (read_version, head]; log
+        # retention (vacuum_log) may have retired part of that window,
+        # in which case the transaction cannot prove itself conflict-
+        # free and must restart from a fresh snapshot (Delta raises the
+        # same way when a txn outlives the log retention period)
+        oldest = retained[0]["version"] if retained else head + 1
+        if read_version < oldest - 1 and head > read_version:
+            raise RuntimeError(
+                f"txn {txn}: read snapshot v{read_version} predates the"
+                f" log-retention horizon (oldest retained commit:"
+                f" v{oldest}); restart from a fresh snapshot"
+            )
         conflict = None
-        for other in read_commits(table_path):
+        for other in retained:
             if other["version"] <= read_version:
                 continue
             kind = _conflicts_with(action, domain, other)
@@ -343,3 +390,69 @@ def optimistic_commit(
             return entry
         # lost the CAS race: loop re-validates against the winner
     raise RuntimeError(f"txn {txn}: gave up after {max_attempts} attempts")
+
+
+# ---- log checkpointing + retention (the Delta _last_checkpoint story) -------
+#
+# `live_files` folds the whole commit log; at one commit per micro-batch
+# that read grows linearly forever.  Delta solves it with periodic
+# checkpoints — a self-contained snapshot of the live-file state at
+# version V — after which (a) state reads load the newest checkpoint
+# and fold only the tail, and (b) log entries at or before V can be
+# retired (log retention), bounding both cost and file count.  Same
+# protocol here: checkpoint files are `{V:08d}.ckpt.json`, written
+# tmp-then-atomic-rename (readers never see a torn checkpoint), and
+# commit files keep the `{V:08d}.json` CAS contract.
+
+_COMMIT_RE = r"^\d{8}\.json$"
+
+
+def write_log_checkpoint(table_path: str) -> int:
+    """Materialize the live-file state at the current head into a
+    checkpoint file; returns the checkpointed version.  Idempotent —
+    re-checkpointing the same head rewrites the same content."""
+    head = table_head(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no commits to checkpoint at {table_path}")
+    state = live_files(table_path, head)
+    d = _log_dir(table_path)
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="._ckpt_")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": head, "live": state}, f)
+    os.replace(tmp, d / f"{head:08d}.ckpt.json")
+    return head
+
+
+def _latest_checkpoint(table_path: str, version: int | None = None) -> dict | None:
+    """Newest checkpoint at or below ``version`` (None = any)."""
+    d = _log_dir(table_path)
+    if not d.is_dir():
+        return None
+    best = None
+    for p in sorted(d.glob("*.ckpt.json")):
+        v = int(p.name.split(".", 1)[0])
+        if version is not None and v > version:
+            continue
+        best = p
+    return json.loads(best.read_text()) if best else None
+
+
+def vacuum_log(table_path: str) -> int:
+    """Retire every commit file at or before the newest checkpoint;
+    returns the number removed.  Time travel to a version strictly
+    below the checkpoint dies with it (Delta's log-retention trade) —
+    `live_files` raises for such requests rather than silently
+    returning a partial fold."""
+    ckpt = _latest_checkpoint(table_path)
+    if ckpt is None:
+        return 0
+    d = _log_dir(table_path)
+    victims = [
+        p
+        for p in d.glob("*.json")
+        if re.match(_COMMIT_RE, p.name)
+        and int(p.name.split(".", 1)[0]) <= ckpt["version"]
+    ]
+    for p in victims:
+        p.unlink()
+    return len(victims)
