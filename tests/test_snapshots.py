@@ -155,6 +155,11 @@ def test_disjoint_domain_append_never_retries(spark, tmp_path):
 
 
 def test_delete_delete_same_domain_conflicts(spark, tmp_path):
+    """Delete racing delete in one domain: the later writer READ rows
+    the earlier one's commit removed, so the kind is reader
+    invalidation (ConcurrentDeleteRead) per Delta's checker order —
+    ConcurrentDeleteDelete is reserved for removal-vs-removal without
+    a logical read (see the rewrite tests)."""
     from velib_lakehouse_spark.sources import snapshots as snap
 
     table = str(tmp_path / "t")
@@ -189,7 +194,7 @@ def test_delete_delete_same_domain_conflicts(spark, tmp_path):
     )
     assert e1["attempt"] == 1
     assert e2["attempt"] == 2
-    assert e2["conflicts"][0]["kind"] == "ConcurrentDeleteDelete"
+    assert e2["conflicts"][0]["kind"] == "ConcurrentDeleteRead"
     got = {r.k for r in snap.read_table(spark, table, schema).collect()}
     assert got == {3}  # both deletes applied, neither lost
 
@@ -281,3 +286,94 @@ def test_log_checkpoint_equivalence_and_retention(spark, tmp_path):
             lambda rv: ([], []),
             prestaged=(1, [], []),
         )
+
+
+def test_live_files_horizon_guard_covers_every_gap_shape(spark, tmp_path):
+    """The three silent-wrong shapes the r9 advice flagged all raise:
+    (a) a stale covering checkpoint whose bridging commits were
+    vacuumed, (b) a checkpoint-only log asked for a version below the
+    checkpoint, (c) a version beyond the head."""
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    snap.optimistic_commit(
+        table, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(
+            _mk(spark, [(1, "U")]), table, "base", "prio"), []),
+    )
+    for i in range(2, 8):  # v1..v6
+        snap.optimistic_commit(
+            table, "append", {"U"}, f"w{i}",
+            lambda rv, i=i: (snap.stage_partition_files(
+                _mk(spark, [(i, "U")]), table, f"w{i}", "prio"), []),
+        )
+    # checkpoint at v2 (simulate by trimming: checkpoint now, at head=6,
+    # then a second one; instead build the two-checkpoint shape directly
+    # by checkpointing v6 and hand-writing a v2 checkpoint from the fold)
+    v2_state = snap.live_files(table, 2)
+    d = snap._log_dir(table)
+    (d / "00000002.ckpt.json").write_text(
+        json.dumps({"version": 2, "live": v2_state})
+    )
+    snap.write_log_checkpoint(table)  # v6
+    snap.vacuum_log(table)  # retires commits v0..v6
+
+    # (a) v4 resolves the v2 checkpoint but commits v3-v4 are gone
+    with pytest.raises(FileNotFoundError, match="retention horizon"):
+        snap.live_files(table, version=4)
+    # v2 itself is exactly the checkpoint — still readable
+    assert snap.live_files(table, version=2) == v2_state
+
+    # (b) checkpoint-only log, request below the oldest checkpoint
+    (d / "00000002.ckpt.json").unlink()
+    with pytest.raises(FileNotFoundError, match="retention horizon"):
+        snap.live_files(table, version=1)
+
+    # (c) beyond the head
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        snap.live_files(table, version=99)
+
+    # head reads keep working either way
+    assert len(snap.live_files(table)) > 0
+
+
+def test_try_commit_publishes_full_content_atomically(tmp_path):
+    """The commit file is never visible empty/partial: the loser's
+    entry never appears, the winner's parses completely, and no temp
+    droppings survive either path."""
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    big = {"version": 3, "txn": "w", "action": "append", "domain": None,
+           "adds": [[f"f{i}", "U"] for i in range(5000)], "removes": []}
+    assert snap.try_commit(table, 3, big)
+    assert not snap.try_commit(table, 3, {"version": 3, "txn": "loser"})
+    entries = snap.read_commits(table)
+    assert len(entries) == 1 and entries[0]["txn"] == "w"
+    assert len(entries[0]["adds"]) == 5000
+    assert not list(snap._log_dir(table).glob("._commit_*"))
+
+
+def test_conflict_matrix_three_kinds():
+    """The full WriteSerializable taxonomy, kind by kind."""
+    from velib_lakehouse_spark.sources.snapshots import _conflicts_with
+
+    app = {"action": "append", "domain": ["U"]}
+    dele = {"action": "delete", "domain": ["U"]}
+    rew = {"action": "rewrite", "domain": ["U"]}
+    # blind append commutes with everything
+    assert _conflicts_with("append", {"U"}, dele) is None
+    assert _conflicts_with("append", None, rew) is None
+    # domain readers: append in window -> ConcurrentAppend,
+    # any file-removal -> ConcurrentDeleteRead
+    assert _conflicts_with("delete", {"U"}, app) == "ConcurrentAppend"
+    assert _conflicts_with("delete", {"U"}, dele) == "ConcurrentDeleteRead"
+    assert _conflicts_with("overwrite", None, rew) == "ConcurrentDeleteRead"
+    # rewrite reads no rows: append commutes, removal overlap is
+    # removal-vs-removal -> ConcurrentDeleteDelete
+    assert _conflicts_with("rewrite", {"U"}, app) is None
+    assert _conflicts_with("rewrite", {"U"}, dele) == "ConcurrentDeleteDelete"
+    assert _conflicts_with("rewrite", {"U"}, rew) == "ConcurrentDeleteDelete"
+    # disjoint domains never conflict
+    assert _conflicts_with("delete", {"L"}, dele) is None
+    assert _conflicts_with("rewrite", {"L"}, rew) is None

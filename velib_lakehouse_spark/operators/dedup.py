@@ -3159,10 +3159,12 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     4. per-(term, k) ICWS parameters (r, c, beta) from md5 lanes at
        VOCABULARY granularity behind an explode barrier — the digests
        are per distinct term, never per (doc, term);
-    5. per-(rep, term, k) the ICWS sample (t_k, a_k); per (rep, k) the
-       argmin element via one wide min(struct(a, elem)) aggregate —
-       ONE rep-keyed shuffle for all K rankings + total weight + the
-       term->weight map the exact side folds over;
+    5. per-(rep, term, k) the ICWS sample (t_k, ln a_k quantized to a
+       2^-20 grid — 1-ulp libm drift cannot flip the argmin, ties
+       break on the element string); per (rep, k) the argmin element
+       via one wide min(struct(aq, elem)) aggregate — ONE rep-keyed
+       shuffle for all K rankings + total weight + the term->weight
+       map the exact side folds over;
     6. 2x8 banded self-join (merge-pinned, corpus-width sides) and
        in-row metrics: est_ppm = equal-position share, wjaccard_ppm =
        integer sum(min)/sum(max) over the weight maps.
@@ -3264,13 +3266,20 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
             ).alias("ps"),
         )
         .withColumn(
+            # the ranking key is the ICWS sample's ln(a_k) QUANTIZED to
+            # 2^-20 (a scale-free fixed grid) with the element string as
+            # deterministic tie-break: a last-ulp ln/exp divergence
+            # between JVM Math and DuckDB libm can no longer flip the
+            # per-ranking argmin (the r9 advice's latent parity flake);
+            # log-domain also skips the exp() round-trip entirely
             "icws",
             F.expr(
                 "transform(transform(ps, p -> named_struct("
                 " 'r', p.r, 'c', p.c, 'beta', p.beta,"
                 " 't', floor(ln(cast(w_micro as double)) / p.r + p.beta))),"
                 " q -> named_struct("
-                " 'a', q.c * exp(-q.r * (q.t - q.beta + 1)),"
+                " 'aq', cast(floor((ln(q.c) - q.r * (q.t - q.beta + 1))"
+                " * 1048576) as bigint),"
                 " 'e', concat(term, ':', cast(q.t as string))))"
             ),
         )
@@ -3280,7 +3289,7 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
         "w_micro",
         "term",
         *[
-            F.expr(f"icws[{k}].a").alias(f"a{k}")
+            F.expr(f"icws[{k}].aq").alias(f"a{k}")
             for k in range(ICWS_K)
         ],
         *[
@@ -3292,7 +3301,7 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
         *[
             F.min(
                 F.struct(
-                    F.col(f"a{k}").alias("a"), F.col(f"e{k}").alias("e")
+                    F.col(f"a{k}").alias("aq"), F.col(f"e{k}").alias("e")
                 )
             ).alias(f"m{k}")
             for k in range(ICWS_K)
@@ -3426,8 +3435,12 @@ ORACLE["dedup_icws_weighted_minhash"] = f"""
       FROM w JOIN prc p ON p.term = w.term
     ),
     sig AS (
+      -- quantized log-domain ranking key + element tie-break: mirrors
+      -- the engine exactly (see _icws_rep_pairs), immune to 1-ulp
+      -- libm differences in ln/exp
       SELECT rep, seed,
-             min({{'a': c * exp(-r * (t - beta + 1)),
+             min({{'aq': CAST(floor((ln(c) - r * (t - beta + 1))
+                                    * 1048576) AS BIGINT),
                    'e': term || ':' || CAST(t AS VARCHAR)}})['e'] AS e
       FROM icws GROUP BY rep, seed
     ),

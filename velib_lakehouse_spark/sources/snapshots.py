@@ -182,17 +182,27 @@ def table_head(table_path: str) -> int:
 def try_commit(table_path: str, version: int, entry: dict) -> bool:
     """Atomic CAS: create the version's log file if and only if no one
     else has.  Returns False when the version is taken (caller lost the
-    race and must re-validate against the winner's entry)."""
+    race and must re-validate against the winner's entry).
+
+    The full entry is written to a temp file FIRST and published via
+    ``os.link`` — an atomic create-with-content that raises on loss.
+    A bare ``O_CREAT|O_EXCL`` open followed by the json write would
+    leave the commit file visible empty/partial between the two calls,
+    and a rival's validation read (``read_commits`` inside
+    ``optimistic_commit``) could parse the torn entry."""
     d = _log_dir(table_path)
     d.mkdir(parents=True, exist_ok=True)
     path = d / f"{version:08d}.json"
+    fd, tmp = tempfile.mkstemp(dir=d, prefix="._commit_")
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(entry, f)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as f:
-        json.dump(entry, f)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 def live_files(table_path: str, version: int | None = None) -> list[list]:
@@ -200,10 +210,13 @@ def live_files(table_path: str, version: int | None = None) -> list[list]:
     the newest checkpoint at-or-below ``version`` (if any) plus the
     fold of adds minus removes over the retained tail commits.
 
-    Raises when ``version`` predates the retention horizon: after
-    ``vacuum_log`` the commits at or before the checkpoint are gone, so
-    a fold for an older version would be silently partial — Delta's
-    log-retention trade, surfaced loudly."""
+    Raises when the fold cannot be reconstructed exactly: ``version``
+    beyond the head, or any commit in ``(base_checkpoint, version]``
+    retired by ``vacuum_log`` — a partial fold would silently drop
+    commits, so Delta's log-retention trade is surfaced loudly
+    whichever shape the gap takes (no covering checkpoint, a stale
+    covering checkpoint with the bridging commits vacuumed, or a
+    checkpoint-only log asked for an older version)."""
     live: dict[str, str] = {}
     base_version = -1
     ckpt = _latest_checkpoint(table_path, version)
@@ -211,18 +224,25 @@ def live_files(table_path: str, version: int | None = None) -> list[list]:
         live = {path: part for path, part in ckpt["live"]}
         base_version = ckpt["version"]
     commits = read_commits(table_path)
-    oldest_retained = commits[0]["version"] if commits else None
-    if (
-        version is not None
-        and ckpt is None
-        and oldest_retained is not None
-        and version < oldest_retained - 1
-        and _latest_checkpoint(table_path) is not None
-    ):
+    if version is not None and version > table_head(table_path):
         raise FileNotFoundError(
-            f"version {version} predates the log-retention horizon"
-            f" (oldest retained commit: {oldest_retained})"
+            f"version {version} does not exist yet"
+            f" (head: {table_head(table_path)})"
         )
+    target = version if version is not None else max(
+        base_version, commits[-1]["version"] if commits else -1
+    )
+    if target > base_version:
+        # the fold needs EVERY commit in (base_version, target]
+        # contiguously retained; versions are contiguous by
+        # construction, so oldest_retained <= base_version + 1 proves it
+        oldest_retained = commits[0]["version"] if commits else None
+        if oldest_retained is None or oldest_retained > base_version + 1:
+            raise FileNotFoundError(
+                f"version {target} predates the log-retention horizon"
+                f" (base checkpoint: v{base_version}, oldest retained"
+                f" commit: {oldest_retained})"
+            )
     for c in commits:
         if c["version"] <= base_version:
             continue
@@ -292,11 +312,25 @@ def stage_partition_files(
 def _conflicts_with(action: str, domain: set[str] | None, other: dict) -> str | None:
     """Delta's WriteSerializable conflict matrix, domain-granular.
 
-    * blind APPEND commutes with everything — it read nothing;
-    * DELETE / OVERWRITE read their domain, so an intervening commit
-      touching an overlapping domain invalidates what they staged:
-      vs append -> ConcurrentAppend, vs delete/overwrite ->
-      ConcurrentDeleteDelete;
+    Actions differ in what they READ and what files they REMOVE, and
+    the taxonomy follows from that split (Delta's ConflictChecker
+    order: added-vs-read, then removed-vs-read, then removed-vs-
+    removed):
+
+    * blind APPEND commutes with everything — it read nothing and
+      removed nothing;
+    * DELETE / OVERWRITE read their domain's rows, so an intervening
+      overlapping commit invalidates what they staged: vs append ->
+      **ConcurrentAppend** (files appeared that the predicate should
+      have read), vs anything that removed files (delete / overwrite /
+      rewrite) -> **ConcurrentDeleteRead** (files the transaction read
+      were deleted out from under it);
+    * REWRITE (OPTIMIZE-style compaction, data-preserving) reads no
+      logical rows — a concurrent append commutes (its new files simply
+      were not compacted this pass), but an overlapping file-removal
+      (delete / overwrite / rewrite) -> **ConcurrentDeleteDelete**
+      (two operations removed the same files — Delta's "two concurrent
+      compactions" case);
     * domain ``None`` (whole table) overlaps every domain.
     """
     if action == "append":
@@ -309,11 +343,12 @@ def _conflicts_with(action: str, domain: set[str] | None, other: dict) -> str | 
     )
     if not overlap:
         return None
-    return (
-        "ConcurrentAppend"
-        if other["action"] == "append"
-        else "ConcurrentDeleteDelete"
-    )
+    other_removes = other["action"] in ("delete", "overwrite", "rewrite")
+    if action == "rewrite":
+        return "ConcurrentDeleteDelete" if other_removes else None
+    if other["action"] == "append":
+        return "ConcurrentAppend"
+    return "ConcurrentDeleteRead" if other_removes else None
 
 
 def optimistic_commit(
