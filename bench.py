@@ -242,6 +242,11 @@ HEADLINE = [
     "dedup_weighted_minhash_capped",
     "bpe_train_merges",
     "bpe_encode_tokens",
+    # round-10 growth batch
+    "streaming_txn_sink",
+    "snapshot_optimize_transactional",
+    "dedup_icws_capped",
+    "bpe_train_merges_batched",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —
@@ -343,9 +348,27 @@ def _loadavg() -> list[float] | None:
         return None
 
 
+# 1-min loadavg above this at bench START marks the artifact
+# "contended": true (r9 VERDICT #6) — a number taken on a busy box
+# cannot be committed as the quiet-box contract silently.  2.0 on a
+# 32-core box is already generous headroom for daemons.
+BENCH_LOAD_THRESHOLD = 2.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_before = _loadavg()
+    contended = bool(
+        load_before and load_before[0] > BENCH_LOAD_THRESHOLD
+    )
+    if contended:
+        print(
+            f"WARNING: bench starting under load (1-min loadavg"
+            f" {load_before[0]:.2f} > {BENCH_LOAD_THRESHOLD}); the"
+            f" artifact will carry \"contended\": true — do NOT commit"
+            f" it as the quiet-box contract",
+            file=sys.stderr,
+        )
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     # One JVM hosts driver + all 32 executor threads; the 1g default
@@ -421,6 +444,7 @@ def main() -> None:
         "runs_per_query": n_runs,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "contended": contended,
         "queries_first_run": first_run,
         "families": families,
         "notes": (
@@ -494,6 +518,7 @@ def main() -> None:
         "n_queries": len(timings),
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        "contended": contended,
         "families": families,
         "slowest": slowest,
         "queries": "full per-query detail in BENCH_LOCAL.json (committed)",

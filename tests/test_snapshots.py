@@ -199,6 +199,93 @@ def test_delete_delete_same_domain_conflicts(spark, tmp_path):
     assert got == {3}  # both deletes applied, neither lost
 
 
+def test_optimize_rewrite_interleaves(spark, tmp_path):
+    """Delta's OPTIMIZE concurrency contract through the log: a
+    concurrent delete in the domain aborts/retries the compactor
+    (ConcurrentDeleteDelete), a concurrent APPEND does not (its file
+    survives the rewrite untouched), and the rewrite preserves data."""
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = str(tmp_path / "t")
+    schema = "k bigint, prio string"
+    base = _mk(spark, [(1, "U"), (2, "U"), (3, "U"), (10, "L")])
+    snap.optimistic_commit(
+        table, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(base, table, "base", "prio"), []),
+    )
+    snap.optimistic_commit(
+        table, "append", {"U"}, "a1",
+        lambda rv: (snap.stage_partition_files(
+            _mk(spark, [(4, "U")]), table, "a1", "prio"), []),
+    )
+
+    def compactor(tag):
+        calls = {"n": 0}
+
+        def stage(rv):
+            calls["n"] += 1
+            cur = snap.read_table(spark, table, schema, version=rv,
+                                  domain={"U"})
+            adds = snap.stage_partition_files(
+                cur, table, f"{tag}{calls['n']}", "prio")
+            removes = [f for f in snap.live_files(table, rv) if f[1] == "U"]
+            return adds, removes
+
+        return stage, calls
+
+    # compactor stages, a delete races it -> retry on DeleteDelete
+    c1, c1_calls = compactor("c1_")
+    rv = snap.table_head(table)
+    pre = c1(rv)
+    snap.optimistic_commit(
+        table, "delete", {"U"}, "del",
+        lambda rv2: (
+            snap.stage_partition_files(
+                snap.read_table(spark, table, schema, version=rv2,
+                                domain={"U"}).filter("k != 2"),
+                table, "del", "prio"),
+            [f for f in snap.live_files(table, rv2) if f[1] == "U"],
+        ),
+    )
+    e1 = snap.optimistic_commit(
+        table, "rewrite", {"U"}, "c1", c1, prestaged=(rv, *pre))
+    assert e1["attempt"] == 2
+    assert e1["conflicts"][0]["kind"] == "ConcurrentDeleteDelete"
+    assert c1_calls["n"] == 2  # re-staged from the post-delete snapshot
+    # row 2 stays deleted: the stale staged file must not resurrect it
+    assert {r.k for r in snap.read_table(spark, table, schema).collect()} \
+        == {1, 3, 4, 10}
+
+    # compactor stages, an append races it -> NO conflict, file survives
+    c2, _ = compactor("c2_")
+    rv2 = snap.table_head(table)
+    pre2 = c2(rv2)
+    snap.optimistic_commit(
+        table, "append", {"U"}, "a2",
+        lambda rv3: (snap.stage_partition_files(
+            _mk(spark, [(5, "U")]), table, "a2", "prio"), []),
+    )
+    e2 = snap.optimistic_commit(
+        table, "rewrite", {"U"}, "c2", c2, prestaged=(rv2, *pre2))
+    assert e2["attempt"] == 1 and e2["conflicts"] == []
+    live_u = [f for f in snap.live_files(table) if f[1] == "U"]
+    assert len(live_u) == 2  # compacted file + the surviving append
+    assert {r.k for r in snap.read_table(spark, table, schema).collect()} \
+        == {1, 3, 4, 5, 10}
+
+    # disjoint-partition rewrite from a stale read sails through
+    c3, _ = compactor("c3_")
+
+    def stage_low(rv4):
+        cur = snap.read_table(spark, table, schema, version=rv4, domain={"L"})
+        adds = snap.stage_partition_files(cur, table, "c3", "prio")
+        return adds, [f for f in snap.live_files(table, rv4) if f[1] == "L"]
+
+    e3 = snap.optimistic_commit(
+        table, "rewrite", {"L"}, "c3", stage_low, prestaged=(0, *stage_low(0)))
+    assert e3["attempt"] == 1 and e3["conflicts"] == []
+
+
 def test_try_commit_cas_exactly_one_winner(tmp_path):
     """The CAS primitive itself, raced by real threads — exactly one
     O_EXCL create succeeds per version."""

@@ -3384,8 +3384,7 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
     )
 
 
-ORACLE["dedup_icws_weighted_minhash"] = f"""
-    WITH groups AS (
+_SQL_ICWS_METRICS_CTES = f"""groups AS (
       SELECT text, min(doc_id) AS rep, list_sort(list(doc_id)) AS ids
       FROM documents GROUP BY text
     ),
@@ -3488,7 +3487,10 @@ ORACLE["dedup_icws_weighted_minhash"] = f"""
       LEFT JOIN wmin x ON x.rep_a = c.rep_a AND x.rep_b = c.rep_b
       JOIN wt wa ON wa.rep = c.rep_a
       JOIN wt wb ON wb.rep = c.rep_b
-    ),
+    )"""
+
+ORACLE["dedup_icws_weighted_minhash"] = f"""
+    WITH {_SQL_ICWS_METRICS_CTES},
     e1 AS (
       SELECT m.rep_a, m.rep_b, m.n_bands, m.est_ppm, m.wjaccard_ppm,
              gb.ids AS ids_b, unnest(ga.ids) AS ia
@@ -3508,3 +3510,93 @@ ORACLE["dedup_icws_weighted_minhash"] = f"""
     WHERE rep_a < rep_b OR ia < ib
 """
 QUERIES["dedup_icws_weighted_minhash"] = dedup_icws_weighted_minhash
+
+
+def dedup_icws_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor capped ranking over the ICWS candidate pairs — the
+    bounded consumer the full tf-idf audit lacked (r9 VERDICT
+    "what's wrong" #2): ``dedup_weighted_minhash_capped`` ranks by the
+    INTEGER-weight wjaccard, so a pipeline wanting tf-idf-ranked
+    neighbors had only the unbounded member-pair audit.
+
+    Same consumer contract as the integer-weight capped op: candidate
+    generation identical to ``dedup_icws_weighted_minhash`` (banded
+    ICWS self-join over collapsed reps), then for each anchor group its
+    neighbors ranked by the exact fixed-point tf-idf weighted Jaccard
+    (tie-break: estimate, then neighbor id), top ``WMH_PAIR_TOPK``
+    kept, group SIZES as columns instead of member-pair enumeration —
+    output is O(reps * K) while the full audit's member expansion grows
+    R^2 under replication.  The reflexive row is the exact-dup group
+    record, sized by ``n_a``.
+
+    Scale: the ranking is one window whose rank predicate pushes down
+    to a partial top-K before the shuffle (WindowGroupLimit); the
+    1024x/4096x SCALE.md rows pin output cardinality scale-invariant,
+    mirroring the integer-weight sweep.
+    """
+    rp = _icws_rep_pairs(load_table(spark, sf_dir, "documents"))
+    fwd = rp.select(
+        F.col("rep_a").alias("anchor"),
+        F.col("rep_b").alias("neighbor"),
+        F.size("ids_a").cast("bigint").alias("n_a"),
+        F.size("ids_b").cast("bigint").alias("n_b"),
+        "n_bands",
+        "est_ppm",
+        "wjaccard_ppm",
+    )
+    rev = rp.where(F.col("rep_a") != F.col("rep_b")).select(
+        F.col("rep_b").alias("anchor"),
+        F.col("rep_a").alias("neighbor"),
+        F.size("ids_b").cast("bigint").alias("n_a"),
+        F.size("ids_a").cast("bigint").alias("n_b"),
+        "n_bands",
+        "est_ppm",
+        "wjaccard_ppm",
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("wjaccard_ppm"), F.desc("est_ppm"), F.asc("neighbor")
+    )
+    return (
+        fwd.unionByName(rev)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= WMH_PAIR_TOPK)
+        .select(
+            "anchor",
+            "neighbor",
+            "n_a",
+            "n_b",
+            "n_bands",
+            "est_ppm",
+            "wjaccard_ppm",
+            "rnk",
+        )
+    )
+
+
+ORACLE["dedup_icws_capped"] = f"""
+    WITH {_SQL_ICWS_METRICS_CTES},
+    gsz AS (SELECT rep, CAST(len(ids) AS BIGINT) AS n FROM groups),
+    sym AS (
+      SELECT rep_a AS anchor, rep_b AS neighbor, n_bands, est_ppm,
+             wjaccard_ppm
+      FROM metrics
+      UNION ALL
+      SELECT rep_b, rep_a, n_bands, est_ppm, wjaccard_ppm
+      FROM metrics WHERE rep_a <> rep_b
+    ),
+    ranked AS (
+      SELECT s.anchor, s.neighbor, ga.n AS n_a, gb.n AS n_b,
+             s.n_bands, s.est_ppm, s.wjaccard_ppm,
+             row_number() OVER (
+               PARTITION BY s.anchor
+               ORDER BY s.wjaccard_ppm DESC, s.est_ppm DESC,
+                        s.neighbor ASC) AS rnk
+      FROM sym s
+      JOIN gsz ga ON ga.rep = s.anchor
+      JOIN gsz gb ON gb.rep = s.neighbor
+    )
+    SELECT anchor, neighbor, n_a, n_b, n_bands, est_ppm, wjaccard_ppm,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {WMH_PAIR_TOPK}
+"""
+QUERIES["dedup_icws_capped"] = dedup_icws_capped

@@ -1750,3 +1750,234 @@ ORACLE["bpe_encode_tokens"] = f"""
     GROUP BY d.doc_id
 """
 QUERIES["bpe_encode_tokens"] = bpe_encode_tokens
+
+
+# ---- batched BPE training (r9 VERDICT next-round #5) --------------------------
+#
+# bpe_train_merges pays ONE distributed job PER merge — exact Sennrich,
+# fine for a hash-checked oracle replay, hopeless for a production
+# vocab (32k merges = 32k jobs).  The standard fix (parallel BPE a la
+# SentencePiece/tokenizers) batches symbol-disjoint merges per round;
+# the selection rule here is the PER-SYMBOL ARGMAX (local-dominance)
+# variant: rank all pairs by (count DESC, pair), and a pair survives
+# iff it is the best-ranked pair containing EACH of its two symbols.
+# Survivors are pairwise symbol-disjoint by construction (two survivors
+# sharing a symbol would both have to be that symbol's unique best),
+# and the global argmax always survives, so every round makes progress.
+# This is deliberately stricter than the greedy accepted-set scan
+# (which would also take a pair whose higher-ranked blocker was itself
+# blocked): the dominance rule is a pure min-aggregate + join in BOTH
+# engines — no sequential scan, no recursion — so the DuckDB oracle
+# replays the selection exactly and every round's merge SET is
+# hash-checked, keeping the bpe_train_merges oracle story at batch
+# scale.
+
+BPE_BATCH_ROUNDS = 10   # fixed round count (oracle unrolls the same)
+BPE_BATCH_M = 32        # symbol-disjoint merges applied per round
+
+
+def _bpe_pair_counts(cur: DataFrame) -> DataFrame:
+    """Adjacent symbol-pair counts over a symbolized vocabulary,
+    weighted by word frequency — the per-iteration aggregate shared by
+    the sequential and batched trainers."""
+    return (
+        cur.select("c", F.split(F.trim("seq"), "  ").alias("s"))
+        .filter(F.size("s") >= 2)
+        .select(
+            "c",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> struct(s[i] as a, s[i + 1] as b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training to a production-shaped vocabulary:
+    ``BPE_BATCH_ROUNDS`` rounds, each ONE distributed pair-count job
+    selecting up to ``BPE_BATCH_M`` symbol-disjoint merges by the
+    per-symbol-argmax rule (see the section comment) and applying them
+    as a single chained replace — hundreds of merges in ~a dozen jobs,
+    vs one job per merge in ``bpe_train_merges``.
+
+    Output: the merge table with global rank, the round and in-round
+    slot each merge was selected in, and the pair count AT ROUND START
+    (later in-round merges see slightly stale counts — the documented
+    batched-BPE approximation; the pin test shows batched == sequential
+    wherever the top merges are symbol-disjoint, and the engine/oracle
+    hash agreement proves both derive the SAME table regardless).
+
+    Within a round the replaces apply in slot order in both engines, so
+    even the order-sensitive corner (a merge creating occurrences of a
+    later slot's symbol) derives identically.
+
+    Scale: round cost is the Zipf-bounded distinct-word vocabulary
+    (corpus touched once for the word count); per-symbol argmax is an
+    explode + tiny-broadcast join, no global window; merges per job is
+    the knob — a 32k vocab at M=256 is ~125 jobs, not 32k (the
+    SCALE.md row measures jobs <<  merges).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # persist: every round re-scans the symbolized vocabulary
+    base = wc.select(
+        "w",
+        "c",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+        ).alias("seq"),
+    ).persist()
+    cur = base
+    merges: list[tuple] = []
+    for rnd in range(1, BPE_BATCH_ROUNDS + 1):
+        kp = _bpe_pair_counts(cur).select(
+            "a",
+            "b",
+            "cnt",
+            F.struct(
+                (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+            ).alias("key"),
+        )
+        best = (
+            kp.select(F.explode(F.array("a", "b")).alias("sym"), "key")
+            .groupBy("sym")
+            .agg(F.min("key").alias("best"))
+        )
+        surv = (
+            kp.join(
+                F.broadcast(
+                    best.select(F.col("sym").alias("a"),
+                                F.col("best").alias("best_a"))
+                ),
+                "a",
+            )
+            .join(
+                F.broadcast(
+                    best.select(F.col("sym").alias("b"),
+                                F.col("best").alias("best_b"))
+                ),
+                "b",
+            )
+            .filter(
+                (F.col("key") == F.col("best_a"))
+                & (F.col("key") == F.col("best_b"))
+            )
+            .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
+            .limit(BPE_BATCH_M)
+            .select("a", "b", "cnt")
+            .collect()
+        )
+        if not surv:
+            break  # no adjacent pairs left; later rounds stay empty
+        picked = sorted(
+            ((r["a"], r["b"], int(r["cnt"])) for r in surv),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        new_seq = F.col("seq")
+        for slot, (a, b, cnt) in enumerate(picked, 1):
+            merges.append(
+                (len(merges) + 1, rnd, slot, a, b, a + b, cnt)
+            )
+            new_seq = F.replace(
+                new_seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            )
+        cur = cur.withColumn("seq", new_seq)
+    base.unpersist()
+    schema = (
+        "merge_rank bigint, round bigint, slot bigint, left_sym string,"
+        " right_sym string, merged string, pair_count bigint"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _bpe_batched_round_ctes(i: int, m: int) -> str:
+    """One batched round: pair counts from ``b{i-1}``, per-symbol-
+    argmax survivors capped at ``m`` as ``bm{i}``, and ``b{i}`` = the
+    vocabulary with the round's merges applied as one nested replace
+    chain in slot order (unmatched slots fold to an impossible
+    three-space pattern, an identity replace)."""
+    expr = "seq"
+    for j in range(1, m + 1):
+        pat = (
+            f"coalesce((SELECT ' ' || a || '  ' || b || ' '"
+            f" FROM bm{i} WHERE slot = {j}), '   ')"
+        )
+        rep = (
+            f"coalesce((SELECT ' ' || a || b || ' '"
+            f" FROM bm{i} WHERE slot = {j}), '')"
+        )
+        expr = f"replace({expr}, {pat}, {rep})"
+    return f"""bp{i} AS MATERIALIZED (
+      SELECT s[j] AS a, s[j + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+      FROM (SELECT s, c, unnest(generate_series(1, len(s) - 1)) AS j
+            FROM (SELECT string_split(trim(seq), '  ') AS s, c
+                  FROM b{i - 1}))
+      GROUP BY a, b
+    ),
+    bk{i} AS MATERIALIZED (
+      SELECT a, b, cnt, {{'nc': -cnt, 'a': a, 'b': b}} AS key FROM bp{i}
+    ),
+    by{i} AS MATERIALIZED (
+      SELECT sym, min(key) AS best
+      FROM (SELECT a AS sym, key FROM bk{i}
+            UNION ALL SELECT b AS sym, key FROM bk{i})
+      GROUP BY sym
+    ),
+    bm{i} AS MATERIALIZED (
+      SELECT a, b, cnt,
+             row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS slot
+      FROM bk{i} k
+      JOIN by{i} ya ON ya.sym = k.a AND ya.best = k.key
+      JOIN by{i} yb ON yb.sym = k.b AND yb.best = k.key
+      QUALIFY slot <= {m}
+    ),
+    b{i} AS MATERIALIZED (
+      SELECT w, {expr} AS seq, c FROM b{i - 1}
+    )"""
+
+
+def _bpe_batched_oracle(rounds: int, m: int) -> str:
+    head = f"""wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    b0 AS (
+      SELECT w,
+             ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+               AS seq, c
+      FROM wc
+    )"""
+    ctes = [head] + [
+        _bpe_batched_round_ctes(i, m) for i in range(1, rounds + 1)
+    ]
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({i} AS BIGINT) AS round, CAST(slot AS BIGINT) AS slot,"
+        f" a, b, cnt FROM bm{i}"
+        for i in range(1, rounds + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(row_number() OVER (ORDER BY round, slot) AS BIGINT)
+             AS merge_rank,
+           round, slot, a AS left_sym, b AS right_sym,
+           a || b AS merged, cnt AS pair_count
+    FROM ({unions})"""
+    )
+
+
+ORACLE["bpe_train_merges_batched"] = _bpe_batched_oracle(
+    BPE_BATCH_ROUNDS, BPE_BATCH_M
+)
+QUERIES["bpe_train_merges_batched"] = bpe_train_merges_batched

@@ -31,7 +31,7 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-9 ROTATION (VERDICT r8 next-round #1). Standing rules,
+# ROUND-10 ROTATION (VERDICT r9 next-round #1). Standing rules,
 # guarded by tests/test_registry_window.py:
 # * "changed => re-window" (test_changed_queries_are_in_window via
 #   tools/query_fingerprints.json): a query whose code or oracle changed
@@ -39,113 +39,42 @@ DRIVER_WINDOW = 50
 # * "oldest-first" (test_window_rotates_oldest_first): while
 #   never-driver-checked queries wait, no window slot may be spent on an
 #   unchanged already-green query.
-# Coverage has been complete since r6 (now 248/248 registered, 244
-# driver-green through r8, zero ever red), so the window's whole job is
-# freshness + paying for growth.  The r8 staleness ledger: 3 rows last
-# green r3, 46 last green r4.  This round's window, in order:
-# * 5 new operators (VERDICT r8 #2/#3/#4/#5 + the tokenizer APPLY
-#   path bpe_encode_tokens, which composes #5's merge table into
-#   vocabulary-granular corpus encoding): optimistic-concurrency
-#   snapshot commits (staged files + atomic-create CAS + Delta's
-#   conflict taxonomy, one detected-and-retried ConcurrentAppend in
-#   the audited interleave), real-weight ICWS weighted MinHash
-#   (Ioffe ICDM 2010, tf-idf fixed-point weights, vocabulary-granular
-#   md5-lane sampling), the per-anchor capped consumer of the
-#   weighted-MinHash pairs (the R^2-output bound for the 1024x/4096x
-#   sweeps), and the full BPE training loop (driver-held merge table,
-#   K-stage unrolled-CTE oracle replaying every merge decision).
-# * 3 changed => re-window: all three touched by the r8 ADVICE
-#   closures — dup_span_removal (corpus-width join re-pinned merge),
-#   minhash_estimate_audit (n_common shape guard + Exchange-count
-#   re-derivation), dedup_weighted_minhash (groups persist + rep-pair
-#   refactor shared with the capped variant).
-# * The last 3 r3-era rows (event_funnel, retention_cohorts,
-#   lake_zorder_layout) — after this round no row's latest green
-#   predates round 4.
-# * 37 of the 46 r4-era rows, name order: the remaining eight
-#   (streaming_windowed_counts, tpch_q3_shipping,
-#   udtf_sentence_split, unpivot_metrics, variant_shred_stats,
-#   weighted_sample_topk, plus editdist_verified_pairs and
-#   full_outer_activity_reconcile) head SECONDARY as the r10 queue, and
-#   velib_sparkline takes streaming_windowed_counts' alphabetical slot
-#   so the velib family keeps a window member (its other reps' latest
-#   green is r6, outside the two-artifact ratchet; streaming retains
-#   r7/r8-green members).  triangle_count similarly takes
-#   editdist_verified_pairs' slot: the graph family's newest rows are
-#   r5/r6, so without a window member the two-artifact ratchet trips
-#   (dedup keeps 7+ window members).
+# Coverage complete (253/253 registered; 249 driver-green through r9,
+# zero ever red), so the window pays for growth + freshness.  The r9
+# staleness ledger: 8 rows last green r4 (the staged queue), 48 last
+# green r5.  This round's window, in order:
+# * 4 new operators (VERDICT r9 #2/#3/#4/#5): streaming micro-batches
+#   committed through the transaction log with (appId, batchId)
+#   idempotence (injected crash + restart audited in-query), the
+#   transactional OPTIMIZE (rewrite-action conflict taxonomy:
+#   DeleteDelete vs a racing delete, commute vs a racing append,
+#   domain-granular vs disjoint partitions), the tf-idf-ranked capped
+#   ICWS consumer (the full audit's R^2 output bounded at rep
+#   granularity), and batched BPE training (per-symbol-argmax
+#   symbol-disjoint merge rounds — hundreds of merges in ~a dozen
+#   jobs, oracle-replayed round by round).
+# * 1 changed => re-window: dedup_icws_weighted_minhash (the r9 ADVICE
+#   quantized-ranking-key fix: argmin now compares a 2^-20 log-domain
+#   integer with the element string as tie-break in both engines).
+# * The 8 r4-era rows staged at the head of SECONDARY last round —
+#   closing the freshness ratchet: after this round no row's latest
+#   green predates round 5.
+# * 37 of the 48 r5-era rows, name order; the remaining 11
+#   (tpch_q19/q20/q21/q22/q2/q4/q5/q7/q8/q9 + winnow_fingerprints)
+#   head SECONDARY as the r11 queue.  Family coverage holds without
+#   swaps this round: every family keeps either a window member or an
+#   r8/r9-green representative (relational keeps tpch_q3_shipping +
+#   tpch_q1-era greens; text keeps udtf_sentence_split and
+#   rake_keyphrases in-window).
 PRIORITY: tuple[str, ...] = (
-    # new this round (VERDICT r8 #2/#3/#4/#5): first driver rows for
-    # the optimistic-concurrency commit audit, the real-weight ICWS
-    # estimator, the capped weighted-MinHash consumer, and the full
-    # BPE training loop
-    "snapshot_concurrent_commit",
+    # new this round (VERDICT r9 #2/#3/#4/#5): first driver rows
+    "streaming_txn_sink",
+    "snapshot_optimize_transactional",
+    "dedup_icws_capped",
+    "bpe_train_merges_batched",
+    # changed => re-window (r9 ADVICE: ICWS quantized ranking key)
     "dedup_icws_weighted_minhash",
-    "dedup_weighted_minhash_capped",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
-    # changed => re-window: all three were touched by the r8 ADVICE
-    # closures (merge re-pin, n_common shape guard + docstring
-    # re-derivation, groups persist + rep-pair refactor)
-    "dup_span_removal",
-    "minhash_estimate_audit",
-    "dedup_weighted_minhash",
-    # the last r3-era rows (r8 VERDICT #1): after this round no row's
-    # latest green predates round 4
-    "event_funnel",
-    "retention_cohorts",
-    "lake_zorder_layout",
-    # r4-era rows, 37 of 46 in name order — the stalest remaining
-    # evidence; the other 8 head SECONDARY as the r10 queue, with
-    # velib_sparkline and triangle_count holding family-coverage slots
-    "arrow_batch_stats",
-    "bucketed_join_priority_revenue",
-    "cdc_merge_upsert",
-    "chunk_documents",
-    "cms_frequency_audit",
-    "contrastive_triplets",
-    "corpus_profile",
-    "csv_roundtrip_scan",
-    "curriculum_phases",
-    "decontaminate_embedding",
-    "dedup_clusters_recursive",
-    "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
-    "domain_cap_sample",
-    "dup_span_report",
-    "e2e_curation_report",
-    "triangle_count",
-    "event_path_mining",
-    "event_rate_anomaly",
-    "export_tokenized_sequences",
-    "fk_integrity_audit",
-    "grouping_sets_orders",
-    "hybrid_rank_fusion",
-    "join_skew_audit",
-    "lake_retention_sweep",
-    "lake_schema_evolution",
-    "observed_write_metrics",
-    "pairs_topk_capped",
-    "pmi_collocations",
-    "python_datasource_bronze",
-    "rollup_cube_orders",
-    "semdedup",
-    "streaming_dedup",
-    "streaming_dedup_within_watermark",
-    "streaming_join_click_purchase",
-    "streaming_session_windows",
-    "streaming_stateful_enumerate",
-    "streaming_static_enrich",
-    "velib_sparkline",
-)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.
-SECONDARY: tuple[str, ...] = (
-    # ROUND-10 ROTATION QUEUE: the eight r4-era rows the 50-slot budget
-    # could not fit this round — the stalest evidence once the r9
-    # window lands, so they rotate in first next round.
+    # the staged r4-era queue (r9 VERDICT #1) — ratchet closure
     "editdist_verified_pairs",
     "full_outer_activity_reconcile",
     "streaming_windowed_counts",
@@ -154,23 +83,37 @@ SECONDARY: tuple[str, ...] = (
     "unpivot_metrics",
     "variant_shred_stats",
     "weighted_sample_topk",
-    # unchanged relative order from the r8 file
+    # r5-era rows, 37 of 48 in name order — the stalest remaining
+    # evidence; the other 11 head SECONDARY as the r11 queue
+    "basket_affinity_pairs",
+    "bloom_membership_audit",
+    "chunk_cdc",
+    "compaction_binpack_plan",
+    "cusum_changepoint_audit",
+    "expectation_suite_audit",
+    "feature_quantile_bins",
+    "global_enumerate_rows",
+    "histogram_quantile_audit",
+    "hll_distinct_audit",
+    "hll_merge_rollup",
+    "ivm_incremental_rollup",
     "lake_file_skipping",
+    "multimodal_audio_window_stats",
     "multimodal_image_ahash_neardup",
     "pandas_cogroup_paired_spend",
-    "chunk_cdc",
-    "hll_merge_rollup",
-    "streaming_join_left_outer",
-    "feature_quantile_bins",
-    "streaming_python_datasource_feed",
+    "pareto_frontier_orders",
+    "peak_concurrency_daily",
+    "ppjoin_prefix_candidates",
+    "pq_adc_topk",
+    "rake_keyphrases",
+    "rfm_segmentation",
+    "rolling_active_users",
     "skew_salted_join",
+    "snapshot_diff_cdc",
+    "sorted_neighborhood_pairs",
+    "streaming_join_left_outer",
+    "streaming_python_datasource_feed",
     "table_checksum_audit",
-    "global_enumerate_rows",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_nation_profit",
     "tpch_q11_important_parts",
     "tpch_q12_lateness_priority",
     "tpch_q13_order_distribution",
@@ -178,31 +121,27 @@ SECONDARY: tuple[str, ...] = (
     "tpch_q15_top_supplier",
     "tpch_q16_supplier_variety",
     "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.
+SECONDARY: tuple[str, ...] = (
+    # ROUND-11 ROTATION QUEUE: the eleven r5-era rows the 50-slot
+    # budget could not fit this round — the stalest evidence once the
+    # r10 window lands, so they rotate in first next round.
     "tpch_q19_bracket_revenue",
     "tpch_q20_heavy_shippers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_idle_customers",
-    "rfm_segmentation",
-    "hll_distinct_audit",
-    "bloom_membership_audit",
-    "winnow_fingerprints",
-    "compaction_binpack_plan",
-    "sorted_neighborhood_pairs",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
     "tpch_q5_local_supplier",
-    "snapshot_diff_cdc",
-    "ivm_incremental_rollup",
-    "pq_adc_topk",
-    "ppjoin_prefix_candidates",
-    "multimodal_audio_window_stats",
-    "pareto_frontier_orders",
-    "histogram_quantile_audit",
-    "tpch_q18_large_orders",
-    "rolling_active_users",
-    "expectation_suite_audit",
-    "peak_concurrency_daily",
-    "rake_keyphrases",
-    "cusum_changepoint_audit",
-    "basket_affinity_pairs",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_nation_profit",
+    "winnow_fingerprints",
+    # unchanged relative order from the r9 file
     "seasonal_naive_backtest",
     "link_prediction_common_neighbors",
     "psi_drift_audit",
@@ -299,8 +238,6 @@ SECONDARY: tuple[str, ...] = (
     "tfidf_top_terms",
     "bm25_rank",
     "pack_sequences",
-    # r8-green rows (last round's window — freshest evidence,
-    # so last in line; the three changed ops re-windowed above)
     "theta_sketch_set_algebra",
     "ann_graph_beam_audit",
     "compaction_execute",
@@ -348,7 +285,57 @@ SECONDARY: tuple[str, ...] = (
     "export_shuffled_shards",
     "dsir_importance_weights",
     "multimodal_frame_sample",
-)
+    # r9-green rows (last round's window — freshest evidence, so last
+    # in line; dedup_icws_weighted_minhash re-windowed above)
+    "snapshot_concurrent_commit",
+    "dedup_weighted_minhash_capped",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "dup_span_removal",
+    "minhash_estimate_audit",
+    "dedup_weighted_minhash",
+    "event_funnel",
+    "retention_cohorts",
+    "lake_zorder_layout",
+    "arrow_batch_stats",
+    "bucketed_join_priority_revenue",
+    "cdc_merge_upsert",
+    "chunk_documents",
+    "cms_frequency_audit",
+    "contrastive_triplets",
+    "corpus_profile",
+    "csv_roundtrip_scan",
+    "curriculum_phases",
+    "decontaminate_embedding",
+    "dedup_clusters_recursive",
+    "dedup_embedding_cosine",
+    "dedup_minhash_lsh",
+    "domain_cap_sample",
+    "dup_span_report",
+    "e2e_curation_report",
+    "triangle_count",
+    "event_path_mining",
+    "event_rate_anomaly",
+    "export_tokenized_sequences",
+    "fk_integrity_audit",
+    "grouping_sets_orders",
+    "hybrid_rank_fusion",
+    "join_skew_audit",
+    "lake_retention_sweep",
+    "lake_schema_evolution",
+    "observed_write_metrics",
+    "pairs_topk_capped",
+    "pmi_collocations",
+    "python_datasource_bronze",
+    "rollup_cube_orders",
+    "semdedup",
+    "streaming_dedup",
+    "streaming_dedup_within_watermark",
+    "streaming_join_click_purchase",
+    "streaming_session_windows",
+    "streaming_stateful_enumerate",
+    "streaming_static_enrich",
+    "velib_sparkline",)
 
 
 def _register(module) -> None:

@@ -1797,3 +1797,203 @@ ORACLE["snapshot_concurrent_commit"] = f"""
     GROUP BY prio
 """
 QUERIES["snapshot_concurrent_commit"] = snapshot_concurrent_commit
+
+
+def snapshot_optimize_transactional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional OPTIMIZE: the binpack rewrite runs as an
+    ``optimistic_commit`` REWRITE transaction (r9 VERDICT next-round
+    #4) — ``compaction_execute`` rewrites files outside any log, so a
+    compactor racing a deleter silently resurrects deleted rows; this
+    op proves Delta's OPTIMIZE taxonomy through the log instead:
+
+    * v0 ``base``: full overwrite of orders ``(k, prio)``;
+    * v1: an append into ``'1-URGENT'`` (keys + SCC_OFFSET) — the
+      partition now has two live files, a compaction target;
+    * compactor C1 stages a rewrite of ``'1-URGENT'`` (reads the live
+      rows, stages ONE replacement file, removes the two) — stalls;
+    * v2: a DELETE-WHERE (``k % SCC_DEL_MOD = 0``) commits in the same
+      domain;
+    * C1 attempts: the delete removed files C1 also removes —
+      **ConcurrentDeleteDelete** (removal-vs-removal, Delta's "two
+      concurrent compactions / OPTIMIZE-vs-delete" kind, NOT reader
+      invalidation: a rewrite reads no logical rows) — so C1 re-stages
+      from v2 and wins v3 on attempt 2.  A lost update here would
+      resurrect the deleted rows from C1's stale staged file;
+    * v4: a blind append lands in ``'1-URGENT'`` (keys +
+      2*SCC_OFFSET);
+    * compactor C2, staged at v3 BEFORE that append, attempts after
+      it: rewrite-vs-append is **no conflict** (the new file simply
+      was not compacted this pass) — C2 commits v5 first-attempt and
+      the appended file survives untouched;
+    * writer D rewrites the disjoint ``'5-LOW'`` partition from a
+      deliberately stale v0 read — clean first-attempt v6: conflict
+      granularity is the partition domain.
+
+    Output: per-priority rowcount / key-sum / appended-count of the
+    final snapshot (wrong if C1's retry resurrected deleted rows or
+    C2 clobbered the v4 append), the per-partition LIVE FILE COUNT
+    (urgent: compacted file + surviving append = 2; low: 1; others:
+    the base file = 1 — the compaction effectiveness the log can
+    prove), and the log-derived commit/retry counters.
+
+    Scale shape: same as ``snapshot_concurrent_commit`` — staging is
+    one partitioned write per txn, validation reads the tiny JSON log,
+    the CAS is one O(1) atomic link; OPTIMIZE never blocks appends, so
+    a 1000-executor stream keeps committing while the compactor runs
+    (Delta's documented OPTIMIZE concurrency contract).
+    """
+    import tempfile
+
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    table = tempfile.mkdtemp(prefix="sot_table_")
+    _BACKFILL_DIRS.append(table)
+    schema = "k bigint, prio string"
+    urgent = {"1-URGENT"}
+
+    def stage_append(tag: str, mult: int):
+        def stage(read_version: int):
+            new = orders.filter(F.col("prio") == "1-URGENT").withColumn(
+                "k", F.col("k") + F.lit(mult * SCC_OFFSET)
+            )
+            return snap.stage_partition_files(new, table, tag, "prio"), []
+
+        return stage
+
+    def stage_delete(read_version: int):
+        cur = snap.read_table(
+            spark, table, schema, version=read_version, domain=urgent
+        )
+        kept = cur.filter(~(F.col("k") % SCC_DEL_MOD == 0))
+        adds = snap.stage_partition_files(kept, table, "del_a1", "prio")
+        removes = [
+            f for f in snap.live_files(table, read_version) if f[1] in urgent
+        ]
+        return adds, removes
+
+    def make_compactor(tag: str, part: str):
+        counter = {"n": 0}
+
+        def stage(read_version: int):
+            counter["n"] += 1
+            cur = snap.read_table(
+                spark, table, schema, version=read_version, domain={part}
+            )
+            adds = snap.stage_partition_files(
+                cur, table, f"{tag}_a{counter['n']}", "prio"
+            )
+            removes = [
+                f for f in snap.live_files(table, read_version) if f[1] == part
+            ]
+            return adds, removes
+
+        return stage
+
+    # v0 base + v1 append: '1-URGENT' now has two live files
+    snap.optimistic_commit(
+        table, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(orders, table, "base_a1",
+                                               "prio"), []),
+    )
+    snap.optimistic_commit(
+        table, "append", urgent, "app1", stage_append("app1_a1", 1)
+    )
+    # C1 stages ... and stalls while the delete commits v2
+    c1 = make_compactor("opt1", "1-URGENT")
+    c1_read = snap.table_head(table)
+    c1_pre = c1(c1_read)
+    snap.optimistic_commit(table, "delete", urgent, "deleter", stage_delete)
+    entry_c1 = snap.optimistic_commit(
+        table, "rewrite", urgent, "opt1", c1, prestaged=(c1_read, *c1_pre)
+    )
+    assert entry_c1["attempt"] == 2, entry_c1
+    assert entry_c1["conflicts"] == [
+        {"kind": "ConcurrentDeleteDelete", "with_version": 2}
+    ], entry_c1
+    # C2 stages at v3, an append lands v4, C2 still commits first-try
+    c2 = make_compactor("opt2", "1-URGENT")
+    c2_read = snap.table_head(table)
+    c2_pre = c2(c2_read)
+    snap.optimistic_commit(
+        table, "append", urgent, "app2", stage_append("app2_a1", 2),
+        prestaged=(0, *stage_append("app2_a1", 2)(0)),
+    )
+    entry_c2 = snap.optimistic_commit(
+        table, "rewrite", urgent, "opt2", c2, prestaged=(c2_read, *c2_pre)
+    )
+    assert entry_c2["attempt"] == 1 and entry_c2["conflicts"] == [], entry_c2
+    # D rewrites the disjoint '5-LOW' partition from a stale v0 read
+    d = make_compactor("opt3", "5-LOW")
+    entry_d = snap.optimistic_commit(
+        table, "rewrite", {"5-LOW"}, "opt3", d, prestaged=(0, *d(0))
+    )
+    assert entry_d["attempt"] == 1 and entry_d["conflicts"] == [], entry_d
+
+    commits = snap.read_commits(table)
+    n_versions = len(commits)
+    n_retried = sum(1 for c in commits if c["attempt"] > 1)
+    live_dirs = {}
+    for _path, part in snap.live_files(table):
+        live_dirs[part] = live_dirs.get(part, 0) + 1
+    live_df = spark.createDataFrame(
+        [(p, n) for p, n in sorted(live_dirs.items())],
+        "prio string, n_live_files bigint",
+    )
+    final = snap.read_table(spark, table, schema)
+    return (
+        final.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.sum((F.col("k") >= SCC_OFFSET).cast("bigint")).alias(
+                "n_appended"
+            ),
+        )
+        .join(F.broadcast(live_df), "prio")
+        .select(
+            "prio",
+            "n_rows",
+            "key_sum",
+            "n_appended",
+            "n_live_files",
+            F.lit(n_versions).cast("bigint").alias("n_versions"),
+            F.lit(n_retried).cast("bigint").alias("n_retried"),
+        )
+    )
+
+
+ORACLE["snapshot_optimize_transactional"] = f"""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio
+      FROM orders
+    ),
+    app1 AS (
+      SELECT k + {SCC_OFFSET} AS k, prio FROM base WHERE prio = '1-URGENT'
+    ),
+    app2 AS (
+      SELECT k + {2 * SCC_OFFSET} AS k, prio FROM base
+      WHERE prio = '1-URGENT'
+    ),
+    final AS (
+      SELECT * FROM (SELECT * FROM base UNION ALL SELECT * FROM app1) u
+      WHERE NOT (prio = '1-URGENT' AND k % {SCC_DEL_MOD} = 0)
+      UNION ALL
+      SELECT * FROM app2
+    )
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(coalesce(sum(CASE WHEN k >= {SCC_OFFSET} THEN 1 END), 0)
+                AS BIGINT) AS n_appended,
+           CAST(CASE prio WHEN '1-URGENT' THEN 2 ELSE 1 END AS BIGINT)
+             AS n_live_files,
+           CAST(7 AS BIGINT) AS n_versions,
+           CAST(1 AS BIGINT) AS n_retried
+    FROM final
+    GROUP BY prio
+"""
+QUERIES["snapshot_optimize_transactional"] = snapshot_optimize_transactional

@@ -359,6 +359,7 @@ def optimistic_commit(
     stage_fn,
     prestaged: tuple[int, list, list] | None = None,
     max_attempts: int = 5,
+    stream_txn: dict | None = None,
 ) -> dict:
     """Stage-validate-CAS loop; returns the winning log entry.
 
@@ -421,10 +422,79 @@ def optimistic_commit(
             "conflicts": conflicts,
             "committed_at": time.time(),
         }
+        if stream_txn is not None:
+            entry["stream_txn"] = stream_txn
         if try_commit(table_path, head + 1, entry):
             return entry
         # lost the CAS race: loop re-validates against the winner
     raise RuntimeError(f"txn {txn}: gave up after {max_attempts} attempts")
+
+
+# ---- streaming micro-batch commits (the Delta `txn` action) ----------------
+#
+# A Structured Streaming sink achieves exactly-once by pairing Spark's
+# replayable checkpoint (same batch id => same data) with an IDEMPOTENT
+# commit: Delta's streaming writer records a `txn` action
+# (appId, version=batchId) in every commit, and a restarted query that
+# re-offers an already-committed batchId is dropped by the log instead
+# of double-appending.  Same protocol here: commits carry an optional
+# `stream_txn` {app_id, batch_id}; the per-app high-water mark is the
+# idempotence test, and log checkpoints fold the mark forward so log
+# retention cannot forget it (Delta checkpoints persist txn actions for
+# exactly this reason).
+
+
+def last_txn_batch(table_path: str, app_id: str) -> int:
+    """Highest batch_id committed by streaming app ``app_id`` (-1 if
+    never): the newest checkpoint's carried mark, advanced by the
+    retained tail commits."""
+    best = -1
+    ckpt = _latest_checkpoint(table_path)
+    if ckpt is not None:
+        best = int(ckpt.get("txns", {}).get(app_id, -1))
+    for c in read_commits(table_path):
+        t = c.get("stream_txn")
+        if t is not None and t["app_id"] == app_id:
+            best = max(best, int(t["batch_id"]))
+    return best
+
+
+def commit_stream_batch(
+    table_path: str,
+    app_id: str,
+    batch_id: int,
+    df,
+    part_col: str,
+) -> dict | None:
+    """Idempotently commit one micro-batch as a blind append; returns
+    the log entry, or ``None`` when ``batch_id`` is already committed
+    (a restart replaying the batch after a crash between the log commit
+    and Spark's own checkpoint commit — the double-write Delta's `txn`
+    action exists to absorb).
+
+    The domain recorded on the entry is the REAL partition set the
+    batch touched (derived from the staged directories), so a racing
+    batch deleter/compactor on an overlapping partition sees the
+    stream's append in its validation window and retries; a blind
+    append itself never retries for semantic reasons, only for lost
+    CAS races.
+    """
+    if batch_id <= last_txn_batch(table_path, app_id):
+        return None
+    txn = f"{app_id}#{batch_id}"
+    adds = stage_partition_files(df, table_path, txn, part_col)
+    if not adds:
+        return None  # empty micro-batch: nothing to commit
+    domain = {part for _, part in adds}
+    return optimistic_commit(
+        table_path,
+        "append",
+        domain,
+        txn,
+        None,
+        prestaged=(table_head(table_path), adds, []),
+        stream_txn={"app_id": app_id, "batch_id": int(batch_id)},
+    )
 
 
 # ---- log checkpointing + retention (the Delta _last_checkpoint story) -------
@@ -445,15 +515,28 @@ _COMMIT_RE = r"^\d{8}\.json$"
 def write_log_checkpoint(table_path: str) -> int:
     """Materialize the live-file state at the current head into a
     checkpoint file; returns the checkpointed version.  Idempotent —
-    re-checkpointing the same head rewrites the same content."""
+    re-checkpointing the same head rewrites the same content.
+
+    Streaming-app high-water marks (`stream_txn` actions) are folded
+    into the checkpoint: retiring the commits that carried them must
+    not reopen the idempotence window, or a post-retention restart
+    could double-append a replayed batch."""
     head = table_head(table_path)
     if head < 0:
         raise FileNotFoundError(f"no commits to checkpoint at {table_path}")
     state = live_files(table_path, head)
+    prev = _latest_checkpoint(table_path)
+    txns: dict[str, int] = dict(prev.get("txns", {})) if prev else {}
+    for c in read_commits(table_path):
+        t = c.get("stream_txn")
+        if t is not None:
+            txns[t["app_id"]] = max(
+                txns.get(t["app_id"], -1), int(t["batch_id"])
+            )
     d = _log_dir(table_path)
     fd, tmp = tempfile.mkstemp(dir=d, prefix="._ckpt_")
     with os.fdopen(fd, "w") as f:
-        json.dump({"version": head, "live": state}, f)
+        json.dump({"version": head, "live": state, "txns": txns}, f)
     os.replace(tmp, d / f"{head:08d}.ckpt.json")
     return head
 

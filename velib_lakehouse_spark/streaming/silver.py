@@ -1196,3 +1196,131 @@ ORACLE["streaming_join_left_outer"] = f"""
      AND p.purchase_ts <= c.click_ts + INTERVAL {JOIN_WINDOW_SECONDS} SECONDS
 """
 QUERIES["streaming_join_left_outer"] = streaming_join_left_outer
+
+
+# ---- streaming writes through the transaction log (r9 VERDICT #2) -----------
+
+TXN_SINK_APP_ID = "silver_txn_sink"
+TXN_SINK_N_FILES = 3
+TXN_SINK_SCHEMA = "event_id bigint, event_type string, value double"
+
+
+def streaming_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming micro-batches committed through the snapshot
+    TRANSACTION LOG with (appId, batchId) idempotence — Delta's ``txn``
+    action welded onto the streaming sink, so stream and batch writers
+    finally share one table safely (the weakest remaining protocol gap
+    the r9 VERDICT named: ``run_silver_stream`` lands raw checkpointed
+    parquet a concurrent compactor/deleter cannot coordinate with,
+    reference src/assets/silver.py:55-70 has the same split-brain).
+
+    The audited interleave, driven inline (the
+    ``snapshot_concurrent_commit`` style):
+
+    * events split into ``TXN_SINK_N_FILES`` files; a file-source
+      stream with ``maxFilesPerTrigger=1`` drains them as that many
+      micro-batches, each committed to the log as a blind append whose
+      entry records ``stream_txn = (app_id, batch_id)`` and the REAL
+      partition domain it touched;
+    * an injected crash fires in batch 1 AFTER the log commit but
+      BEFORE Spark records the batch in its own checkpoint — exactly
+      the torn window where a log-less sink double-writes;
+    * the restarted query (same checkpoint) replays batch 1 with the
+      same batch id; ``commit_stream_batch`` sees the app's high-water
+      mark and drops it — the replay is COUNTED but commits nothing —
+      then batch 2 commits normally.
+
+    Output: per-event_type counts / id-sums / value-sums read THROUGH
+    the log, plus the log-derived commit and replay counters.  The
+    values only match the oracle (a plain batch aggregate over events)
+    if every event landed EXACTLY once — a double-committed replay
+    inflates every aggregate and the commit count.
+
+    Scale shape: each micro-batch is one partitioned write + one O(1)
+    CAS commit (no driver loop, validation reads the tiny JSON log);
+    idempotence state is one integer per app, folded into log
+    checkpoints so retention cannot reopen the window.
+    """
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    table = tempfile.mkdtemp(prefix="txn_sink_table_")
+    src = tempfile.mkdtemp(prefix="txn_sink_src_")
+    ckpt = tempfile.mkdtemp(prefix="txn_sink_ckpt_")
+    _DRAIN_DIRS.extend([table, src, ckpt])
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    events.repartition(TXN_SINK_N_FILES).write.mode("overwrite").parquet(
+        os.path.join(src, "events.parquet")
+    )
+
+    state = {"replays_skipped": 0, "inject_crash": True}
+
+    def commit_batch(bdf: DataFrame, batch_id: int) -> None:
+        out = bdf.select("event_id", "event_type", "value")
+        entry = snap.commit_stream_batch(
+            table, TXN_SINK_APP_ID, batch_id, out, "event_type"
+        )
+        if entry is None:
+            state["replays_skipped"] += 1
+        if batch_id == 1 and state["inject_crash"]:
+            state["inject_crash"] = False
+            raise RuntimeError(
+                "injected crash: after log commit, before spark checkpoint"
+            )
+
+    def run_once() -> None:
+        stream = _event_stream(spark, src, max_files_per_trigger=1)
+        query = (
+            stream.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    try:
+        run_once()
+        raise AssertionError("the injected crash must abort the first run")
+    except Exception as e:  # noqa: BLE001 - StreamingQueryException wrapper
+        if "injected crash" not in str(e):
+            raise
+    run_once()  # restart from the same checkpoint: replay + finish
+
+    commits = snap.read_commits(table)
+    batch_ids = sorted(c["stream_txn"]["batch_id"] for c in commits)
+    assert batch_ids == list(range(TXN_SINK_N_FILES)), batch_ids
+    assert state["replays_skipped"] == 1, state
+
+    final = snap.read_table(spark, table, TXN_SINK_SCHEMA)
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").alias("id_sum"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    ).select(
+        "event_type",
+        "n_events",
+        "id_sum",
+        "total_value",
+        F.lit(len(commits)).cast("bigint").alias("n_commits"),
+        F.lit(state["replays_skipped"]).cast("bigint").alias(
+            "n_replays_skipped"
+        ),
+    )
+
+
+ORACLE["streaming_txn_sink"] = f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS id_sum,
+           CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value,
+           CAST({TXN_SINK_N_FILES} AS BIGINT) AS n_commits,
+           CAST(1 AS BIGINT) AS n_replays_skipped
+    FROM events
+    GROUP BY event_type
+"""
+QUERIES["streaming_txn_sink"] = streaming_txn_sink
