@@ -264,6 +264,19 @@ def streaming_python_datasource_feed(
     aggregate over the same table.
     """
     ensure_package_on_workers(spark)
+    # The planner-side PYTHON STREAMING SOURCE RUNNER does not add
+    # addPyFile includes to sys.path before unpickling the DataSource
+    # (the batch planner worker does — setup_spark_files runs for it),
+    # so a by-reference pickle of this class dies with
+    # ModuleNotFoundError whenever the driver wasn't launched with the
+    # repo on PYTHONPATH (any real harness).  Pickling this module by
+    # VALUE makes the streamed source self-contained: the reader
+    # classes and shard helpers close over stdlib + pyspark only.
+    from pyspark import cloudpickle as _cp
+
+    import velib_lakehouse_spark.sources.pyds as _pyds_mod
+
+    _cp.register_pickle_by_value(_pyds_mod)
     spark.dataSource.register(VelibFeedDataSource)
     feed = spark.readStream.format("velib_feed").option("path", sf_dir).load()
     parsed = feed.select(
