@@ -644,3 +644,104 @@ ORACLE["link_prediction_common_neighbors"] = f"""
     JOIN deg dq ON dq.a = n.q
 """
 QUERIES["link_prediction_common_neighbors"] = link_prediction_common_neighbors
+
+
+# ---- Multi-source BFS hop levels ----
+
+BFS_SEED_MOD = 7  # seeds: nodes with node % 7 == 0 (landmark set)
+BFS_MAX_HOPS = 3  # bounded-hop contract, like REC_DEPTH in dedup
+
+
+def bfs_hop_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: hop distance from a landmark seed set to every
+    node of the co-activity graph, bounded at ``BFS_MAX_HOPS`` — the
+    traversal primitive the graph family was missing (pagerank walks
+    mass, k-core peels, label-prop gossips; nothing measured DISTANCE).
+    Multi-source is the shape production graph systems actually run
+    (landmark distance labeling for reachability/closeness features):
+    one frontier expansion serves every seed at once.
+
+    Algorithm: textbook frontier BFS as a driver loop of DataFrame ops
+    (the ``pagerank_user_graph`` Pregel precedent).  Level 0 is the
+    seed set (``node % BFS_SEED_MOD == 0``); each hop joins the
+    CURRENT FRONTIER (not the visited set) to the edge list, anti-joins
+    the visited set, and the survivors become the next frontier.
+    Unreached nodes report level -1 (explicit, not NULL — the driver's
+    hash canonicalization treats them identically in both engines).
+
+    Scale shape:
+
+    * each hop is ONE join shuffle keyed by the edge source plus one
+      anti-join against visited; the join input is the FRONTIER
+      (shrinks as the wavefront passes), never the full visited set —
+      the classic BFS-on-Pregel cost model, O(edges touched per hop);
+    * the visited set is one row per reached node; both it and the
+      frontier are ``localCheckpoint``-ed per hop so the plan does not
+      re-derive the edge generation per iteration (lineage-depth
+      convention from ``pagerank_user_graph``);
+    * hop count is BOUNDED: landmark seeds every ``BFS_SEED_MOD``-th
+      node mean the wavefronts meet within a few hops whatever the
+      graph size — the same bounded-diameter argument
+      ``dedup_clusters_recursive`` makes for near-dup cliques;
+    * the DuckDB oracle unrolls the same hops as CTEs, so every
+      level assignment is hash-checked.
+    """
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = nodes.filter(F.col("node") % BFS_SEED_MOD == 0)
+    visited = frontier.select("node", F.lit(0).cast("bigint").alias("level"))
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.a == frontier.node)
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionByName(
+            nxt.select("node", F.lit(hop).cast("bigint").alias("level"))
+        ).localCheckpoint(eager=True)
+        frontier = nxt
+    return nodes.join(visited, "node", "left").select(
+        "node", F.coalesce("level", F.lit(-1)).cast("bigint").alias("level")
+    )
+
+
+def _sql_bfs() -> str:
+    parts = [f"""
+        WITH {_sql_edges()},
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT a AS node FROM edges UNION ALL SELECT b AS node FROM edges
+          )
+        ),
+        l0 AS (SELECT node FROM nodes WHERE node % {BFS_SEED_MOD} = 0),
+        v0 AS (SELECT node, CAST(0 AS BIGINT) AS level FROM l0)"""]
+    for hop in range(1, BFS_MAX_HOPS + 1):
+        parts.append(f"""
+        , l{hop} AS (
+          SELECT DISTINCT e.b AS node
+          FROM edges e JOIN l{hop - 1} f ON e.a = f.node
+          WHERE NOT EXISTS (
+            SELECT 1 FROM v{hop - 1} v WHERE v.node = e.b
+          )
+        ),
+        v{hop} AS (
+          SELECT node, level FROM v{hop - 1}
+          UNION ALL
+          SELECT node, CAST({hop} AS BIGINT) AS level FROM l{hop}
+        )""")
+    parts.append(f"""
+        SELECT n.node, COALESCE(v.level, -1) AS level
+        FROM nodes n LEFT JOIN v{BFS_MAX_HOPS} v ON n.node = v.node
+    """)
+    return "".join(parts)
+
+
+ORACLE["bfs_hop_levels"] = _sql_bfs()
+QUERIES["bfs_hop_levels"] = bfs_hop_levels

@@ -2362,3 +2362,181 @@ ORACLE["theta_sketch_set_algebra"] = f"""
     JOIN totals tb ON tb.source = e.source_b
 """
 QUERIES["theta_sketch_set_algebra"] = theta_sketch_set_algebra
+
+
+# ---- Sliding-window distinct via per-day HLL register merges ----------------
+
+HLL_SLIDE_DAY_MS = 86_400_000
+HLL_SLIDE_WINDOW_DAYS = 7  # trailing window: day-6 .. day
+
+
+def hll_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct-user estimate per day, computed by
+    MERGING per-day HLL registers inside a RANGE-frame window — the
+    sketch-composition pattern a 100 TB metrics pipeline actually
+    ships: materialize m registers per day ONCE (incremental, tiny),
+    then answer every sliding window by elementwise-max over sketches,
+    never re-scanning events.  ``hll_merge_rollup`` proves registers
+    merge across a static hierarchy; this op proves the same algebra
+    under a TIME window, where the exact answer (distinct over 7 days)
+    is famously non-additive day over day.
+
+    Pipeline: distinct (day, user) -> per-(day, bucket) max-rho
+    registers -> dense day x m grid (absent buckets = 0) -> per-bucket
+    ``max(r) OVER (ORDER BY day RANGE 6 PRECEDING)`` -> per-day
+    harmonic sum / estimate.  The window frame is RANGE on the integer
+    day, so calendar gaps widen the frame correctly instead of slipping
+    a row-count frame.  The exact trailing distinct (the audit
+    companion) fans each (user, day) pair out to the <= 7 window days
+    it covers and counts distinct users per window day.
+
+    Scale shape: the register path shuffles once to (day, bucket) —
+    days x m rows total, KB per year per metric — and the window merge
+    runs over that sketch table only.  The exact path costs a 7x
+    explode of distinct (user, day) and is the audit tier the estimate
+    retires at scale.  All register arithmetic is integer (the
+    ``HLL_SCALE`` convention); the estimate division is the single
+    float op, evaluated from identical IEEE inputs in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"unix_millis(ts) div {HLL_SLIDE_DAY_MS}").alias("day"),
+        F.col("user_id").cast("bigint").alias("u"),
+    )
+    pairs = ev.distinct().persist()
+    days = pairs.select("day").distinct()
+    fine = (
+        pairs.select(
+            "day", md5_long(F.col("u").cast("string")).alias("h")
+        )
+        .select(
+            "day",
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(
+                f"""CASE WHEN (h div {HLL_M}) = 0 THEN 57
+                    ELSE 57 - length(bin(h div {HLL_M})) END"""
+            ).alias("rho"),
+        )
+        .groupBy("day", "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+    grid = (
+        days.crossJoin(
+            spark.range(HLL_M).select(F.col("id").alias("bucket"))
+        )
+        .join(fine, ["day", "bucket"], "left")
+        .select(
+            "day", "bucket", F.coalesce("r", F.lit(0)).cast("int").alias("r")
+        )
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("day")
+        .rangeBetween(-(HLL_SLIDE_WINDOW_DAYS - 1), 0)
+    )
+    merged = grid.select("day", "bucket", F.max("r").over(w).alias("rw"))
+    est = merged.groupBy("day").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 57 - rw)")).alias(
+            "harmonic_scaled"
+        ),
+        F.sum(F.when(F.col("rw") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_registers"),
+    ).select(
+        "day",
+        "harmonic_scaled",
+        "n_zero_registers",
+        F.expr(
+            f"CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)}"
+            " / harmonic_scaled) AS BIGINT)"
+        ).alias("hll_estimate"),
+    )
+    covered = (
+        pairs.select(
+            "u",
+            F.explode(
+                F.expr(
+                    f"sequence(day, day + {HLL_SLIDE_WINDOW_DAYS - 1})"
+                )
+            ).alias("day"),
+        )
+        .join(days, "day")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return est.join(covered, "day").select(
+        "day",
+        "harmonic_scaled",
+        "n_zero_registers",
+        "hll_estimate",
+        "exact_distinct",
+        F.expr(
+            "(hll_estimate - exact_distinct) * 1000000"
+            " div nullif(exact_distinct, 0)"
+        ).alias("err_ppm"),
+    )
+
+
+ORACLE["hll_sliding_distinct"] = f"""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(epoch_ms(ts) // {HLL_SLIDE_DAY_MS} AS BIGINT)
+               AS day,
+             CAST(user_id AS BIGINT) AS u
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM pairs),
+    fine AS (
+      SELECT day,
+             {sql_md5_long("CAST(u AS VARCHAR)")} % {HLL_M} AS bucket,
+             CAST(max(CASE
+               WHEN ({sql_md5_long("CAST(u AS VARCHAR)")} // {HLL_M}) = 0
+                 THEN 57
+               ELSE 57 - length(bin(
+                 {sql_md5_long("CAST(u AS VARCHAR)")} // {HLL_M}))
+             END) AS INT) AS r
+      FROM pairs GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT d.day, g.bucket, COALESCE(f.r, 0) AS r
+      FROM days d
+      CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1})) AS bucket) g
+      LEFT JOIN fine f ON f.day = d.day AND f.bucket = g.bucket
+    ),
+    merged AS (
+      SELECT day, bucket,
+             max(r) OVER (
+               PARTITION BY bucket ORDER BY day
+               RANGE BETWEEN {HLL_SLIDE_WINDOW_DAYS - 1} PRECEDING
+                 AND CURRENT ROW
+             ) AS rw
+      FROM grid
+    ),
+    est AS (
+      SELECT day,
+             CAST(sum(CAST(1 AS BIGINT) << (57 - rw)) AS BIGINT)
+               AS harmonic_scaled,
+             CAST(coalesce(sum(CASE WHEN rw = 0 THEN 1 END), 0) AS BIGINT)
+               AS n_zero_registers
+      FROM merged GROUP BY day
+    ),
+    covered AS (
+      SELECT c.day, CAST(count(DISTINCT c.u) AS BIGINT) AS exact_distinct
+      FROM (
+        SELECT DISTINCT p.u, p.day + o.off AS day
+        FROM pairs p
+        CROSS JOIN (SELECT unnest(generate_series(0,
+          {HLL_SLIDE_WINDOW_DAYS - 1})) AS off) o
+      ) c
+      JOIN days d ON d.day = c.day
+      GROUP BY c.day
+    )
+    SELECT e.day, e.harmonic_scaled, e.n_zero_registers,
+           CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)}
+                / e.harmonic_scaled) AS BIGINT) AS hll_estimate,
+           c.exact_distinct,
+           (CAST(floor({HLL_ALPHA_M2} * {float(HLL_SCALE)}
+                 / e.harmonic_scaled) AS BIGINT) - c.exact_distinct)
+             * 1000000 // nullif(c.exact_distinct, 0) AS err_ppm
+    FROM est e JOIN covered c ON c.day = e.day
+"""
+QUERIES["hll_sliding_distinct"] = hll_sliding_distinct
