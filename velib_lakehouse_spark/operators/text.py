@@ -1981,3 +1981,325 @@ ORACLE["bpe_train_merges_batched"] = _bpe_batched_oracle(
     BPE_BATCH_ROUNDS, BPE_BATCH_M
 )
 QUERIES["bpe_train_merges_batched"] = bpe_train_merges_batched
+
+
+# ---- WordPiece training (likelihood-scored merges) ---------------------------
+#
+# Same loop skeleton as bpe_train_merges, different SELECTION RULE:
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) merges the
+# pair maximizing count(ab) / (count(a) * count(b)) — the pair whose
+# merge most increases a unigram LM's corpus likelihood — where
+# count(x) is the corpus frequency of SYMBOL x under the current
+# segmentation.  Frequent-but-uninformative pairs ("e"+"s") score low;
+# rare-but-exclusive pairs score high, which is why WordPiece vocabs
+# keep morpheme-like units BPE's raw-count rule passes over.
+
+WP_TRAIN_MERGES = 8  # merge-table depth, = BPE_TRAIN_MERGES for comparison
+# Integer likelihood score: cnt * SCALE div (freq_a * freq_b).  Bounds:
+# cnt <= total symbol occurrences (< 2^31 at any tested SF), so
+# cnt * 1e10 < 2^63; the divisor product of two symbol frequencies
+# stays < 2^62.  Ties break on (a, b) — deterministic in both engines.
+WP_SCORE_SCALE = 10_000_000_000
+
+
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training to a ``WP_TRAIN_MERGES``-entry
+    merge table — the likelihood-scored sibling of
+    ``bpe_train_merges`` (BERT's trainer next to GPT's), completing
+    the tokenizer-training family grid.
+
+    Each iteration is TWO aggregates over the symbolized vocabulary —
+    adjacent-pair counts (shared helper ``_bpe_pair_counts``) and
+    per-symbol frequencies (one explode + sum) — joined into the
+    integer score ``cnt * WP_SCORE_SCALE div (freq_a * freq_b)``,
+    then a TakeOrdered(1) argmax and one literal ``replace`` (the
+    doubled-separator convention; see ``bpe_train_merges`` for why
+    boundary sharing cannot occur).  The merge table is tiny driver
+    state (the IVF-centroid precedent).
+
+    The DuckDB oracle replays the SAME loop as an unrolled CTE chain
+    with the score computed from the same integer counts, so every
+    merge DECISION — not just the final table — is hash-checked; a
+    selection-rule drift (e.g. scoring against stale frequencies)
+    cannot survive the driver gate.
+
+    Scale: identical to ``bpe_train_merges`` — per-iteration cost is
+    the Zipf-bounded distinct-word vocabulary, the corpus is scanned
+    once for the word count, and a production vocab batches
+    symbol-disjoint merges per round exactly as
+    ``bpe_train_merges_batched`` does for BPE (the dominance rule is
+    selection-agnostic: rank by score instead of count).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(_words()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # persist: every iteration re-scans the symbolized vocabulary
+    base = wc.select(
+        "w",
+        "c",
+        F.concat(
+            F.lit(" "), F.array_join(F.split("w", ""), "  "), F.lit(" ")
+        ).alias("seq"),
+    ).persist()
+    cur = base
+    merges: list[tuple] = []
+    for rank in range(1, WP_TRAIN_MERGES + 1):
+        pairs = _bpe_pair_counts(cur)
+        freqs = (
+            cur.select("c", F.split(F.trim("seq"), "  ").alias("s"))
+            .select("c", F.explode("s").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("c").alias("f"))
+        )
+        top = (
+            pairs.join(
+                F.broadcast(freqs.select(F.col("sym").alias("a"),
+                                         F.col("f").alias("fa"))),
+                "a",
+            )
+            .join(
+                F.broadcast(freqs.select(F.col("sym").alias("b"),
+                                         F.col("f").alias("fb"))),
+                "b",
+            )
+            .select(
+                "a",
+                "b",
+                "cnt",
+                F.expr(
+                    f"cnt * {WP_SCORE_SCALE} div (fa * fb)"
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append(
+            (rank, a, b, a + b, int(top[0]["cnt"]), int(top[0]["score"]))
+        )
+        cur = cur.withColumn(
+            "seq",
+            F.replace("seq", F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
+        )
+    base.unpersist()
+    schema = (
+        "merge_rank bigint, left_sym string, right_sym string,"
+        " merged string, pair_count bigint, score bigint"
+    )
+    return spark.createDataFrame(merges, schema)
+
+
+def _wp_train_oracle(k: int) -> str:
+    ctes = [f"""wc AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    t0 AS MATERIALIZED (
+      SELECT w,
+             ' ' || array_to_string(string_split(w, ''), '  ') || ' '
+               AS seq, c
+      FROM wc
+    )"""]
+    for i in range(1, k + 1):
+        ctes.append(f"""q{i} AS MATERIALIZED (
+      SELECT s[j] AS a, s[j + 1] AS b, CAST(sum(c) AS BIGINT) AS cnt
+      FROM (SELECT s, c, unnest(generate_series(1, len(s) - 1)) AS j
+            FROM (SELECT string_split(trim(seq), '  ') AS s, c
+                  FROM t{i - 1}))
+      GROUP BY a, b
+    ),
+    f{i} AS MATERIALIZED (
+      SELECT sym, CAST(sum(c) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(trim(seq), '  ')) AS sym, c
+            FROM t{i - 1})
+      GROUP BY sym
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT q.a, q.b, q.cnt,
+             q.cnt * {WP_SCORE_SCALE} // (fa.f * fb.f) AS score
+      FROM q{i} q
+      JOIN f{i} fa ON fa.sym = q.a
+      JOIN f{i} fb ON fb.sym = q.b
+      ORDER BY score DESC, q.a ASC, q.b ASC LIMIT 1
+    ),
+    t{i} AS MATERIALIZED (
+      SELECT t.w,
+             CASE WHEN g.a IS NULL THEN t.seq
+                  ELSE replace(t.seq, ' ' || g.a || '  ' || g.b || ' ',
+                               ' ' || g.a || g.b || ' ') END AS seq,
+             t.c
+      FROM t{i - 1} t LEFT JOIN g{i} g ON TRUE
+    )"""
+        )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged, cnt AS pair_count,"
+        f" score FROM g{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {unions}"
+
+
+ORACLE["wordpiece_train_merges"] = _wp_train_oracle(WP_TRAIN_MERGES)
+QUERIES["wordpiece_train_merges"] = wordpiece_train_merges
+
+
+# ---- Bigram-LM perplexity filter (absolute discounting) ----------------------
+#
+# The CCNet recipe (Wenzek et al. 2020): score every document's
+# perplexity under an n-gram LM and bucket the corpus into head /
+# middle / tail quality tiers — the filter that decides what a web
+# crawl contributes to training.  ``unigram_logprob_score`` is the
+# order-1 proxy; this is the real conditional model one order up, with
+# interpolated ABSOLUTE DISCOUNTING (Ney, Essen & Kneser 1994):
+#
+#   P(w | v) = (c(v,w) - D) / c(v)  +  D * N1(v) / c(v) * c(w) / T
+#
+# with D = 3/4 kept RATIONAL so the probability is the integer ratio
+#   num = (4*c(v,w) - 3) * T + 3 * N1(v) * c(w)
+#   den = 4 * c(v) * T
+# and the only float op is the final -ln(num/den), evaluated from
+# identical IEEE inputs in both engines and floor-quantized to the
+# LM_QUANT micro-grid before the per-doc sum (the module convention).
+# num and den stay < 2^53 while c(v)*T < 2^51 — documents at any
+# tested SF clear that by orders of magnitude; a trillion-token corpus
+# would move the grid to ppb-of-total instead (documented, not coded).
+
+PPL_HEAD_MICRO = 3_390_000  # < 3.39 nats/bigram -> "head"
+PPL_TAIL_MICRO = 3_410_000  # >= 3.41 nats/bigram -> "tail"
+
+
+def bigram_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood + CCNet-style
+    head/middle/tail bucket.  The LM trains on the corpus being scored
+    (CCNet trains on a reference corpus; the join shape is identical —
+    swap the count tables' source).
+
+    Scale shape:
+
+    * bigram extraction is MAP-SIDE (one ``transform`` over the word
+      array per document — no self-join, no window);
+    * the model is three Zipf-bounded aggregates: bigram counts,
+      left-context totals (derived FROM the bigram counts — one
+      re-aggregation, no second corpus pass), and unigram counts;
+    * scoring joins each document bigram to its three count rows —
+      AQE broadcasts the count tables while they fit, sort-merge
+      beyond, no code change;
+    * docs with < 2 words carry no bigram and drop out (inner join),
+      mirroring ``text_stats``'s zero-word convention.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    doc_big = d.select(
+        "doc_id", _words().alias("ws")
+    ).filter(F.size("ws") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] as v, ws[i + 1] as w))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.v", "p.w")
+    big = doc_big.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx = big.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1_v")
+    )
+    words = d.select(F.explode(_words()).alias("w"))
+    uni = words.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    total = uni.agg(F.sum("c_w").alias("t"))
+    scored = (
+        doc_big.join(big, ["v", "w"])
+        .join(ctx, "v")
+        .join(uni, "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr(
+                "floor(-ln(cast((4 * c_vw - 3) * t + 3 * n1_v * c_w"
+                "            as double)"
+                "          / cast(4 * c_v * t as double))"
+                f"      * {LM_QUANT})"
+            ).cast("bigint").alias("cost_micro"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("cost_micro").alias("sum_cost_micro"),
+    )
+    nll_micro = F.floor(F.col("sum_cost_micro") / F.col("n_bigrams")).cast(
+        "bigint"
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_cost_micro",
+        (nll_micro / F.lit(LM_QUANT)).alias("nll_per_bigram"),
+        F.when(nll_micro < PPL_HEAD_MICRO, F.lit("head"))
+        .when(nll_micro < PPL_TAIL_MICRO, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )
+
+
+ORACLE["bigram_perplexity_filter"] = f"""
+    WITH doc_big AS (
+      SELECT doc_id, ws[j] AS v, ws[j + 1] AS w
+      FROM (
+        SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS j
+        FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+        WHERE len(ws) >= 2
+      )
+    ),
+    big AS (
+      SELECT v, w, CAST(count(*) AS BIGINT) AS c_vw
+      FROM doc_big GROUP BY v, w
+    ),
+    ctx AS (
+      SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v,
+             CAST(count(*) AS BIGINT) AS n1_v
+      FROM big GROUP BY v
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c_w
+      FROM (SELECT unnest({_SQL_WORDS}) AS w FROM documents)
+      GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c_w) AS BIGINT) AS t FROM uni),
+    scored AS (
+      SELECT d.doc_id,
+             CAST(floor(-ln(
+                 CAST((4 * b.c_vw - 3) * tot.t + 3 * x.n1_v * u.c_w
+                      AS DOUBLE)
+                 / CAST(4 * x.c_v * tot.t AS DOUBLE))
+               * {LM_QUANT}) AS BIGINT) AS cost_micro
+      FROM doc_big d
+      JOIN big b ON b.v = d.v AND b.w = d.w
+      JOIN ctx x ON x.v = d.v
+      JOIN uni u ON u.w = d.w
+      CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(cost_micro) AS BIGINT) AS sum_cost_micro
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_cost_micro,
+           CAST(floor(sum_cost_micro / n_bigrams) AS BIGINT)
+             / {LM_QUANT} AS nll_per_bigram,
+           CASE
+             WHEN CAST(floor(sum_cost_micro / n_bigrams) AS BIGINT)
+                  < {PPL_HEAD_MICRO} THEN 'head'
+             WHEN CAST(floor(sum_cost_micro / n_bigrams) AS BIGINT)
+                  < {PPL_TAIL_MICRO} THEN 'middle'
+             ELSE 'tail'
+           END AS ppl_bucket
+    FROM per_doc
+"""
+QUERIES["bigram_perplexity_filter"] = bigram_perplexity_filter
