@@ -56,11 +56,16 @@ DRIVER_WINDOW = 50
 # * 1 changed => re-window: dedup_icws_weighted_minhash (the r9 ADVICE
 #   quantized-ranking-key fix: argmin now compares a 2^-20 log-domain
 #   integer with the element string as tie-break in both engines).
+# * 6 more new operators (the round-10 growth batch, never driver-
+#   checked, so they outrank already-green rotation candidates):
+#   bfs_hop_levels, hll_sliding_distinct, snapshot_shallow_clone,
+#   wordpiece_train_merges, bigram_perplexity_filter,
+#   multimodal_image_phash_neardup.
 # * The 8 r4-era rows staged at the head of SECONDARY last round —
 #   closing the freshness ratchet: after this round no row's latest
 #   green predates round 5.
-# * 37 of the 48 r5-era rows, name order; the remaining 11
-#   (tpch_q19/q20/q21/q22/q2/q4/q5/q7/q8/q9 + winnow_fingerprints)
+# * 31 of the 48 r5-era rows, name order; the remaining 17
+#   (tpch_q13..q22/q2/q4/q5/q7/q8/q9 + winnow_fingerprints)
 #   head SECONDARY as the r11 queue.  Family coverage holds without
 #   swaps this round: every family keeps either a window member or an
 #   r8/r9-green representative (relational keeps tpch_q3_shipping +
@@ -72,6 +77,16 @@ PRIORITY: tuple[str, ...] = (
     "snapshot_optimize_transactional",
     "dedup_icws_capped",
     "bpe_train_merges_batched",
+    # new this round (growth batch): graph traversal (multi-source
+    # BFS), sketch-x-window composition (sliding HLL), zero-copy
+    # lakehouse clone, WordPiece next to BPE, the CCNet perplexity
+    # filter, and frequency-domain image near-dup — first driver rows
+    "bfs_hop_levels",
+    "hll_sliding_distinct",
+    "snapshot_shallow_clone",
+    "wordpiece_train_merges",
+    "bigram_perplexity_filter",
+    "multimodal_image_phash_neardup",
     # changed => re-window (r9 ADVICE: ICWS quantized ranking key)
     "dedup_icws_weighted_minhash",
     # the staged r4-era queue (r9 VERDICT #1) — ratchet closure
@@ -115,21 +130,23 @@ PRIORITY: tuple[str, ...] = (
     "streaming_python_datasource_feed",
     "table_checksum_audit",
     "tpch_q11_important_parts",
-    "tpch_q12_lateness_priority",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_share",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",)
+    "tpch_q12_lateness_priority",)
 
 # Registered immediately AFTER the window, highest value first: if a
 # future driver checks more than DRIVER_WINDOW queries, these are the
 # ones it should reach next.
 SECONDARY: tuple[str, ...] = (
-    # ROUND-11 ROTATION QUEUE: the eleven r5-era rows the 50-slot
-    # budget could not fit this round — the stalest evidence once the
-    # r10 window lands, so they rotate in first next round.
+    # ROUND-11 ROTATION QUEUE: the seventeen r5-era rows the 50-slot
+    # budget could not fit this round (six tpch rows were displaced
+    # mid-round when the six growth-batch operators took their
+    # never-checked-first slots) — the stalest evidence once the r10
+    # window lands, so they rotate in first next round.
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_share",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
     "tpch_q19_bracket_revenue",
     "tpch_q20_heavy_shippers",
     "tpch_q21_waiting_suppliers",

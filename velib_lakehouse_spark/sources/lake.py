@@ -1997,3 +1997,173 @@ ORACLE["snapshot_optimize_transactional"] = f"""
     GROUP BY prio
 """
 QUERIES["snapshot_optimize_transactional"] = snapshot_optimize_transactional
+
+
+# ---- shallow clone + divergent writers --------------------------------------
+
+SCL_DEL_MOD = 3  # source's post-clone delete predicate: k % 3 == 0
+
+
+def snapshot_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE audit: clone a snapshot table at a
+    pinned version, then let source and clone DIVERGE — the
+    dev/staging workflow Delta's ``CREATE TABLE ... SHALLOW CLONE``
+    exists for (experiment on production data without copying it or
+    endangering it).
+
+    Script (all through ``sources/snapshots.py``):
+
+    * source v0: overwrite with orders ``(k, prio)`` partitioned by
+      priority; source v1: blind append of the urgent rows shifted by
+      ``SCC_OFFSET``;
+    * **clone at v1** (``shallow_clone``): the clone's v0 references
+      the source's base+append files by absolute path — no bytes move;
+    * source v2 (post-clone): delete-where ``prio = '1-URGENT' AND
+      k % SCL_DEL_MOD = 0`` — rewrites the urgent partition;
+    * clone v1 (post-clone): blind append of the '5-LOW' rows shifted
+      by ``SCC_OFFSET``.
+
+    Output: per (table, priority) rowcount / key-sum / appended-count
+    plus each log's version count.  The numbers only come out right if
+    isolation held BOTH ways: the clone must still serve the
+    pre-delete urgent rows through the source's ORIGINAL files (its
+    pinned v1 — a clone that tracked the source would lose them), and
+    the source must not see the clone's '5-LOW' append (a clone that
+    wrote through would inflate it).
+
+    Scale shape: the clone commit is METADATA-ONLY — one log entry
+    listing the source's live files, O(files) however many petabytes
+    they hold; divergent writes are ordinary staged commits on
+    independent logs, and reads resolve absolute-path adds with zero
+    indirection.  The source-retention hazard (vacuum kills clones) is
+    documented at the protocol function.
+    """
+    import tempfile
+
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    src = tempfile.mkdtemp(prefix="scl_src_")
+    dst = tempfile.mkdtemp(prefix="scl_dst_")
+    _BACKFILL_DIRS.extend([src, dst])
+    schema = "k bigint, prio string"
+    urgent = {"1-URGENT"}
+
+    snap.optimistic_commit(
+        src,
+        "overwrite",
+        None,
+        "base",
+        lambda rv: (snap.stage_partition_files(orders, src, "base_a1", "prio"), []),
+    )
+    appended = orders.filter(F.col("prio") == "1-URGENT").withColumn(
+        "k", F.col("k") + F.lit(SCC_OFFSET)
+    )
+    snap.optimistic_commit(
+        src,
+        "append",
+        urgent,
+        "pre_clone_append",
+        lambda rv: (snap.stage_partition_files(appended, src, "app_a1", "prio"), []),
+    )
+
+    clone_entry = snap.shallow_clone(src, dst)
+    assert clone_entry["clone_of"]["version"] == 1, clone_entry
+
+    def stage_delete(read_version: int):
+        cur = snap.read_table(
+            spark, src, schema, version=read_version, domain=urgent
+        )
+        kept = cur.filter(~(F.col("k") % SCL_DEL_MOD == 0))
+        adds = snap.stage_partition_files(kept, src, "del_a1", "prio")
+        removes = [
+            f for f in snap.live_files(src, read_version) if f[1] in urgent
+        ]
+        return adds, removes
+
+    snap.optimistic_commit(src, "delete", urgent, "post_clone_delete", stage_delete)
+
+    low = orders.filter(F.col("prio") == "5-LOW").withColumn(
+        "k", F.col("k") + F.lit(SCC_OFFSET)
+    )
+    snap.optimistic_commit(
+        dst,
+        "append",
+        {"5-LOW"},
+        "clone_append",
+        lambda rv: (snap.stage_partition_files(low, dst, "cApp_a1", "prio"), []),
+    )
+
+    n_src_versions = len(snap.read_commits(src))
+    n_dst_versions = len(snap.read_commits(dst))
+    final_src = snap.read_table(spark, src, schema).withColumn(
+        "tbl", F.lit("source")
+    )
+    final_dst = snap.read_table(spark, dst, schema).withColumn(
+        "tbl", F.lit("clone")
+    )
+    return (
+        final_src.unionByName(final_dst)
+        .groupBy("tbl", "prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("key_sum"),
+            F.sum((F.col("k") >= SCC_OFFSET).cast("bigint")).alias(
+                "n_appended"
+            ),
+        )
+        .select(
+            "tbl",
+            "prio",
+            "n_rows",
+            "key_sum",
+            "n_appended",
+            F.when(F.col("tbl") == "source", F.lit(n_src_versions))
+            .otherwise(F.lit(n_dst_versions))
+            .cast("bigint")
+            .alias("n_versions"),
+        )
+    )
+
+
+ORACLE["snapshot_shallow_clone"] = f"""
+    WITH base AS (
+      SELECT CAST(o_orderkey AS BIGINT) AS k, o_orderpriority AS prio
+      FROM orders
+    ),
+    urgent_app AS (
+      SELECT k + {SCC_OFFSET} AS k, prio FROM base WHERE prio = '1-URGENT'
+    ),
+    low_app AS (
+      SELECT k + {SCC_OFFSET} AS k, prio FROM base WHERE prio = '5-LOW'
+    ),
+    source_final AS (
+      SELECT * FROM (
+        SELECT * FROM base UNION ALL SELECT * FROM urgent_app
+      ) u
+      WHERE NOT (prio = '1-URGENT' AND k % {SCL_DEL_MOD} = 0)
+    ),
+    clone_final AS (
+      SELECT * FROM base
+      UNION ALL SELECT * FROM urgent_app
+      UNION ALL SELECT * FROM low_app
+    ),
+    tagged AS (
+      SELECT 'source' AS tbl, * FROM source_final
+      UNION ALL
+      SELECT 'clone' AS tbl, * FROM clone_final
+    )
+    SELECT tbl, prio,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(k) AS BIGINT) AS key_sum,
+           CAST(coalesce(sum(CASE WHEN k >= {SCC_OFFSET} THEN 1 END), 0)
+                AS BIGINT) AS n_appended,
+           CAST(CASE WHEN tbl = 'source' THEN 3 ELSE 2 END AS BIGINT)
+             AS n_versions
+    FROM tagged
+    GROUP BY tbl, prio
+"""
+QUERIES["snapshot_shallow_clone"] = snapshot_shallow_clone

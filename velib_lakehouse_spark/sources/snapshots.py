@@ -574,3 +574,63 @@ def vacuum_log(table_path: str) -> int:
     for p in victims:
         p.unlink()
     return len(victims)
+
+
+# ---- shallow clone (Delta's CREATE TABLE ... SHALLOW CLONE) -----------------
+#
+# A shallow clone is a NEW TABLE whose first commit references the
+# source's live data files by absolute path — metadata-only, zero data
+# copied, independent log from that point on.  Writes to the clone
+# never touch the source; writes to the source never reach the clone
+# (it pinned a version).  The documented Delta hazard carries over
+# verbatim: a VACUUM on the source deletes files the clone still
+# references — the clone trades isolation-with-zero-copy for a
+# lifetime dependency on source retention.
+
+
+def shallow_clone(
+    src_table: str, dst_table: str, version: int | None = None
+) -> dict:
+    """Commit, as ``dst_table``'s FIRST log entry (v0), a ``clone``
+    action whose adds are ``src_table``'s live files at ``version``
+    (default: source head) by absolute path.  ``read_table`` resolves
+    adds with ``os.path.join(table_path, rel)``, which passes absolute
+    paths through unchanged — so no read-path change is needed for a
+    clone to serve the source's bytes.
+
+    The target must have an empty log: the CAS on version 0 makes two
+    racing cloners resolve to exactly one winner (the loser gets
+    ``FileExistsError``, Delta's CREATE-TABLE-collision behavior).
+    The fold treats ``clone`` as pure adds, which is exact because it
+    can only ever sit at version 0.
+    """
+    if table_head(dst_table) >= 0:
+        raise FileExistsError(
+            f"clone target {dst_table} already has a commit log"
+        )
+    src_head = version if version is not None else table_head(src_table)
+    if src_head < 0:
+        raise FileNotFoundError(f"clone source {src_table} has no commits")
+    src_abs = os.path.abspath(src_table)
+    adds = [
+        [os.path.join(src_abs, rel), part]
+        for rel, part in live_files(src_table, src_head)
+    ]
+    entry = {
+        "version": 0,
+        "txn": "shallow_clone",
+        "action": "clone",
+        "domain": None,
+        "read_version": -1,
+        "attempt": 1,
+        "adds": adds,
+        "removes": [],
+        "clone_of": {"table": src_abs, "version": src_head},
+        "conflicts": [],
+        "committed_at": time.time(),
+    }
+    if not try_commit(dst_table, 0, entry):
+        raise FileExistsError(
+            f"clone target {dst_table} already has a commit log"
+        )
+    return entry
