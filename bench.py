@@ -247,6 +247,12 @@ HEADLINE = [
     "snapshot_optimize_transactional",
     "dedup_icws_capped",
     "bpe_train_merges_batched",
+    "bfs_hop_levels",
+    "hll_sliding_distinct",
+    "snapshot_shallow_clone",
+    "wordpiece_train_merges",
+    "bigram_perplexity_filter",
+    "multimodal_image_phash_neardup",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

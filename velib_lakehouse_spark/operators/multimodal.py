@@ -550,24 +550,20 @@ def _phash_bits(spark: SparkSession, d: DataFrame) -> DataFrame:
     operator's front end, exposed so tests can pin the bits column
     against an independent NumPy DCT.
 
-    Relational separable DCT: pixel rows joined to a broadcast 128-row
-    quantized-cosine table, row pass then column pass, each a map-side-
-    combined sum keyed by doc — NOT nested array lambdas: a 128-literal
-    table inlined into a 3-deep higher-order-function chain is exactly
-    the expression shape that blows past codegen limits and falls back
-    to per-element interpretation (measured: minutes vs seconds for
-    the join form).  Shuffle volume is 64 coefficient longs per doc —
-    the same order as the fingerprint itself.
+    Separable DCT as TWO MULTI-AGGREGATE groupBys over exploded pixel
+    rows: pass 1 groups (doc, col) and computes the 8 row-frequency
+    sums, each ``sum(val * element_at(<16-int literal>, r + 1))``;
+    pass 2 groups (doc) and computes the 64 coefficients the same way
+    over the column index.  No join, no row fan-out — the 256 pixel
+    rows per doc partial-aggregate map-side into 16 then 1 row per
+    doc, every term inside whole-stage codegen.  Two earlier shapes
+    measured and rejected: the 128-literal cosine table inlined into a
+    3-deep higher-order-function lambda chain (falls out of codegen
+    into per-element interpretation — minutes per batch), and a
+    broadcast cos-table JOIN (8x row fan-out before the first combine
+    — 90 s at 16x where this form holds seconds).
     """
     n_cells = PHASH_N * PHASH_N
-    cos = spark.createDataFrame(
-        [
-            (u, r, cv)
-            for u, row in enumerate(_PHASH_COS)
-            for r, cv in enumerate(row)
-        ],
-        "u int, r int, cv long",
-    )
     px = (
         d.filter(F.length("text") >= n_cells)
         .select(
@@ -588,26 +584,38 @@ def _phash_bits(spark: SparkSession, d: DataFrame) -> DataFrame:
             "val",
         )
     )
-    # Row pass: T[u][c] = sum_r C[u][r] * p[r][c]
-    trow = (
-        px.join(F.broadcast(cos), "r")
-        .groupBy("doc_id", "u", "c")
-        .agg(F.sum(F.col("cv") * F.col("val")).alias("tval"))
+
+    def _row_lit(u: int) -> str:
+        return "array(" + ",".join(str(x) for x in _PHASH_COS[u]) + ")"
+
+    # Pass 1: T[u][c] = sum_r C[u][r] * p[r][c]  (8 sums per (doc, c))
+    trow = px.groupBy("doc_id", "c").agg(
+        *[
+            F.expr(f"sum(val * element_at({_row_lit(u)}, r + 1))").alias(
+                f"t{u}"
+            )
+            for u in range(PHASH_K)
+        ]
     )
-    # Column pass: F[u][v2] = sum_c C[v2][c] * T[u][c]
-    ccos = cos.select(
-        F.col("u").alias("v2"), F.col("r").alias("c"), F.col("cv").alias("cv2")
+    # Pass 2: F[u][v2] = sum_c C[v2][c] * T[u][c]  (64 sums per doc)
+    frow = trow.groupBy("doc_id").agg(
+        *[
+            F.expr(
+                f"sum(t{u} * element_at({_row_lit(v2)}, c + 1))"
+            ).alias(f"f{u}_{v2}")
+            for u in range(PHASH_K)
+            for v2 in range(PHASH_K)
+        ]
     )
-    frow = (
-        trow.join(F.broadcast(ccos), "c")
-        .groupBy("doc_id", "u", "v2")
-        .agg(F.sum(F.col("cv2") * F.col("tval")).alias("fval"))
-    )
-    coeffs = frow.groupBy("doc_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(u, v2, fval))),"
-            " x -> x.fval)"
-        ).alias("f")
+    coeffs = frow.select(
+        "doc_id",
+        F.array(
+            *[
+                F.col(f"f{u}_{v2}")
+                for u in range(PHASH_K)
+                for v2 in range(PHASH_K)
+            ]
+        ).alias("f"),
     )
     return coeffs.select(
         "doc_id",
