@@ -253,6 +253,7 @@ HEADLINE = [
     "wordpiece_train_merges",
     "bigram_perplexity_filter",
     "multimodal_image_phash_neardup",
+    "connected_components_star",
 ]
 
 # Queries slower than this on their first run get one fewer repeat —

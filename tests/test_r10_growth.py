@@ -367,3 +367,106 @@ def test_shallow_clone_requires_empty_target_and_committed_source(spark):
     dst = tempfile.mkdtemp(prefix="t_scl_edst_")
     with pytest.raises(FileNotFoundError):
         snap.shallow_clone(empty_src, dst)
+
+
+# ---- connected_components_star ----------------------------------------------
+
+
+def test_cc_star_matches_union_find(spark):
+    """When the audit column reports convergence, the labeling must
+    equal true connected components (independent union-find)."""
+    from velib_lakehouse_spark.operators.graph import _edges
+
+    rows = registry.QUERIES["connected_components_star"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    assert all(r["is_root_label"] == 1 for r in rows), "did not converge"
+    label = {r["node"]: r["component"] for r in rows}
+    edges = [
+        (r["a"], r["b"])
+        for r in _edges(spark, SF_DIR).filter(F.col("a") < F.col("b")).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    true_comp = {n: find(n) for n in label}
+    # same partition: two nodes share a label iff they share a root
+    assert label.keys() == true_comp.keys()
+    for n in label:
+        assert (label[n] == label[true_comp[n]]) and (
+            true_comp[n] == true_comp[label[n]]
+        ), n
+    # and the chosen label is the component minimum (star root)
+    comp_min: dict[int, int] = {}
+    for n, r in true_comp.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    for n in label:
+        assert label[n] == comp_min[true_comp[n]], n
+
+
+# ---- vacuum_data -------------------------------------------------------------
+
+
+def test_vacuum_data_reclaims_and_breaks_time_travel(spark):
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    schema = "k bigint, p string"
+    tbl = tempfile.mkdtemp(prefix="t_vac_")
+    v0 = spark.createDataFrame([(1, "x"), (2, "y")], schema)
+    snap.optimistic_commit(
+        tbl, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(v0, tbl, "b1", "p"), []),
+    )
+    # v1: overwrite with fresh files (v0's become unreachable from head)
+    v1 = spark.createDataFrame([(3, "x"), (4, "y")], schema)
+    snap.optimistic_commit(
+        tbl, "overwrite", None, "ow",
+        lambda rv: (snap.stage_partition_files(v1, tbl, "b2", "p"), []),
+    )
+    assert snap.read_table(spark, tbl, schema, version=0).count() == 2
+    res = snap.vacuum_data(tbl, keep_last=1)
+    assert res["removed"] == 1 and res["kept"] == 1
+    # head still reads
+    assert {
+        r["k"] for r in snap.read_table(spark, tbl, schema).collect()
+    } == {3, 4}
+    # time travel below the horizon dies at read time
+    with pytest.raises(Exception):
+        snap.read_table(spark, tbl, schema, version=0).collect()
+
+
+def test_vacuum_on_source_breaks_shallow_clone(spark):
+    """The documented CLONE hazard: vacuuming the source after it has
+    rewritten the cloned files kills the clone's reads, loudly."""
+    from velib_lakehouse_spark.sources import snapshots as snap
+
+    schema = "k bigint, p string"
+    src = tempfile.mkdtemp(prefix="t_vac_src_")
+    dst = tempfile.mkdtemp(prefix="t_vac_dst_")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], schema)
+    snap.optimistic_commit(
+        src, "overwrite", None, "base",
+        lambda rv: (snap.stage_partition_files(df, src, "b1", "p"), []),
+    )
+    snap.shallow_clone(src, dst)
+    assert snap.read_table(spark, dst, schema).count() == 2
+    # source rewrites everything, then vacuums its old bytes
+    df2 = spark.createDataFrame([(9, "x")], schema)
+    snap.optimistic_commit(
+        src, "overwrite", None, "ow",
+        lambda rv: (snap.stage_partition_files(df2, src, "b2", "p"), []),
+    )
+    snap.vacuum_data(src, keep_last=1)
+    with pytest.raises(Exception):
+        snap.read_table(spark, dst, schema).collect()

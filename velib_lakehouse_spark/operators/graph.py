@@ -745,3 +745,184 @@ def _sql_bfs() -> str:
 
 ORACLE["bfs_hop_levels"] = _sql_bfs()
 QUERIES["bfs_hop_levels"] = bfs_hop_levels
+
+
+# ---- Connected components: alternating large-star / small-star --------------
+
+CC_ROUNDS = 3  # alternation rounds; diameter-log convergence (see docstring)
+
+
+def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the algorithm that replaced label propagation for
+    web-scale graphs: each round is two neighbor-min aggregations, and
+    the component count provably converges in O(log^2 n) rounds versus
+    label propagation's O(diameter).  ``dedup_clusters`` carries the
+    LPA tier; this is the scalable tier a 100 TB edge list needs.
+
+    One round, expressed relationally (edges kept symmetric):
+
+    * large-star: per node u, every STRICTLY LARGER neighbor v
+      re-attaches to m = min(N(u) u {u}) — emit edge (v, m);
+    * small-star: per node u, every neighbor v <= u (and u itself)
+      attaches to m = min over that set — emit (v, m).
+
+    Both halves are one groupBy-min + one explode-join over the
+    current edge list; no global ordering, no driver state beyond the
+    loop counter.  After convergence every node points directly at its
+    component minimum (a star), so the label read-off is the edge list
+    itself.  ``CC_ROUNDS`` alternations suffice for the co-activity
+    graph's shallow components (panel-capped hours keep diameters
+    small — the ``dedup_clusters_recursive`` bounded-depth argument);
+    the ``is_root_label`` audit column surfaces non-convergence
+    loudly instead of silently mislabeling.
+
+    The DuckDB oracle unrolls the same alternations CTE by CTE, so
+    every round's re-attachment — not just the final labels — is
+    hash-checked.  All state is (src, dst) bigint pairs; min over
+    int64 is associative under any partitioning.
+    """
+    und = (
+        _edges(spark, sf_dir)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # symmetric edge list; self-loops keep singletons... none exist
+    # here (every edge has two endpoints), so nodes = endpoint set.
+    cur = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    for _ in range(CC_ROUNDS):
+        # large-star: m(u) = min(N(u) u {u}); (v, m) for v in N(u), v > u
+        mins = cur.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            cur.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(
+                mins.select(F.col("a"), F.col("m").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sym = large.unionByName(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        # small-star: m(u) = min over {v <= u} u {u}; attach those v
+        small_nbrs = sym.filter(F.col("b") < F.col("a"))
+        smins = small_nbrs.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            small_nbrs.join(smins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .unionByName(smins.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = small.unionByName(
+            small.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).localCheckpoint(eager=True)
+    labels = cur.filter(F.col("b") < F.col("a")).groupBy("a").agg(
+        F.min("b").alias("component")
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    out = nodes.join(
+        labels.select(F.col("a").alias("node"), "component"),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+    # audit: a converged labeling's components are their own labels
+    roots = out.select(F.col("component").alias("node")).distinct().join(
+        out, "node"
+    ).select(
+        F.col("node"), (F.col("component") == F.col("node")).alias("ok")
+    )
+    return out.join(
+        roots.select(F.col("node").alias("component"), "ok"), "component"
+    ).select(
+        "node",
+        "component",
+        F.col("ok").cast("bigint").alias("is_root_label"),
+    )
+
+
+def _sql_cc() -> str:
+    parts = [f"""
+        WITH {_sql_edges()},
+        und AS (SELECT a, b FROM edges WHERE a < b),
+        c0 AS MATERIALIZED (
+          SELECT a, b FROM und
+          UNION ALL SELECT b AS a, a AS b FROM und
+        )"""]
+    for i in range(1, CC_ROUNDS + 1):
+        parts.append(f"""
+        , lm{i} AS MATERIALIZED (
+          SELECT a, least(min(b), a) AS m FROM c{i - 1} GROUP BY a
+        ),
+        lg{i} AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT c.b AS a, m.m AS b
+            FROM c{i - 1} c JOIN lm{i} m ON c.a = m.a
+            WHERE c.b > c.a
+            UNION ALL
+            SELECT a, m AS b FROM lm{i}
+          ) WHERE a <> b
+        ),
+        ls{i} AS MATERIALIZED (
+          SELECT a, b FROM lg{i}
+          UNION ALL SELECT b AS a, a AS b FROM lg{i}
+        ),
+        sn{i} AS MATERIALIZED (SELECT a, b FROM ls{i} WHERE b < a),
+        sm{i} AS MATERIALIZED (SELECT a, min(b) AS m FROM sn{i} GROUP BY a),
+        sq{i} AS MATERIALIZED (
+          SELECT DISTINCT a, b FROM (
+            SELECT n.b AS a, m.m AS b
+            FROM sn{i} n JOIN sm{i} m ON n.a = m.a
+            UNION ALL
+            SELECT a, m AS b FROM sm{i}
+          ) WHERE a <> b
+        ),
+        c{i} AS MATERIALIZED (
+          SELECT a, b FROM sq{i}
+          UNION ALL SELECT b AS a, a AS b FROM sq{i}
+        )""")
+    parts.append(f"""
+        , labels AS MATERIALIZED (
+          SELECT a AS node, min(b) AS component
+          FROM c{CC_ROUNDS} WHERE b < a GROUP BY a
+        ),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und
+          )
+        ),
+        outq AS MATERIALIZED (
+          SELECT n.node, COALESCE(l.component, n.node) AS component
+          FROM nodes n LEFT JOIN labels l ON l.node = n.node
+        ),
+        roots AS (
+          SELECT r.node AS component,
+                 (o2.component = r.node) AS ok
+          FROM (SELECT DISTINCT component AS node FROM outq) r
+          JOIN outq o2 ON o2.node = r.node
+        )
+        SELECT o.node, o.component,
+               CAST(r.ok AS BIGINT) AS is_root_label
+        FROM outq o JOIN roots r ON r.component = o.component
+    """)
+    return "".join(parts)
+
+
+ORACLE["connected_components_star"] = _sql_cc()
+QUERIES["connected_components_star"] = connected_components_star

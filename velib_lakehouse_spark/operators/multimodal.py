@@ -930,7 +930,12 @@ def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
                 f" as bigint) * shiftleft(cast(1 as bigint), k)))"
             )
         ).alias("band_idx", "band_val"),
-    ).persist()
+    # eager checkpoint, not persist: BOTH sides of the band self-join
+    # scan this frame, and the first join job's two scans race to fill
+    # an unmaterialized cache — each recomputing the full DCT chain
+    # (measured 2x the front-end cost at 16x).  Materializing once
+    # before the join pins the chain to a single pass.
+    ).localCheckpoint(eager=True)
     left = bands.select(
         "band_idx",
         "band_val",

@@ -56,16 +56,16 @@ DRIVER_WINDOW = 50
 # * 1 changed => re-window: dedup_icws_weighted_minhash (the r9 ADVICE
 #   quantized-ranking-key fix: argmin now compares a 2^-20 log-domain
 #   integer with the element string as tie-break in both engines).
-# * 6 more new operators (the round-10 growth batch, never driver-
+# * 7 more new operators (the round-10 growth batch, never driver-
 #   checked, so they outrank already-green rotation candidates):
 #   bfs_hop_levels, hll_sliding_distinct, snapshot_shallow_clone,
 #   wordpiece_train_merges, bigram_perplexity_filter,
-#   multimodal_image_phash_neardup.
+#   multimodal_image_phash_neardup, connected_components_star.
 # * The 8 r4-era rows staged at the head of SECONDARY last round —
 #   closing the freshness ratchet: after this round no row's latest
 #   green predates round 5.
-# * 31 of the 48 r5-era rows, name order; the remaining 17
-#   (tpch_q13..q22/q2/q4/q5/q7/q8/q9 + winnow_fingerprints)
+# * 30 of the 48 r5-era rows, name order; the remaining 18
+#   (tpch_q12..q22/q2/q4/q5/q7/q8/q9 + winnow_fingerprints)
 #   head SECONDARY as the r11 queue.  Family coverage holds without
 #   swaps this round: every family keeps either a window member or an
 #   r8/r9-green representative (relational keeps tpch_q3_shipping +
@@ -80,13 +80,15 @@ PRIORITY: tuple[str, ...] = (
     # new this round (growth batch): graph traversal (multi-source
     # BFS), sketch-x-window composition (sliding HLL), zero-copy
     # lakehouse clone, WordPiece next to BPE, the CCNet perplexity
-    # filter, and frequency-domain image near-dup — first driver rows
+    # filter, frequency-domain image near-dup, and large-star/
+    # small-star connected components — first driver rows
     "bfs_hop_levels",
     "hll_sliding_distinct",
     "snapshot_shallow_clone",
     "wordpiece_train_merges",
     "bigram_perplexity_filter",
     "multimodal_image_phash_neardup",
+    "connected_components_star",
     # changed => re-window (r9 ADVICE: ICWS quantized ranking key)
     "dedup_icws_weighted_minhash",
     # the staged r4-era queue (r9 VERDICT #1) — ratchet closure
@@ -98,8 +100,8 @@ PRIORITY: tuple[str, ...] = (
     "unpivot_metrics",
     "variant_shred_stats",
     "weighted_sample_topk",
-    # r5-era rows, 37 of 48 in name order — the stalest remaining
-    # evidence; the other 11 head SECONDARY as the r11 queue
+    # r5-era rows, 30 of 48 in name order — the stalest remaining
+    # evidence; the other 18 head SECONDARY as the r11 queue
     "basket_affinity_pairs",
     "bloom_membership_audit",
     "chunk_cdc",
@@ -129,18 +131,18 @@ PRIORITY: tuple[str, ...] = (
     "streaming_join_left_outer",
     "streaming_python_datasource_feed",
     "table_checksum_audit",
-    "tpch_q11_important_parts",
-    "tpch_q12_lateness_priority",)
+    "tpch_q11_important_parts",)
 
 # Registered immediately AFTER the window, highest value first: if a
 # future driver checks more than DRIVER_WINDOW queries, these are the
 # ones it should reach next.
 SECONDARY: tuple[str, ...] = (
-    # ROUND-11 ROTATION QUEUE: the seventeen r5-era rows the 50-slot
-    # budget could not fit this round (six tpch rows were displaced
-    # mid-round when the six growth-batch operators took their
+    # ROUND-11 ROTATION QUEUE: the eighteen r5-era rows the 50-slot
+    # budget could not fit this round (seven tpch rows were displaced
+    # mid-round when the seven growth-batch operators took their
     # never-checked-first slots) — the stalest evidence once the r10
     # window lands, so they rotate in first next round.
+    "tpch_q12_lateness_priority",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_share",
     "tpch_q15_top_supplier",

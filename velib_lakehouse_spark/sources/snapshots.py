@@ -634,3 +634,52 @@ def shallow_clone(
             f"clone target {dst_table} already has a commit log"
         )
     return entry
+
+
+# ---- physical data vacuum (Delta VACUUM) ------------------------------------
+
+
+def vacuum_data(table_path: str, keep_last: int = 1) -> dict:
+    """Physically delete staged data directories unreachable from the
+    newest ``keep_last`` versions — Delta's VACUUM, the step that
+    actually reclaims bytes after ``vacuum_log`` has reclaimed
+    metadata.  Returns ``{"removed": n, "kept": m, "horizon": v}``.
+
+    Reachability is the union of ``live_files`` over the retained
+    version window (bounded below by what the log can still fold —
+    checkpointed-away versions are already unreadable).  Everything
+    else under ``_staged/`` goes, including files only referenced by
+    aborted or superseded commits.
+
+    Two Delta-documented hazards carry over on purpose and are pinned
+    in tests rather than papered over:
+
+    * time travel below the horizon dies at READ time (the log entry
+      may survive, the bytes do not) — same failure surface as Delta;
+    * a SHALLOW CLONE whose source is vacuumed loses the cloned bytes:
+      the clone's absolute-path adds dangle, and its reads fail loudly.
+      Source retention must outlive clones (the CLONE contract).
+    """
+    head = table_head(table_path)
+    if head < 0:
+        raise FileNotFoundError(f"no commits at {table_path}")
+    horizon = max(0, head - keep_last + 1)
+    keep: set[str] = set()
+    for v in range(horizon, head + 1):
+        try:
+            for rel, _part in live_files(table_path, v):
+                if not os.path.isabs(rel):
+                    # keep whole staged txn dirs: adds are directories
+                    keep.add(Path(rel).parts[1])
+        except FileNotFoundError:
+            continue  # below the log-retention horizon: nothing to keep
+    stage_root = Path(table_path) / _STAGE_DIR
+    removed = kept = 0
+    if stage_root.is_dir():
+        for child in sorted(stage_root.iterdir()):
+            if child.name in keep:
+                kept += 1
+            else:
+                shutil.rmtree(child)
+                removed += 1
+    return {"removed": removed, "kept": kept, "horizon": horizon}
