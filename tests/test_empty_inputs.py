@@ -89,6 +89,20 @@ EMPTY_TO_EMPTY = [
     "bpe_train_merges",
     "bpe_encode_tokens",
     "snapshot_concurrent_commit",
+    # round-10 additions: no micro-batches to commit, nothing to
+    # compact, no candidate pairs, no vocabulary, no graph, no days of
+    # activity, nothing to clone or fingerprint
+    "streaming_txn_sink",
+    "snapshot_optimize_transactional",
+    "dedup_icws_capped",
+    "bpe_train_merges_batched",
+    "bfs_hop_levels",
+    "hll_sliding_distinct",
+    "snapshot_shallow_clone",
+    "wordpiece_train_merges",
+    "bigram_perplexity_filter",
+    "multimodal_image_phash_neardup",
+    "connected_components_star",
 ]
 # empty in -> a defined aggregate row (global aggregates)
 EMPTY_TO_AGG = ["velib_alert_bands", "velib_health"]

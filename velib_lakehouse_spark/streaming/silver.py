@@ -1251,6 +1251,14 @@ def streaming_txn_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )
+    if not events.limit(1).count():
+        # empty-input hardening: no files drained means no batches, no
+        # commits, and nothing for the crash/replay audit to assert on
+        return spark.createDataFrame(
+            [],
+            "event_type string, n_events bigint, id_sum bigint,"
+            " total_value double, n_commits bigint, n_replays_skipped bigint",
+        )
     events.repartition(TXN_SINK_N_FILES).write.mode("overwrite").parquet(
         os.path.join(src, "events.parquet")
     )
