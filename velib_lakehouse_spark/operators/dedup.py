@@ -477,7 +477,7 @@ def _propagate_labels(d, pairs):
 
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     changed = -1
-    for _ in range(_LABEL_MAX_ITERS):
+    for it in range(_LABEL_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_a == labels.doc_id)
             .groupBy(F.col("doc_b").alias("doc_id"))
@@ -486,37 +486,39 @@ def _propagate_labels(d, pairs):
         # pointer-jumping shortcut: each doc also adopts its current
         # label's label (label viewed as a parent pointer), collapsing
         # chains geometrically — O(log diameter) iterations instead of
-        # O(diameter), so the iteration cap is a real bound (2^25 hops)
-        parent = labels.select(
-            F.col("doc_id").alias("cluster_id"), F.col("cluster_id").alias("pmin")
-        )
+        # O(diameter), so the iteration cap is a real bound (2^25 hops).
+        # Iteration 0 skips it: labels is the identity mapping, so the
+        # parent join is provably a self-noop (pmin == cluster_id).
+        upd = labels.join(neighbor_min, "doc_id", "left")
+        new_label = [
+            F.col("cluster_id"),
+            F.coalesce("nmin", F.col("cluster_id")),
+        ]
+        if it > 0:
+            parent = labels.select(
+                F.col("doc_id").alias("cluster_id"),
+                F.col("cluster_id").alias("pmin"),
+            )
+            upd = upd.join(parent, "cluster_id", "left")
+            new_label.append(F.coalesce("pmin", F.col("cluster_id")))
         # localCheckpoint truncates the lineage each round — without it
         # the logical plan doubles per iteration (self-referential joins)
         # and the optimizer itself OOMs long before the data does.  On a
         # real cluster prefer reliable checkpoint() to survive executor
-        # loss mid-loop.
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .join(parent, "cluster_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce("nmin", F.col("cluster_id")),
-                    F.coalesce("pmin", F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            updated.join(
-                labels.withColumnRenamed("cluster_id", "old"), "doc_id"
-            )
-            .filter(F.col("cluster_id") != F.col("old"))
-            .count()
-        )
+        # loss mid-loop.  The OLD label rides along so the convergence
+        # count below is a scan of this materialized frame — the
+        # previous shape re-joined `updated` back to `labels` (one more
+        # shuffle join per iteration) for the same number.
+        updated = upd.select(
+            "doc_id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            F.least(*new_label).alias("cluster_id"),
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(
+            F.col("cluster_id") != F.col("old_cluster_id")
+        ).count()
         labels.unpersist()
-        labels = updated
+        labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             break
     edges.unpersist()
@@ -3203,7 +3205,17 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
         # term-explode pass
         .persist()
     )
-    n_docs = tf.select(F.count_distinct("rep").alias("n_docs"))
+    # n_docs = number of reps contributing at least one term.  Derived
+    # from the CACHED groups frame instead of count_distinct over tf:
+    # the distinct-agg planned as its own two-exchange pass over the
+    # (rep, term) table; counting non-empty-text groups is one partial
+    # agg over rows already in memory and provably the same number
+    # (a rep appears in tf iff its text has a non-empty word).
+    n_docs = groups.select(
+        F.coalesce(
+            F.sum((F.size(_words()) > 0).cast("long")), F.lit(0)
+        ).alias("n_docs")
+    )
     idf = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))

@@ -703,9 +703,12 @@ def bfs_hop_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(visited.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
+        # visited is a union of already-checkpointed level frames — no
+        # re-derivation risk, so checkpointing the union too only paid
+        # an extra job + copy per hop.
         visited = visited.unionByName(
             nxt.select("node", F.lit(hop).cast("bigint").alias("level"))
-        ).localCheckpoint(eager=True)
+        )
         frontier = nxt
     return nodes.join(visited, "node", "left").select(
         "node", F.coalesce("level", F.lit(-1)).cast("bigint").alias("level")
@@ -788,17 +791,23 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # symmetric edge list; self-loops keep singletons... none exist
     # here (every edge has two endpoints), so nodes = endpoint set.
+    # Lazy union over the checkpointed `und` — materializing the union
+    # itself was a second copy of the same rows (and one more job).
     cur = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(CC_ROUNDS):
         # large-star: m(u) = min(N(u) u {u}); (v, m) for v in N(u), v > u
         mins = cur.groupBy("a").agg(
             F.least(F.min("b"), F.first("a")).alias("m")
         )
+        # persist (lazy), not an eager checkpoint: `large` feeds both
+        # halves of `sym`'s union; the cache is filled during `small`'s
+        # one materialization below instead of costing its own job.
         large = (
             cur.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
@@ -808,7 +817,7 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("a") != F.col("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .persist()
         )
         sym = large.unionByName(
             large.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -816,6 +825,11 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         # small-star: m(u) = min over {v <= u} u {u}; attach those v
         small_nbrs = sym.filter(F.col("b") < F.col("a"))
         smins = small_nbrs.groupBy("a").agg(F.min("b").alias("m"))
+        # ONE eager materialization per round (was three: large, small,
+        # cur each got an eager localCheckpoint = three jobs/round).
+        # `cur` is a projection-union over the checkpointed `small`, so
+        # its two consumers next round re-read cached partitions, never
+        # re-derive the round.
         small = (
             small_nbrs.join(smins, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
@@ -824,9 +838,10 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint(eager=True)
         )
+        large.unpersist()
         cur = small.unionByName(
             small.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        ).localCheckpoint(eager=True)
+        )
     labels = cur.filter(F.col("b") < F.col("a")).groupBy("a").agg(
         F.min("b").alias("component")
     )

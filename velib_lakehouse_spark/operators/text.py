@@ -1619,10 +1619,18 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
         merges.append((rank, a, b, a + b, cnt))
+        # lazy localCheckpoint: iteration k's pair count otherwise
+        # replays every previous iteration's replace over `base` (the
+        # chain grows one replace per merge — O(K^2) replace work and a
+        # K-deep codegen tree by the last round).  Lazy = no extra job:
+        # the NEXT iteration's own aggregate materializes the cache, so
+        # each round computes exactly one replace pass over a cached
+        # vocabulary.  Vocabulary-sized state (Zipf-bounded), same
+        # cache-lifetime story as `base`.
         cur = cur.withColumn(
             "seq",
             F.replace("seq", F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
-        )
+        ).localCheckpoint(eager=False)
     return merges, cur, base
 
 
@@ -1890,7 +1898,15 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             new_seq = F.replace(
                 new_seq, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             )
-        cur = cur.withColumn("seq", new_seq)
+        # lazy localCheckpoint (the _bpe_train rationale, amplified):
+        # without it round r replays (r-1)*M replaces over `base` —
+        # ~BPE_BATCH_ROUNDS^2/2 * M replace passes across the run and a
+        # ~300-deep expression tree by round 10.  At bench SF the replay
+        # is noise (vocab is small and cached); the win is the bounded
+        # expression/lineage depth — plan size and codegen stay O(M) per
+        # round instead of O(rounds * M).  Lazy = the next round's
+        # pair-count job materializes the cache, no extra action.
+        cur = cur.withColumn("seq", new_seq).localCheckpoint(eager=False)
     base.unpersist()
     schema = (
         "merge_rank bigint, round bigint, slot bigint, left_sym string,"
@@ -2083,10 +2099,15 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append(
             (rank, a, b, a + b, int(top[0]["cnt"]), int(top[0]["score"]))
         )
+        # lazy localCheckpoint (the _bpe_train rationale): here each
+        # iteration has TWO consumers of `cur` (pair counts AND symbol
+        # frequencies — separate aggregate subtrees in one job, no
+        # subtree reuse), so the un-checkpointed chain replayed the
+        # replace history twice per iteration.
         cur = cur.withColumn(
             "seq",
             F.replace("seq", F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
-        )
+        ).localCheckpoint(eager=False)
     base.unpersist()
     schema = (
         "merge_rank bigint, left_sym string, right_sym string,"

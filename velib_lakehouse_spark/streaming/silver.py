@@ -1157,7 +1157,13 @@ def streaming_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             joined,
             "stream_stream_loj_sink",
-            shuffle_n=max(4, spark.sparkContext.defaultParallelism // 4),
+            # dp//8: a stream-stream join keeps FOUR state stores per
+            # partition per side, and every store pays a fixed commit +
+            # snapshot cost PER MICRO-BATCH (this query replays three).
+            # Store count should track key volume, not core count; the
+            # r10 A/B (same session, min-of-2) read 7.9 s at dp//4=8
+            # stores vs 5.8 s at dp//8=4 with identical output.
+            shuffle_n=max(4, spark.sparkContext.defaultParallelism // 8),
         )
         .filter(F.col("p_user") >= 0)
         .select(
