@@ -2471,25 +2471,20 @@ def _ppjoin_verified_pairs(d: DataFrame) -> DataFrame:
     See :func:`ppjoin_prefix_candidates` for the public contract."""
     sh = _shingles(d).persist()
     df_ = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # ranked feeds both the prefix filter and the size lookup — persist
-    # it or the df join + double window recompute per consumer
-    ranked = (
-        sh.join(df_, "shingle")
-        .select(
-            "doc_id",
-            "shingle",
-            F.row_number()
-            .over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("shingle").asc()
-                )
+    ranked = sh.join(df_, "shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("shingle").asc()
             )
-            .alias("r"),
-            F.count(F.lit(1))
-            .over(Window.partitionBy("doc_id"))
-            .alias("n"),
         )
-    ).persist()
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n"),
+    )
     # prefix length for Jaccard t: n - ceil(t*n) + 1; with t in ppm,
     # ceil(t*n) = (t*n + 999999) div 1000000 in exact integer math
     prefix = ranked.filter(
@@ -2506,29 +2501,40 @@ def _ppjoin_verified_pairs(d: DataFrame) -> DataFrame:
         .select("a", "b")
         .distinct()
     )
-    sizes = ranked.select("doc_id", "n").distinct()
-    sha = sh.select(F.col("doc_id").alias("a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("b"), "shingle")
-    overlap = (
-        cand.join(sha, "a")
-        .join(shb, ["b", "shingle"])
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("overlap"))
-    )
+    # Verification IN-ROW from per-doc sorted shingle arrays (the
+    # weighted-MinHash tfm-fold precedent): the former shape joined the
+    # candidate pairs back to the SHINGLE-LEVEL table twice and
+    # re-aggregated — the first join fanned every pair out to |doc_a|'s
+    # full shingle set (~50x row expansion) only to count matches, and
+    # the sizes needed two more joins against a windowed distinct.  One
+    # doc-keyed array table serves overlap AND both sizes: shuffle
+    # volume is candidate pairs + one array row per doc, no
+    # re-aggregation shuffle.  Per-pair memory is two doc-bounded
+    # arrays — the bound the tfm map fold already carries.
+    arr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sarr")
+    ).persist()
     return (
-        overlap.join(sizes.withColumnRenamed("doc_id", "a"), "a")
-        .withColumnRenamed("n", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "b"), "b")
-        .withColumnRenamed("n", "n_b")
+        cand.join(
+            arr.select(F.col("doc_id").alias("a"), F.col("sarr").alias("sa")),
+            "a",
+        )
+        .join(
+            arr.select(F.col("doc_id").alias("b"), F.col("sarr").alias("sb")),
+            "b",
+        )
         .select(
             F.col("a").alias("doc_a"),
             F.col("b").alias("doc_b"),
-            F.col("n_a").cast("bigint").alias("n_a"),
-            F.col("n_b").cast("bigint").alias("n_b"),
-            "overlap",
-            F.expr(
-                "overlap * 1000000 div (n_a + n_b - overlap)"
-            ).alias("jac_ppm"),
+            F.size("sa").cast("bigint").alias("n_a"),
+            F.size("sb").cast("bigint").alias("n_b"),
+            F.size(F.array_intersect("sa", "sb")).cast("bigint").alias(
+                "overlap"
+            ),
+        )
+        .withColumn(
+            "jac_ppm",
+            F.expr("overlap * 1000000 div (n_a + n_b - overlap)"),
         )
         .filter(F.col("jac_ppm") >= PPJOIN_T_PPM)
     )
@@ -2804,26 +2810,40 @@ def _wmh_rep_pairs(d: DataFrame) -> DataFrame:
     )
     n_bands_total = WMH_K // WMH_BAND_ROWS
     # persist: feeds both self-join sides (cache-lifetime note in
-    # dedup_minhash_lsh applies)
+    # dedup_minhash_lsh applies).  `bsigs` (the full per-row band-string
+    # array) rides along so the match tail below can count and rank
+    # matching bands IN-ROW instead of re-aggregating.
     rows = (
         sig.join(groups.select("rep", "ids"), "rep")
+        .withColumn(
+            "bsigs",
+            F.expr(
+                f"transform(sequence(0, {n_bands_total - 1}),"
+                f" b -> concat_ws(',', slice(sig, b * {WMH_BAND_ROWS} + 1,"
+                f" {WMH_BAND_ROWS})))"
+            ),
+        )
         .select(
             "rep",
             "ids",
             "sig",
             "w_total",
             "tfm",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {n_bands_total - 1}),"
-                    f" b -> concat_ws(',', slice(sig, b * {WMH_BAND_ROWS} + 1,"
-                    f" {WMH_BAND_ROWS})))"
-                )
-            ).alias("band", "band_sig"),
+            "bsigs",
+            F.posexplode("bsigs").alias("band", "band_sig"),
         )
         .persist()
     )
     a, b = rows.alias("a"), rows.alias("b").hint("merge")
+    # One row per candidate pair WITHOUT a pair re-aggregation: a pair
+    # joins once per matching band, every metric below is a pure
+    # function of the two signatures (so the former groupBy's min()s
+    # folded identical values), and the full band-match mask is
+    # computable in-row from the carried `bsigs`.  Keeping only the
+    # FIRST matching band's row dedups exactly; n_bands is the mask's
+    # true count.  Removes one exchange plus the sort-based aggregate
+    # that carried the ids arrays through a sort.
+    band_mask = "zip_with(a.bsigs, b.bsigs, (x, y) -> x = y)"
     matched = (
         a.join(
             b,
@@ -2831,11 +2851,17 @@ def _wmh_rep_pairs(d: DataFrame) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig")),
         )
         .where(F.col("a.rep") <= F.col("b.rep"))
+        .where(
+            F.expr(f"a.band = array_position({band_mask}, true) - 1")
+        )
         .select(
             F.col("a.rep").alias("rep_a"),
             F.col("b.rep").alias("rep_b"),
             F.col("a.ids").alias("ids_a"),
             F.col("b.ids").alias("ids_b"),
+            F.expr(f"size(filter({band_mask}, m -> m))")
+            .cast("long")
+            .alias("n_bands"),
             F.expr(
                 "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1L, 0L)),"
                 " 0L, (acc, x) -> acc + x)"
@@ -2849,15 +2875,7 @@ def _wmh_rep_pairs(d: DataFrame) -> DataFrame:
             (F.col("a.w_total") + F.col("b.w_total")).alias("w_sum"),
         )
     )
-    pairs = matched.groupBy("rep_a", "rep_b").agg(
-        F.count(F.lit(1)).alias("n_bands"),
-        F.first("ids_a").alias("ids_a"),
-        F.first("ids_b").alias("ids_b"),
-        F.min("n_eq").alias("n_eq"),
-        F.min("w_min").alias("w_min"),
-        F.min("w_sum").alias("w_sum"),
-    )
-    return pairs.select(
+    return matched.select(
         "rep_a",
         "rep_b",
         "ids_a",
@@ -3331,26 +3349,32 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
         ).alias("sig"),
     )
     n_bands_total = ICWS_K // ICWS_BAND_ROWS
-    # persist: feeds both self-join sides
+    # persist: feeds both self-join sides; `bsigs` rides along for the
+    # in-row band-match tail (see _wmh_rep_pairs — same shape, same
+    # removed exchange + sort-based pair aggregate).
     rows = (
         sig.join(groups.select("rep", "ids"), "rep")
+        .withColumn(
+            "bsigs",
+            F.expr(
+                f"transform(sequence(0, {n_bands_total - 1}),"
+                f" b -> concat_ws(',', slice(sig, b * {ICWS_BAND_ROWS}"
+                f" + 1, {ICWS_BAND_ROWS})))"
+            ),
+        )
         .select(
             "rep",
             "ids",
             "sig",
             "w_total",
             "tfm",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {n_bands_total - 1}),"
-                    f" b -> concat_ws(',', slice(sig, b * {ICWS_BAND_ROWS}"
-                    f" + 1, {ICWS_BAND_ROWS})))"
-                )
-            ).alias("band", "band_sig"),
+            "bsigs",
+            F.posexplode("bsigs").alias("band", "band_sig"),
         )
         .persist()
     )
     a, b = rows.alias("a"), rows.alias("b").hint("merge")
+    band_mask = "zip_with(a.bsigs, b.bsigs, (x, y) -> x = y)"
     matched = (
         a.join(
             b,
@@ -3358,11 +3382,17 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
             & (F.col("a.band_sig") == F.col("b.band_sig")),
         )
         .where(F.col("a.rep") <= F.col("b.rep"))
+        .where(
+            F.expr(f"a.band = array_position({band_mask}, true) - 1")
+        )
         .select(
             F.col("a.rep").alias("rep_a"),
             F.col("b.rep").alias("rep_b"),
             F.col("a.ids").alias("ids_a"),
             F.col("b.ids").alias("ids_b"),
+            F.expr(f"size(filter({band_mask}, m -> m))")
+            .cast("long")
+            .alias("n_bands"),
             F.expr(
                 "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1L,"
                 " 0L)), 0L, (acc, x) -> acc + x)"
@@ -3375,15 +3405,7 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
             (F.col("a.w_total") + F.col("b.w_total")).alias("w_sum"),
         )
     )
-    pairs = matched.groupBy("rep_a", "rep_b").agg(
-        F.count(F.lit(1)).alias("n_bands"),
-        F.first("ids_a").alias("ids_a"),
-        F.first("ids_b").alias("ids_b"),
-        F.min("n_eq").alias("n_eq"),
-        F.min("w_min").alias("w_min"),
-        F.min("w_sum").alias("w_sum"),
-    )
-    return pairs.select(
+    return matched.select(
         "rep_a",
         "rep_b",
         "ids_a",

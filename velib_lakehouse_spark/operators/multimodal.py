@@ -638,274 +638,21 @@ def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFram
 
     The fake decode samples payload byte ``floor(i*n/256)`` for cell i
     (the module's honest codec stub; PIL's ``resize((16,16))`` swaps in
-    at that seam); the DCT itself runs relationally against a
-    broadcast quantized-cosine table (see ``_phash_bits`` for why not
-    array lambdas).  Downstream is aHash's scale shape: exact-class
-    pre-collapse before pairing, banded candidates (8 bands x 8 bits),
-    popcount verify on two packed 32-bit halves — the image payload
-    never leaves the scan stage.
-    """
-    bits = _phash_bits(
-        spark, load_table(spark, sf_dir, "documents")
-    )
-    classes = bits.groupBy("bits").agg(
-        F.min("doc_id").alias("rep"),
-        F.count(F.lit(1)).cast("bigint").alias("members"),
-    ).select(
-        "bits",
-        "rep",
-        "members",
-        F.conv(F.substring("bits", 1, 32), 2, 10).cast("bigint").alias("hi"),
-        F.conv(F.substring("bits", 33, 32), 2, 10).cast("bigint").alias("lo"),
-    )
-    bands = classes.select(
-        "bits",
-        "rep",
-        "members",
-        "hi",
-        "lo",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {AHASH_BANDS - 1}),"
-                f" j -> aggregate(sequence(0, {AHASH_BAND_BITS - 1}),"
-                f" cast(0 as bigint), (acc, k) -> acc"
-                f" + cast(substring(bits, j * {AHASH_BAND_BITS} + k + 1, 1)"
-                f" as bigint) * shiftleft(cast(1 as bigint), k)))"
-            )
-        ).alias("band_idx", "band_val"),
-    )
-    # Two consumers (both join sides) — persist, or the whole
-    # hash+class+band chain recomputes per side (cache-lifetime note in
-    # operators/dedup.py applies).
-    bands = bands.persist()
-    left = bands.select(
-        "band_idx",
-        "band_val",
-        F.col("rep").alias("rep_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("lo").alias("lo_a"),
-        F.col("members").alias("members_a"),
-    )
-    right = bands.select(
-        "band_idx",
-        "band_val",
-        F.col("rep").alias("rep_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("lo").alias("lo_b"),
-        F.col("members").alias("members_b"),
-    )
-    # Hamming BEFORE dropDuplicates: the cheap popcount filter shrinks
-    # the band join's raw pair stream (~3.1 M rows at sf0.1) to just the
-    # matching pairs before the dedup shuffle.
-    hamming = F.bit_count(
-        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
-    ) + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    return (
-        left.join(right, ["band_idx", "band_val"])
-        .where(F.col("rep_a") < F.col("rep_b"))
-        .select(
-            "rep_a",
-            "rep_b",
-            "members_a",
-            "members_b",
-            hamming.cast("bigint").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
-        .dropDuplicates(["rep_a", "rep_b"])
-    )
-
-
-ORACLE["multimodal_image_ahash_neardup"] = f"""
-    WITH px AS (
-      SELECT doc_id,
-             list_transform(generate_series(0, {AHASH_GRID - 1}),
-               i -> ascii(substr(text,
-                 CAST(i * length(text) // {AHASH_GRID} AS INT) + 1, 1)))
-               AS v
-      FROM documents WHERE length(text) >= {AHASH_GRID}
-    ),
-    bits AS (
-      SELECT doc_id,
-             list_aggregate(list_transform(v,
-               x -> CASE WHEN x * {AHASH_GRID} > list_sum(v)
-                    THEN '1' ELSE '0' END), 'string_agg', '') AS bits
-      FROM px
-    ),
-    classes AS (
-      SELECT bits, min(doc_id) AS rep,
-             CAST(count(*) AS BIGINT) AS members
-      FROM bits GROUP BY bits
-    ),
-    bands AS (
-      SELECT bits, rep, members, j AS band_idx,
-             list_sum(list_transform(generate_series(0, {AHASH_BAND_BITS - 1}),
-               k -> CAST(substr(bits, j * {AHASH_BAND_BITS} + k + 1, 1)
-                         AS BIGINT) * (CAST(1 AS BIGINT) << k)))
-               AS band_val
-      FROM classes, unnest(generate_series(0, {AHASH_BANDS - 1})) AS t(j)
-    ),
-    cand AS (
-      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b,
-             a.bits AS bits_a, b.bits AS bits_b,
-             a.members AS members_a, b.members AS members_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-       AND a.rep < b.rep
-    )
-    SELECT rep_a, rep_b, members_a, members_b,
-           CAST(list_sum(list_transform(generate_series(1, {AHASH_GRID}),
-             i -> CASE WHEN substr(bits_a, i, 1) = substr(bits_b, i, 1)
-                  THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
-    FROM cand
-    WHERE list_sum(list_transform(generate_series(1, {AHASH_GRID}),
-            i -> CASE WHEN substr(bits_a, i, 1) = substr(bits_b, i, 1)
-                 THEN 0 ELSE 1 END)) <= {AHASH_HAMMING_MAX}
-"""
-QUERIES["multimodal_image_ahash_neardup"] = multimodal_image_ahash_neardup
-
-
-# ---- Perceptual near-dup II: pHash (DCT low-frequency fingerprint) ----------
-#
-# aHash thresholds raw cells against the mean; pHash (the
-# imagehash/pHash.org algorithm) first projects the image onto its
-# LOWEST SPATIAL FREQUENCIES with a 2-D DCT and fingerprints THOSE —
-# robust to the blur / re-encode / gamma shifts that flip aHash bits,
-# because high-frequency noise never reaches the hash.  The ladder a
-# production image-dedup runs is exactly these two: aHash for cheap
-# recall, pHash for frequency-domain precision.
-#
-# Cross-engine exactness: the DCT basis is QUANTIZED ONCE in Python —
-# C[u][r] = round(cos(pi*(2r+1)*u/(2*16)) * 1024) — and embedded as
-# integer literals in BOTH the Spark expression and the DuckDB mirror,
-# so every coefficient is an exact int64 sum (|F| <= 255*1024*16 *
-# 1024*16 < 2^37); no engine evaluates a cosine at query time.  The
-# bit threshold is the LOWER MEDIAN (33rd of 64 sorted coefficients)
-# — a rank statistic, no division.
-
-import math as _math
-
-PHASH_N = 16  # input grid: 16x16 samples
-PHASH_K = 8  # kept frequencies: 8x8 -> 64-bit hash
-PHASH_COS_SCALE = 1024
-_PHASH_COS = [
-    [
-        round(_math.cos(_math.pi * (2 * r + 1) * u / (2 * PHASH_N))
-              * PHASH_COS_SCALE)
-        for r in range(PHASH_N)
-    ]
-    for u in range(PHASH_K)
-]
-PHASH_BAND_BITS = 8
-PHASH_BANDS = 64 // PHASH_BAND_BITS
-# Same calibration story as AHASH_HAMMING_MAX: production pHash uses
-# ~10/64; the text-backed fake pixels of the judged corpus need a
-# wider verify cut for a non-vacuous row.
-PHASH_HAMMING_MAX = 16
-
-_SPARK_COS = (
-    "array(" + ",".join(
-        "array(" + ",".join(str(x) for x in row) + ")" for row in _PHASH_COS
-    ) + ")"
-)
-_SQL_COS = (
-    "[" + ",".join(
-        "[" + ",".join(str(x) for x in row) + "]" for row in _PHASH_COS
-    ) + "]"
-)
-# (u, r, cv) rows for the oracle's relational DCT join
-_SQL_COS_ROWS = ",".join(
-    f"({u},{r},{cv})"
-    for u, row in enumerate(_PHASH_COS)
-    for r, cv in enumerate(row)
-)
-
-
-def multimodal_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual image near-dup via pHash: 16x16 downsample -> 2-D DCT
-    -> keep the 8x8 lowest-frequency block -> threshold against the
-    lower-median coefficient -> 64-bit fingerprint -> banded LSH +
-    Hamming verify (the ``multimodal_image_ahash_neardup`` pipeline
-    with the frequency-domain front end swapped in).
-
-    The fake decode samples payload byte ``floor(i*n/256)`` for cell i
-    (the module's honest codec stub; PIL's ``resize((16,16))`` swaps in
-    at that seam).  The separable DCT runs RELATIONALLY — pixel rows
-    joined to a broadcast 128-row quantized-cosine table, row pass
-    then column pass, each a map-side-combined sum keyed by doc — NOT
-    as nested array lambdas: a 128-literal table inlined into a
-    3-deep higher-order-function chain is exactly the expression shape
-    that blows past codegen limits and falls back to per-element
-    interpretation (measured: minutes per micro-batch vs seconds for
-    the join form).  Shuffle volume is 64 coefficient longs per doc —
-    the same order as the fingerprint itself — and the cosine side is
-    a broadcast, so the 100 TB cost is one doc-keyed combine pass.
+    at that seam).  The separable DCT is :func:`_phash_bits`'s
+    multi-aggregate groupBy form — two map-side-combined aggregation
+    passes with the quantized cosine rows as integer array literals,
+    no join fan-out (the broadcast-join DCT this operator shipped with
+    paid an 8x row expansion before its first combine — 90 s at the
+    16x scale point where the aggregate form holds seconds; see
+    _phash_bits for the full shape ladder).  Shuffle volume is 64
+    coefficient longs per doc — the same order as the fingerprint
+    itself — so the 100 TB cost is one doc-keyed combine pass.
 
     Downstream is aHash's scale shape: exact-class pre-collapse before
     pairing, banded candidates (8 bands x 8 bits), popcount verify on
     two packed 32-bit halves.
     """
-    n_cells = PHASH_N * PHASH_N
-    d = load_table(spark, sf_dir, "documents").filter(
-        F.length("text") >= n_cells
-    )
-    cos = spark.createDataFrame(
-        [
-            (u, r, cv)
-            for u, row in enumerate(_PHASH_COS)
-            for r, cv in enumerate(row)
-        ],
-        "u int, r int, cv long",
-    )
-    px = (
-        d.select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(0, {n_cells - 1}),"
-                    f" i -> cast(ascii(substring(text,"
-                    f" cast(i * length(text) div {n_cells} as int) + 1, 1))"
-                    f" as bigint))"
-                )
-            ).alias("idx", "val"),
-        )
-        .select(
-            "doc_id",
-            F.expr(f"idx div {PHASH_N}").cast("int").alias("r"),
-            (F.col("idx") % PHASH_N).cast("int").alias("c"),
-            "val",
-        )
-    )
-    # Row pass: T[u][c] = sum_r C[u][r] * p[r][c]
-    trow = (
-        px.join(F.broadcast(cos), "r")
-        .groupBy("doc_id", "u", "c")
-        .agg(F.sum(F.col("cv") * F.col("val")).alias("tval"))
-    )
-    # Column pass: F[u][v2] = sum_c C[v2][c] * T[u][c]
-    ccos = cos.select(
-        F.col("u").alias("v2"), F.col("r").alias("c"), F.col("cv").alias("cv2")
-    )
-    frow = (
-        trow.join(F.broadcast(ccos), "c")
-        .groupBy("doc_id", "u", "v2")
-        .agg(F.sum(F.col("cv2") * F.col("tval")).alias("fval"))
-    )
-    coeffs = frow.groupBy("doc_id").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(u, v2, fval))),"
-            " x -> x.fval)"
-        ).alias("f")
-    )
-    bits = coeffs.select(
-        "doc_id",
-        F.concat_ws(
-            "",
-            F.expr(
-                "transform(f, x ->"
-                " if(x > element_at(array_sort(f), 33), '1', '0'))"
-            ),
-        ).alias("bits"),
-    )
+    bits = _phash_bits(spark, load_table(spark, sf_dir, "documents"))
     classes = bits.groupBy("bits").agg(
         F.min("doc_id").alias("rep"),
         F.count(F.lit(1)).cast("bigint").alias("members"),
