@@ -785,3 +785,58 @@ def test_ppjoin_collapse_equals_direct_on_exact_copies(spark):
     assert collapsed == direct
     # the 2-word duplicate pair must NOT appear: no shingles, no sets
     assert not any(a == 900000 for (a, b, *_) in collapsed)
+
+
+def test_band_match_tail_equals_pair_groupby(spark):
+    """The in-row band-match tail (first-matching-band dedup + mask
+    count) is row-for-row the groupBy it replaced: one output row per
+    candidate pair, n_bands = number of equal band signatures —
+    including pairs whose ONLY match is a non-first band."""
+    from velib_lakehouse_spark.operators.dedup import minhash_band_pairs
+
+    base = spark.createDataFrame(
+        [
+            # identical texts: all bands match (n_bands = K/rows)
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            # unrelated text: no bands match
+            (3, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("crafted")
+    ).withColumn("n_chars", F.length("text"))
+    got = {
+        (r.doc_a, r.doc_b, r.n_bands)
+        for r in minhash_band_pairs(
+            base.select("doc_id", "text")
+        ).collect()
+    }
+    from velib_lakehouse_spark.operators.dedup import (
+        MINHASH_K,
+        MINHASH_BAND_ROWS,
+    )
+    n_total = MINHASH_K // MINHASH_BAND_ROWS
+    assert got == {(1, 2, n_total)}
+
+    # reference tail: the former groupBy form over the same bands
+    from velib_lakehouse_spark.operators.dedup import minhash_bands
+
+    bands = minhash_bands(base.select("doc_id", "text"))
+    ref = {
+        (r.doc_a, r.doc_b, r.n_bands)
+        for r in (
+            bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
+            .join(
+                bands.select(
+                    F.col("doc_id").alias("doc_b"), "band", "band_sig"
+                ),
+                ["band", "band_sig"],
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+            .collect()
+        )
+    }
+    assert got == ref

@@ -339,26 +339,52 @@ def minhash_bands(d: DataFrame) -> DataFrame:
     )
     return sig.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {MINHASH_K // MINHASH_BAND_ROWS - 1}),"
-                f" b -> concat_ws(',', slice(sig, b * {MINHASH_BAND_ROWS} + 1,"
-                f" {MINHASH_BAND_ROWS})))"
-            )
-        ).alias("band", "band_sig"),
+        F.expr(
+            f"transform(sequence(0, {MINHASH_K // MINHASH_BAND_ROWS - 1}),"
+            f" b -> concat_ws(',', slice(sig, b * {MINHASH_BAND_ROWS} + 1,"
+            f" {MINHASH_BAND_ROWS})))"
+        ).alias("bsigs"),
+    ).select(
+        "doc_id",
+        "bsigs",
+        F.posexplode("bsigs").alias("band", "band_sig"),
     )
 
 
 def minhash_band_pairs(d: DataFrame) -> DataFrame:
-    """Direct banded self-join: (doc_a, doc_b, n_bands) candidates."""
+    """Direct banded self-join: (doc_a, doc_b, n_bands) candidates.
+
+    One row per pair WITHOUT a pair re-aggregation (the _wmh_rep_pairs
+    tail): a pair joins once per matching band; keeping only the FIRST
+    matching band's row dedups exactly, and n_bands is the in-row
+    band-mask count — the former groupBy paid one more exchange of the
+    candidate stream for the same numbers.
+    """
     bands = minhash_bands(d)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_sig")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_sig")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bsigs").alias("bsigs_a"),
+        "band",
+        "band_sig",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bsigs").alias("bsigs_b"),
+        "band",
+        "band_sig",
+    )
+    mask = "zip_with(bsigs_a, bsigs_b, (x, y) -> x = y)"
     return (
         a.join(b, ["band", "band_sig"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.expr(f"band = array_position({mask}, true) - 1"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"size(filter({mask}, m -> m))")
+            .cast("long")
+            .alias("n_bands"),
+        )
     )
 
 
@@ -437,15 +463,31 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     bands = minhash_bands(d)
     new = bands.filter(F.col("doc_id") % INCR_MOD == 0).select(
-        F.col("doc_id").alias("new_doc"), "band", "band_sig"
+        F.col("doc_id").alias("new_doc"),
+        F.col("bsigs").alias("bsigs_n"),
+        "band",
+        "band_sig",
     )
     index = bands.filter(F.col("doc_id") % INCR_MOD != 0).select(
-        F.col("doc_id").alias("index_doc"), "band", "band_sig"
+        F.col("doc_id").alias("index_doc"),
+        F.col("bsigs").alias("bsigs_i"),
+        "band",
+        "band_sig",
     )
+    # first-matching-band dedup + in-row mask count instead of a pair
+    # groupBy (see minhash_band_pairs) — one fewer exchange of the
+    # candidate stream.
+    mask = "zip_with(bsigs_n, bsigs_i, (x, y) -> x = y)"
     return (
         new.join(index, ["band", "band_sig"])
-        .groupBy("new_doc", "index_doc")
-        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.expr(f"band = array_position({mask}, true) - 1"))
+        .select(
+            "new_doc",
+            "index_doc",
+            F.expr(f"size(filter({mask}, m -> m))")
+            .cast("long")
+            .alias("n_bands"),
+        )
     )
 
 

@@ -427,13 +427,17 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .cast("bigint")
             .alias("label")
         )
-    sizes = labels.groupBy("label").agg(
-        F.count(F.lit(1)).alias("community_size")
-    )
-    return labels.join(sizes, "label").select(
+    # community sizes as a count window over the final labels: the
+    # former groupBy + self-join consumed the unrolled 3-round label
+    # chain TWICE (once per join side — the whole chain re-derived for
+    # `sizes` since nothing is cached between rounds); the window is
+    # one label-keyed exchange over one derivation of the same rows.
+    return labels.select(
         "node",
         F.col("label").alias("community"),
-        "community_size",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("label"))
+        .alias("community_size"),
     )
 
 
@@ -505,12 +509,18 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= KCORE_K)
             .select("a")
         )
+        # eager localCheckpoint, not persist+count: same one
+        # materializing action per round, but it also TRUNCATES the
+        # lineage.  With persist, each round's logical plan embeds the
+        # previous round's full tree once per consumer (three here), so
+        # the plan string grew ~3x per round — the round-3 plan carried
+        # >2000 nested Exchange nodes and the optimizer re-walked that
+        # tree every round (the dedup_clusters lineage convention).
         nxt = (
             sub.join(keep, "a", "left_semi")
             .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        nxt.count()  # materialize before releasing the previous round
         if sub is not edges:
             sub.unpersist()
         sub = nxt
