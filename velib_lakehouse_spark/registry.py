@@ -91,6 +91,16 @@ PRIORITY: tuple[str, ...] = (
     "connected_components_star",
     # changed => re-window (r9 ADVICE: ICWS quantized ranking key)
     "dedup_icws_weighted_minhash",
+    # changed => re-window (r10 optimization round): k-core's per-round
+    # persist+count became an eager localCheckpoint (plan-blowup fix),
+    # LPA's community sizes became a window over one label derivation,
+    # and the incremental MinHash index join dedups candidates by first
+    # matching band in-row — all value-identical (oracle-verified at
+    # sf0.001 + sf0.01), re-windowed per the standing rule so the
+    # driver re-checks them this round
+    "kcore_peeling",
+    "label_propagation_communities",
+    "dedup_incremental_minhash",
     # the staged r4-era queue (r9 VERDICT #1) — ratchet closure
     "editdist_verified_pairs",
     "full_outer_activity_reconcile",
@@ -128,20 +138,23 @@ PRIORITY: tuple[str, ...] = (
     "skew_salted_join",
     "snapshot_diff_cdc",
     "sorted_neighborhood_pairs",
-    "streaming_join_left_outer",
-    "streaming_python_datasource_feed",
-    "table_checksum_audit",
-    "tpch_q11_important_parts",)
+    "streaming_join_left_outer",)
 
 # Registered immediately AFTER the window, highest value first: if a
 # future driver checks more than DRIVER_WINDOW queries, these are the
 # ones it should reach next.
 SECONDARY: tuple[str, ...] = (
-    # ROUND-11 ROTATION QUEUE: the eighteen r5-era rows the 50-slot
-    # budget could not fit this round (seven tpch rows were displaced
-    # mid-round when the seven growth-batch operators took their
-    # never-checked-first slots) — the stalest evidence once the r10
-    # window lands, so they rotate in first next round.
+    # ROUND-11 ROTATION QUEUE: the r5-era rows the 50-slot budget could
+    # not fit this round (seven tpch rows were displaced mid-round when
+    # the seven growth-batch operators took their never-checked-first
+    # slots; three more — streaming_python_datasource_feed,
+    # table_checksum_audit, tpch_q11_important_parts — were displaced
+    # when the optimization round's three changed queries re-windowed)
+    # — the stalest evidence once the r10 window lands, so they rotate
+    # in first next round.
+    "streaming_python_datasource_feed",
+    "table_checksum_audit",
+    "tpch_q11_important_parts",
     "tpch_q12_lateness_priority",
     "tpch_q13_order_distribution",
     "tpch_q14_promo_share",
