@@ -397,20 +397,26 @@ def test_untracked_correctness_artifact_is_ignored():
         return
     fake = os.path.join(REPO, "CORRECTNESS_r97.json")
     assert not os.path.exists(fake)
+    # A sentinel name no real artifact can contain isolates the
+    # tracked-only filter from rotation state.  (The original check —
+    # "the current window is not fully green across tracked artifacts"
+    # — broke by construction the moment the driver's round-boundary
+    # commit tracked CORRECTNESS_r10.json, whose 50 green rows ARE the
+    # still-unrotated current window; r11 inherited that red.)
+    sentinel = "__untracked_artifact_sentinel__"
     payload = {
-        n: {"rows_match": True, "schema_match": True, "hash_match": True}
-        for n in WINDOW
+        sentinel: {"rows_match": True, "schema_match": True, "hash_match": True}
     }
     try:
         with open(fake, "w") as f:
             json.dump(payload, f)
         arts = _latest_correctness(99, tracked_only=True)
         green = {n for art in arts for n, e in art.items() if _green(e)}
-        # the fake all-green window must be invisible to the guards ...
-        assert not set(WINDOW) <= green
+        # the fake untracked artifact must be invisible to the guards ...
+        assert sentinel not in green
         # ... but a plain (untracked-included) read does see it
         arts_all = _latest_correctness(99)
         green_all = {n for art in arts_all for n, e in art.items() if _green(e)}
-        assert set(WINDOW) <= green_all
+        assert sentinel in green_all
     finally:
         os.remove(fake)

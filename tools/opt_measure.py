@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Per-query optimization harness (round 10).
+"""Per-query optimization harness (rounds 10+).
 
 For each named query: time N noop-sink runs (clearCache between, same
 methodology as bench.py) and dump `.explain("formatted")` to
-``plans/r10/<name>_<tag>.txt``.
+``plans/<round>/<name>_<tag>.txt``.
 
-Usage: python tools/opt_measure.py [--tag before|after] [--runs N] name...
+Usage: python tools/opt_measure.py [--round rNN] [--tag before|after]
+       [--runs N] name...
 """
 
 from __future__ import annotations
@@ -27,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--tag", default="before")
+    ap.add_argument("--round", default="r11", dest="round_dir")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--no-plan", action="store_true")
     ap.add_argument("names", nargs="+")
@@ -40,7 +42,7 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.format(
             "noop"
         ).mode("overwrite").save()
-    plan_dir = os.path.join(HERE, "plans", "r10")
+    plan_dir = os.path.join(HERE, "plans", args.round_dir)
     os.makedirs(plan_dir, exist_ok=True)
     results = {}
     for name in args.names:

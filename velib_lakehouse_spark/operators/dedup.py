@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.lineage import free_local_checkpoint
 from velib_lakehouse_spark.session import tuned_shuffle
 from velib_lakehouse_spark.functions.hashing import (
     md5_long,
@@ -519,6 +520,7 @@ def _propagate_labels(d, pairs):
 
     labels = d.select("doc_id", F.col("doc_id").alias("cluster_id")).persist()
     changed = -1
+    prev_ck = None  # superseded round's checkpoint (see release below)
     for it in range(_LABEL_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_a == labels.doc_id)
@@ -559,7 +561,15 @@ def _propagate_labels(d, pairs):
         changed = updated.filter(
             F.col("cluster_id") != F.col("old_cluster_id")
         ).count()
-        labels.unpersist()
+        if prev_ck is not None:
+            # from iteration 1 on, `labels` is a projection over the
+            # previous round's checkpoint — DataFrame.unpersist() on it
+            # was a no-op (r10 ADVICE); this round's eager checkpoint
+            # is materialized, so the superseded blocks are dead
+            free_local_checkpoint(prev_ck)
+        else:
+            labels.unpersist()  # iteration 0: the persisted identity map
+        prev_ck = updated
         labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             break

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
+from velib_lakehouse_spark.functions.lineage import free_local_checkpoint
 
 HOUR_MS = 3600 * 1000
 EDGE_GROUP_CAP = 20  # per-hour panel size: busier hours keep top-K only
@@ -522,7 +523,12 @@ def kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if sub is not edges:
-            sub.unpersist()
+            # release the superseded round's blocks for REAL:
+            # DataFrame.unpersist() is a no-op on a localCheckpoint-
+            # backed frame (r10 ADVICE), so the old call here leaked
+            # every round's edge list until ContextCleaner GC.  `nxt`
+            # is eager — already materialized — so `sub` is dead.
+            free_local_checkpoint(sub)
         sub = nxt
     nodes = edges.select(F.col("a").alias("node")).distinct()
     deg_final = sub.groupBy(F.col("a").alias("node")).agg(
@@ -810,6 +816,7 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = und.unionByName(
         und.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
+    prev_small = None  # superseded round's checkpoint (released below)
     for _ in range(CC_ROUNDS):
         # large-star: m(u) = min(N(u) u {u}); (v, m) for v in N(u), v > u
         mins = cur.groupBy("a").agg(
@@ -849,6 +856,13 @@ def connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         large.unpersist()
+        if prev_small is not None:
+            # this round's eager checkpoint is materialized and `large`
+            # (its only other reader) is done, so the previous round's
+            # blocks are dead — release them (DataFrame.unpersist would
+            # be a no-op on a checkpoint-backed frame, r10 ADVICE)
+            free_local_checkpoint(prev_small)
+        prev_small = small
         cur = small.unionByName(
             small.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )

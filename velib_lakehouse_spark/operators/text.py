@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from velib_lakehouse_spark.catalog import load_table
 from velib_lakehouse_spark.functions.hashing import md5_long, sql_md5_long
+from velib_lakehouse_spark.functions.lineage import free_local_checkpoint
 
 STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "on"]
 STOPWORDS_FR = ["le", "la", "les", "de", "et", "un", "une", "est"]
@@ -1595,6 +1596,12 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         ).alias("seq"),
     ).persist()
     cur = base
+    # superseded checkpoint from two assignments back: freeable once the
+    # collect below materializes the CURRENT round's lazy checkpoint
+    # (r10 VERDICT #6 — without this, every round's vocab state stays in
+    # the block manager until ContextCleaner GC; now storage is bounded
+    # at ~2 rounds of vocabulary no matter how many merges are trained)
+    stale = None
     merges: list[tuple] = []
     for rank in range(1, BPE_TRAIN_MERGES + 1):
         top = (
@@ -1615,6 +1622,11 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             .limit(1)
             .collect()
         )
+        if stale is not None:
+            # the collect above materialized `cur`'s lazy checkpoint,
+            # so the round-before-last's blocks are provably dead
+            free_local_checkpoint(stale)
+            stale = None
         if not top:
             break
         a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
@@ -1627,10 +1639,13 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
         # each round computes exactly one replace pass over a cached
         # vocabulary.  Vocabulary-sized state (Zipf-bounded), same
         # cache-lifetime story as `base`.
-        cur = cur.withColumn(
+        nxt = cur.withColumn(
             "seq",
             F.replace("seq", F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
         ).localCheckpoint(eager=False)
+        # `cur` (base on round 1 — the helper no-ops on non-checkpoint
+        # frames) becomes freeable once `nxt` materializes next round
+        stale, cur = cur, nxt
     return merges, cur, base
 
 
@@ -1845,6 +1860,7 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq"),
     ).persist()
     cur = base
+    stale = None  # superseded checkpoint; see _bpe_train's lifetime note
     merges: list[tuple] = []
     for rnd in range(1, BPE_BATCH_ROUNDS + 1):
         kp = _bpe_pair_counts(cur).select(
@@ -1884,6 +1900,9 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b", "cnt")
             .collect()
         )
+        if stale is not None:
+            free_local_checkpoint(stale)  # materialized by the collect
+            stale = None
         if not surv:
             break  # no adjacent pairs left; later rounds stay empty
         picked = sorted(
@@ -1906,7 +1925,8 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         # expression/lineage depth — plan size and codegen stay O(M) per
         # round instead of O(rounds * M).  Lazy = the next round's
         # pair-count job materializes the cache, no extra action.
-        cur = cur.withColumn("seq", new_seq).localCheckpoint(eager=False)
+        nxt = cur.withColumn("seq", new_seq).localCheckpoint(eager=False)
+        stale, cur = cur, nxt
     base.unpersist()
     schema = (
         "merge_rank bigint, round bigint, slot bigint, left_sym string,"
@@ -2061,6 +2081,7 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("seq"),
     ).persist()
     cur = base
+    stale = None  # superseded checkpoint; see _bpe_train's lifetime note
     merges: list[tuple] = []
     for rank in range(1, WP_TRAIN_MERGES + 1):
         pairs = _bpe_pair_counts(cur)
@@ -2093,6 +2114,9 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .collect()
         )
+        if stale is not None:
+            free_local_checkpoint(stale)  # materialized by the collect
+            stale = None
         if not top:
             break
         a, b = top[0]["a"], top[0]["b"]
@@ -2104,10 +2128,11 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # frequencies — separate aggregate subtrees in one job, no
         # subtree reuse), so the un-checkpointed chain replayed the
         # replace history twice per iteration.
-        cur = cur.withColumn(
+        nxt = cur.withColumn(
             "seq",
             F.replace("seq", F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
         ).localCheckpoint(eager=False)
+        stale, cur = cur, nxt
     base.unpersist()
     schema = (
         "merge_rank bigint, left_sym string, right_sym string,"
