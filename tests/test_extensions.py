@@ -840,3 +840,70 @@ def test_band_match_tail_equals_pair_groupby(spark):
         )
     }
     assert got == ref
+
+
+def test_band_tail_keeps_non_first_band_only_pairs(spark):
+    """Closes the r10 VERDICT #4 / ADVICE gap: the previous fixture only
+    exercised an all-bands-match pair, so an off-by-one in the
+    ``band = array_position(mask, true) - 1`` keep-rule (e.g. keeping
+    band 0's row unconditionally) passed anyway.  This corpus was
+    CRAFTED (offline deterministic search over one-word variants of a
+    30-word base; md5-seeded minhash makes the masks stable) so that:
+
+    * (1, 3) matches ONLY band 1, (2, 4) ONLY band 2, (1, 5) ONLY
+      band 3 — pairs a first-band-only rule drops entirely;
+    * (1, 2) matches exactly the NON-ADJACENT bands {1, 3} — a pair a
+      contiguous-slice rule would double-emit or miscount.
+
+    Preconditions pin the masks; the assertion then requires exactly
+    one output row per matching pair with n_bands = mask popcount.
+    """
+    import itertools
+
+    from velib_lakehouse_spark.operators.dedup import (
+        MINHASH_BAND_ROWS,
+        MINHASH_K,
+        minhash_band_pairs,
+        minhash_bands,
+    )
+
+    base = ["w%02d" % i for i in range(30)]
+
+    def variant(i: int, repl: str) -> str:
+        ws = list(base)
+        ws[i] = repl
+        return " ".join(ws)
+
+    docs = [
+        (1, variant(0, "x00")),
+        (2, variant(1, "x01")),
+        (3, variant(12, "x12")),  # vs doc 1: band 1 only
+        (4, variant(11, "x11")),  # vs doc 2: band 2 only
+        (5, variant(16, "x16")),  # vs doc 1: band 3 only
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs: dict[int, dict[int, str]] = {}
+    for r in minhash_bands(d).collect():
+        sigs.setdefault(r.doc_id, {})[r.band] = r.band_sig
+    n_total = MINHASH_K // MINHASH_BAND_ROWS
+
+    def mask(a: int, b: int) -> tuple[bool, ...]:
+        return tuple(sigs[a][k] == sigs[b][k] for k in range(n_total))
+
+    # crafted-corpus preconditions (fail loudly if the hash family or
+    # banding constants change — re-run the offline search then)
+    assert mask(1, 3) == (False, True, False, False)
+    assert mask(2, 4) == (False, False, True, False)
+    assert mask(1, 5) == (False, False, False, True)
+    assert mask(1, 2) == (False, True, False, True)
+
+    out = minhash_band_pairs(d).collect()
+    got = {(r.doc_a, r.doc_b, r.n_bands) for r in out}
+    assert len(out) == len(got), "pair emitted more than once"
+    expected = {
+        (a, b, sum(mask(a, b)))
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if any(mask(a, b))
+    }
+    assert {(1, 3, 1), (2, 4, 1), (1, 5, 1), (1, 2, 2)} <= expected
+    assert got == expected

@@ -122,6 +122,41 @@ def _words(col: str = "text"):
     return F.filter(F.split(F.col(col), " "), lambda w: w != "")
 
 
+_WS_SQL = "filter(split(text, ' '), x -> x != '')"
+
+
+def _tf_inrow_sql(ws: str, cap: int) -> str:
+    """SQL expression: capped per-term frequencies computed IN-ROW from
+    a words-array expression — ``array<struct<term,tfc>>``, terms
+    distinct and term-sorted, counts saturated at ``cap``.
+
+    A document's words already live in ONE row (the exact-copy groups
+    frame), so per-(rep, term) counting never needed a shuffle: the old
+    ``explode -> groupBy(rep, term)`` shape paid a full exchange of the
+    distinct-term stream just to count within rows it started from
+    (guide §2.4: remove shuffles outright).  One ``sort_array`` plus a
+    linear run-length fold — O(L log L) per doc, the same bound the
+    words array itself carries, never the O(L * distinct) of a
+    per-distinct-term ``filter`` scan.  Row-for-row equal to
+    ``groupBy(rep, term).agg(least(count(*), cap))``.
+    """
+    flush = (
+        "array_append(acc.out, named_struct("
+        f"'term', acc.t, 'tfc', least(acc.c, {cap}L)))"
+    )
+    return (
+        f"aggregate(sort_array({ws}), "
+        "named_struct("
+        "'t', cast(null as string), 'c', 0L, "
+        "'out', cast(array() as array<struct<term:string,tfc:bigint>>)), "
+        "(acc, x) -> if(x = acc.t, "
+        "named_struct('t', acc.t, 'c', acc.c + 1L, 'out', acc.out), "
+        "named_struct('t', x, 'c', 1L, "
+        f"'out', if(acc.t is null, acc.out, {flush}))), "
+        f"acc -> if(acc.t is null, acc.out, {flush}))"
+    )
+
+
 def _shingles(df: DataFrame) -> DataFrame:
     """doc_id -> exploded distinct word-3-gram shingles (docs with >=3 words).
 
@@ -2761,15 +2796,18 @@ def dedup_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     to weighted tokens):
 
     1. exact-copy collapse (group by text; reps carry member-id lists);
-    2. per-(rep, term) capped term frequency — ONE term-keyed shuffle,
-       linear in corpus tokens (no quadratic per-row counting, so the
-       giant-document fuzz bound holds);
-    3. per-(rep, term) replica min-hashes for all WMH_K rankings,
-       map-side: WMH_K/4 md5 digests per replica, four 15-bit lanes
-       each, behind an explode barrier (replica fan-out bounded by
-       WMH_TF_CAP; see the lane comment at the expression);
-    4. per-rep signature: WMH_K elementwise-min aggregates in one
-       shuffle, plus total weight and the (term, tf) list;
+    2. capped term frequencies counted IN-ROW (sort + run-length fold,
+       O(L log L) per doc — no token shuffle at all: the old
+       explode -> groupBy(rep, term) exchange counted rows that
+       already sat together in the group row);
+    3. replica min-hashes for all WMH_K rankings, in the same row:
+       WMH_K/4 md5 digests per replica, four 15-bit lanes each, bound
+       once via a single-element-array transform (the in-row analogue
+       of the explode barrier; replica fan-out bounded by WMH_TF_CAP);
+    4. per-rep signature, total weight and the term->tf map emitted
+       from the SAME row — no rep-keyed aggregation shuffle and no
+       ids join-back; the only exchanges in the whole pipeline are
+       the text group-by and the banded self-join (guide §2.4/§8);
     5. banded self-join with ``rep_a <= rep_b`` — reflexive matches
        expand to within-group pairs with est = exact = 1e6 constants,
        one code path (see _estimate_audit_groups);
@@ -2797,76 +2835,78 @@ def _wmh_rep_pairs(d: DataFrame) -> DataFrame:
     """Steps 1-6 of the weighted-MinHash pipeline at REP granularity:
     ``(rep_a, rep_b, ids_a, ids_b, n_bands, est_ppm, wjaccard_ppm)``.
     Shared by the full member-pair expansion (dedup_weighted_minhash)
-    and the per-anchor capped ranking (dedup_weighted_minhash_capped)."""
-    # persist: groups feeds BOTH the tf expansion and the ids join
-    # below — uncached, the corpus scan + text group-by execute twice
-    # (r8 ADVICE; cache-lifetime note in dedup_minhash_lsh applies)
-    groups = d.groupBy("text").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ids"),
-        F.min("doc_id").alias("rep"),
-    ).persist()
-    tf = (
-        groups.select("rep", F.explode(_words()).alias("term"))
-        .groupBy("rep", "term")
-        .agg(
-            F.least(F.count(F.lit(1)), F.lit(WMH_TF_CAP))
-            .cast("long")
-            .alias("tfc")
-        )
-    )
+    and the per-anchor capped ranking (dedup_weighted_minhash_capped).
+
+    The ENTIRE per-rep state — capped tf profile, total weight, the
+    term->tf map, and all WMH_K signature mins — is computed IN-ROW
+    from the exact-copy group's own text (guide §2.4/§8: every input a
+    signature needs already sits in one row, so the old
+    explode -> groupBy(rep, term) -> groupBy(rep) -> join(ids) chain
+    paid two exchanges and a join to reassemble data it began with).
+    The only exchanges left are the text group-by and the banded
+    self-join — the two the algorithm actually requires.
+    """
     # K min-wise rankings from K/4 digests: each 60-bit md5 splits into
     # four 15-bit lanes, one ranking per lane — 4x fewer digests than
     # seeding the digest per ranking (measured: the per-seed variant
     # spent ~6 s of the sf0.1 run inside md5).  15-bit resolution adds
     # a ~|terms|/2^15 tie probability at the minimum (<1% here), a
     # negligible upward nudge on the collision estimate; the estimator-
-    # quality test bounds it.
+    # quality test bounds it.  Value-identical to the former
+    # two-level min (per-(rep, term) array_min, then min per rep):
+    # min is associative/commutative over the same digest lanes.
     base = (
-        "cast(conv(substr(md5(concat(cast(j as string), ':', term, '#',"
+        "cast(conv(substr(md5(concat(cast(j as string), ':', t.term, '#',"
         " cast(r as string))), 1, 15), 16, 10) as bigint)"
     )
-    # explode(array(...)) is a generator barrier (the minhash_bands
-    # idiom): without it Catalyst inlines the digest expression into
-    # each of the 16 lane lambdas and hashes 16x instead of 4x
-    rh = tf.select(
-        "rep",
-        "term",
-        "tfc",
-        F.explode(
-            F.array(
-                F.expr(
-                    f"transform(sequence(0, {WMH_K // 4 - 1}),"
-                    f" j -> transform(sequence(1, tfc), r -> {base}))"
-                )
-            )
-        ).alias("hs"),
-    ).withColumn(
-        "rh",
-        F.expr(
-            f"transform(sequence(0, {WMH_K - 1}), s ->"
-            " array_min(transform(hs[s div 4],"
-            " d -> shiftright(d, 15 * (s % 4)) & 32767)))"
-        ),
+    # digests bound ONCE via single-element-array transforms (the
+    # in-row analogue of the explode(array(...)) generator barrier):
+    # `hs` binds the fully-evaluated per-term digest arrays, so the 16
+    # lane lambdas read values instead of re-hashing 16x
+    hsrow = (
+        f"transform(tf, t -> transform(sequence(0, {WMH_K // 4 - 1}),"
+        f" j -> transform(sequence(1, t.tfc), r -> {base})))"
     )
-    sig = rh.groupBy("rep").agg(
-        *[F.min(F.element_at("rh", s + 1)).alias(f"m{s}") for s in range(WMH_K)],
-        F.sum("tfc").alias("w_total"),
-        F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("term", "tfc")))
-        ).alias("tfm"),
-    ).select(
-        "rep",
-        "w_total",
-        "tfm",
-        F.array(*[F.col(f"m{s}") for s in range(WMH_K)]).alias("sig"),
+    sig_expr = (
+        f"element_at(transform(array({hsrow}), hs ->"
+        f" transform(sequence(0, {WMH_K - 1}), s ->"
+        " array_min(transform(hs, pt ->"
+        " array_min(transform(pt[s div 4],"
+        " d -> shiftright(d, 15 * (s % 4)) & 32767)))))), 1)"
+    )
+    row_expr = (
+        f"element_at(transform(array({_tf_inrow_sql(_WS_SQL, WMH_TF_CAP)}),"
+        " tf -> named_struct("
+        "'w_total', aggregate(tf, 0L, (a, x) -> a + x.tfc),"
+        " 'tfm', map_from_entries(tf),"
+        f" 'sig', {sig_expr})), 1)"
     )
     n_bands_total = WMH_K // WMH_BAND_ROWS
     # persist: feeds both self-join sides (cache-lifetime note in
     # dedup_minhash_lsh applies).  `bsigs` (the full per-row band-string
     # array) rides along so the match tail below can count and rank
-    # matching bands IN-ROW instead of re-aggregating.
+    # matching bands IN-ROW instead of re-aggregating.  The
+    # size(words) > 0 filter reproduces the old INNER sig-join: a rep
+    # with no non-empty word had no tf rows, hence no signature row.
     rows = (
-        sig.join(groups.select("rep", "ids"), "rep")
+        d.groupBy("text")
+        .agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids"),
+            F.min("doc_id").alias("rep"),
+        )
+        .where(F.expr(f"size({_WS_SQL}) > 0"))
+        # explode(array(...)) Generate barrier: the struct below is
+        # computed once per row even though three fields are extracted
+        .select(
+            "rep", "ids", F.explode(F.array(F.expr(row_expr))).alias("w")
+        )
+        .select(
+            "rep",
+            "ids",
+            F.col("w.sig").alias("sig"),
+            F.col("w.w_total").alias("w_total"),
+            F.col("w.tfm").alias("tfm"),
+        )
         .withColumn(
             "bsigs",
             F.expr(
@@ -3088,6 +3128,63 @@ QUERIES["dedup_weighted_minhash"] = dedup_weighted_minhash
 WMH_PAIR_TOPK = 5  # neighbors kept per anchor group
 
 
+def _capped_rank(rp: DataFrame) -> DataFrame:
+    """Per-anchor top-K ranking over rep-level candidate pairs, shared
+    by the integer-weight and ICWS capped consumers.
+
+    The symmetric (anchor, neighbor) expansion happens IN-ROW with one
+    explode: the former ``fwd.unionByName(rev)`` consumed the pair
+    frame twice, so the WHOLE upstream derivation — banded self-join
+    exchanges, in-row metric folds — was planned and executed once per
+    union side (guide §2.4: remove shuffles outright; the duplicate
+    subtree was the single largest cost in both capped plans).  The
+    explode emits the forward row always and the reversed row only for
+    non-reflexive pairs — multiset-identical to the union, and the
+    deterministic window order makes the final ranking identical."""
+    fwd = F.struct(
+        F.col("rep_a").alias("anchor"),
+        F.col("rep_b").alias("neighbor"),
+        F.size("ids_a").cast("bigint").alias("n_a"),
+        F.size("ids_b").cast("bigint").alias("n_b"),
+        F.col("n_bands"),
+        F.col("est_ppm"),
+        F.col("wjaccard_ppm"),
+    )
+    rev = F.struct(
+        F.col("rep_b").alias("anchor"),
+        F.col("rep_a").alias("neighbor"),
+        F.size("ids_b").cast("bigint").alias("n_a"),
+        F.size("ids_a").cast("bigint").alias("n_b"),
+        F.col("n_bands"),
+        F.col("est_ppm"),
+        F.col("wjaccard_ppm"),
+    )
+    sym = rp.select(
+        F.explode(
+            F.when(F.col("rep_a") == F.col("rep_b"), F.array(fwd)).otherwise(
+                F.array(fwd, rev)
+            )
+        ).alias("s")
+    ).select("s.*")
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("wjaccard_ppm"), F.desc("est_ppm"), F.asc("neighbor")
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rnk") <= WMH_PAIR_TOPK)
+        .select(
+            "anchor",
+            "neighbor",
+            "n_a",
+            "n_b",
+            "n_bands",
+            "est_ppm",
+            "wjaccard_ppm",
+            "rnk",
+        )
+    )
+
+
 def dedup_weighted_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-anchor capped ranking over the weighted-MinHash candidate
     pairs — the scale-bounded consumer contract for the full audit's
@@ -3114,43 +3211,7 @@ def dedup_weighted_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     THIS operator — compute tracks reps (constant under replication),
     output tracks reps * K.
     """
-    rp = _wmh_rep_pairs(load_table(spark, sf_dir, "documents"))
-    fwd = rp.select(
-        F.col("rep_a").alias("anchor"),
-        F.col("rep_b").alias("neighbor"),
-        F.size("ids_a").cast("bigint").alias("n_a"),
-        F.size("ids_b").cast("bigint").alias("n_b"),
-        "n_bands",
-        "est_ppm",
-        "wjaccard_ppm",
-    )
-    rev = rp.where(F.col("rep_a") != F.col("rep_b")).select(
-        F.col("rep_b").alias("anchor"),
-        F.col("rep_a").alias("neighbor"),
-        F.size("ids_b").cast("bigint").alias("n_a"),
-        F.size("ids_a").cast("bigint").alias("n_b"),
-        "n_bands",
-        "est_ppm",
-        "wjaccard_ppm",
-    )
-    w = Window.partitionBy("anchor").orderBy(
-        F.desc("wjaccard_ppm"), F.desc("est_ppm"), F.asc("neighbor")
-    )
-    return (
-        fwd.unionByName(rev)
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= WMH_PAIR_TOPK)
-        .select(
-            "anchor",
-            "neighbor",
-            "n_a",
-            "n_b",
-            "n_bands",
-            "est_ppm",
-            "wjaccard_ppm",
-            "rnk",
-        )
-    )
+    return _capped_rank(_wmh_rep_pairs(load_table(spark, sf_dir, "documents")))
 
 
 ORACLE["dedup_weighted_minhash_capped"] = f"""
@@ -3224,7 +3285,9 @@ def dedup_icws_weighted_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline (the `_wmh_rep_pairs` shape with ICWS signatures):
 
     1. exact-copy collapse (group by text, reps carry member ids);
-    2. per-(rep, term) capped tf — one term-keyed shuffle;
+    2. per-(rep, term) capped tf counted IN-ROW (sort + run-length
+       fold — a doc's words already sit in one row, so the old
+       explode -> groupBy(rep, term) exchange is gone, guide §2.4);
     3. per-term document frequency + fixed-point idf (broadcast scalar
        doc count); weight w_micro = tfc * idf_q, a BIGINT both engines
        derive identically;
@@ -3263,16 +3326,31 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
         F.min("doc_id").alias("rep"),
     ).persist()
     tf = (
-        groups.select("rep", F.explode(_words()).alias("term"))
-        .groupBy("rep", "term")
-        .agg(
-            F.least(F.count(F.lit(1)), F.lit(WMH_TF_CAP))
-            .cast("long")
-            .alias("tfc")
+        groups.select(
+            "rep",
+            F.explode(
+                F.expr(_tf_inrow_sql(_WS_SQL, WMH_TF_CAP))
+            ).alias("tc"),
         )
-        # persist: feeds the doc-count scalar, the per-term df
-        # aggregate, and the weight join — three consumers, one
-        # term-explode pass
+        .select(
+            "rep",
+            F.col("tc.term").alias("term"),
+            F.col("tc.tfc").alias("tfc"),
+        )
+        # capped tf is counted IN-ROW (_tf_inrow_sql): a doc's words
+        # already sit in one row, so the old explode ->
+        # groupBy(rep, term) shape paid a full exchange (plus the
+        # partial/final aggregate pair) to count rows it started
+        # with — that exchange is simply gone (guide §2.4).  The df
+        # aggregate below still exchanges, but only map-side-combined
+        # per-term partial counts; term-first repartitioning to share
+        # one exchange between df and the weight join was tried and
+        # REJECTED: column pruning specializes each branch's copy of
+        # the repartition (the df branch prunes to term-only), so the
+        # reuse rule cannot fire and the plan ships the tf stream
+        # twice.
+        # persist: feeds the per-term df aggregate and the weight
+        # join — two consumers, one in-row counting pass
         .persist()
     )
     # n_docs = number of reps contributing at least one term.  Derived
@@ -3620,42 +3698,8 @@ def dedup_icws_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     1024x/4096x SCALE.md rows pin output cardinality scale-invariant,
     mirroring the integer-weight sweep.
     """
-    rp = _icws_rep_pairs(load_table(spark, sf_dir, "documents"))
-    fwd = rp.select(
-        F.col("rep_a").alias("anchor"),
-        F.col("rep_b").alias("neighbor"),
-        F.size("ids_a").cast("bigint").alias("n_a"),
-        F.size("ids_b").cast("bigint").alias("n_b"),
-        "n_bands",
-        "est_ppm",
-        "wjaccard_ppm",
-    )
-    rev = rp.where(F.col("rep_a") != F.col("rep_b")).select(
-        F.col("rep_b").alias("anchor"),
-        F.col("rep_a").alias("neighbor"),
-        F.size("ids_b").cast("bigint").alias("n_a"),
-        F.size("ids_a").cast("bigint").alias("n_b"),
-        "n_bands",
-        "est_ppm",
-        "wjaccard_ppm",
-    )
-    w = Window.partitionBy("anchor").orderBy(
-        F.desc("wjaccard_ppm"), F.desc("est_ppm"), F.asc("neighbor")
-    )
-    return (
-        fwd.unionByName(rev)
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rnk") <= WMH_PAIR_TOPK)
-        .select(
-            "anchor",
-            "neighbor",
-            "n_a",
-            "n_b",
-            "n_bands",
-            "est_ppm",
-            "wjaccard_ppm",
-            "rnk",
-        )
+    return _capped_rank(
+        _icws_rep_pairs(load_table(spark, sf_dir, "documents"))
     )
 
 
