@@ -11,13 +11,18 @@ at the moment the query last sat in the driver window.  The test
 fails whenever a query's current fingerprint differs from the recorded
 one and the query is NOT in the current window.
 
-Known limitation (documented, accepted): the fingerprint covers the
-registered function's own source, not helpers it calls, so a
-helper-only change can slip through.  The backstops are (a) builder
-discipline — shared-helper rewrites rotate every caller in (see the
-r4 rotation comment in registry.py) — and (b) the coverage-ratchet
-test, which keeps every operator family within two rounds of a green
-driver row.
+Since round 11 the fingerprint is TRANSITIVE (r10 ADVICE #1): it
+hashes the registered function's own source, its oracle SQL, and —
+recursively — the source of every package-local function the body
+references plus the repr of every simple module-level constant it
+reads (ints, floats, strings, bools, tuples).  A rewrite of a shared
+helper (``_wmh_rep_pairs``, ``_propagate_labels``, ``_bpe_train``...)
+or a constant bump (``WMH_K``) now drifts every consumer's
+fingerprint, so ``test_changed_queries_are_in_window`` forces the
+whole consumer set back into the window instead of letting it coast
+on pre-change driver evidence.  Residual blind spots: helpers reached
+only through getattr/dispatch tables, and closures built at call time
+— none are used by registered queries today.
 
 Regenerate at the END of a round, after the window is final::
 
@@ -42,14 +47,52 @@ import sys
 FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "query_fingerprints.json")
 
 
+_PKG = "velib_lakehouse_spark"
+_CONST_TYPES = (str, int, float, bool, tuple, frozenset)
+
+
+def _closure_sources(fn) -> list[tuple[str, str]]:
+    """(qualified-name, source-or-repr) for every package-local function
+    the body transitively references, plus simple module constants."""
+    import types
+
+    seen: dict[str, str] = {}
+    stack = [fn]
+    visited: set[str] = set()
+    while stack:
+        f = stack.pop()
+        key = f"{f.__module__}.{f.__qualname__}"
+        if key in visited:
+            continue
+        visited.add(key)
+        for name in f.__code__.co_names:
+            g = f.__globals__.get(name)
+            if isinstance(g, types.FunctionType) and getattr(
+                g, "__module__", ""
+            ).startswith(_PKG):
+                gkey = f"{g.__module__}.{g.__qualname__}"
+                if gkey not in seen:
+                    try:
+                        seen[gkey] = inspect.getsource(g)
+                    except (OSError, TypeError):  # pragma: no cover
+                        seen[gkey] = repr(g)
+                    stack.append(g)
+            elif isinstance(g, _CONST_TYPES) and not isinstance(g, type):
+                seen.setdefault(f"{f.__module__}:{name}", repr(g))
+    return sorted(seen.items())
+
+
 def fingerprint(name: str) -> str:
     from velib_lakehouse_spark import registry
 
-    src = inspect.getsource(registry.QUERIES[name])
+    fn = registry.QUERIES[name]
+    src = inspect.getsource(fn)
     oracle = registry.ORACLE.get(name) or ""
-    return hashlib.sha256(
-        (src + "\n--oracle--\n" + oracle).encode()
-    ).hexdigest()[:16]
+    parts = [src, "\n--oracle--\n", oracle]
+    for key, text in _closure_sources(fn):
+        parts.append(f"\n--helper:{key}--\n")
+        parts.append(text)
+    return hashlib.sha256("".join(parts).encode()).hexdigest()[:16]
 
 
 def load() -> dict[str, str]:

@@ -31,127 +31,46 @@ ORACLE: dict[str, str | None] = {}
 # tests/test_registry_window.py guards this invariant.
 DRIVER_WINDOW = 50
 
-# ROUND-10 ROTATION (VERDICT r9 next-round #1). Standing rules,
-# guarded by tests/test_registry_window.py:
+# ROUND-11 ROTATION (VERDICT r10 next-round #6 + ADVICE #1). Standing
+# rules, guarded by tests/test_registry_window.py:
 # * "changed => re-window" (test_changed_queries_are_in_window via
-#   tools/query_fingerprints.json): a query whose code or oracle changed
-#   since its last green driver row MUST rotate back into the window.
-# * "oldest-first" (test_window_rotates_oldest_first): while
-#   never-driver-checked queries wait, no window slot may be spent on an
-#   unchanged already-green query.
-# Coverage complete (253/253 registered; 249 driver-green through r9,
-# zero ever red), so the window pays for growth + freshness.  The r9
-# staleness ledger: 8 rows last green r4 (the staged queue), 48 last
-# green r5.  This round's window, in order:
-# * 4 new operators (VERDICT r9 #2/#3/#4/#5): streaming micro-batches
-#   committed through the transaction log with (appId, batchId)
-#   idempotence (injected crash + restart audited in-query), the
-#   transactional OPTIMIZE (rewrite-action conflict taxonomy:
-#   DeleteDelete vs a racing delete, commute vs a racing append,
-#   domain-granular vs disjoint partitions), the tf-idf-ranked capped
-#   ICWS consumer (the full audit's R^2 output bounded at rep
-#   granularity), and batched BPE training (per-symbol-argmax
-#   symbol-disjoint merge rounds — hundreds of merges in ~a dozen
-#   jobs, oracle-replayed round by round).
-# * 1 changed => re-window: dedup_icws_weighted_minhash (the r9 ADVICE
-#   quantized-ranking-key fix: argmin now compares a 2^-20 log-domain
-#   integer with the element string as tie-break in both engines).
-# * 7 more new operators (the round-10 growth batch, never driver-
-#   checked, so they outrank already-green rotation candidates):
-#   bfs_hop_levels, hll_sliding_distinct, snapshot_shallow_clone,
-#   wordpiece_train_merges, bigram_perplexity_filter,
-#   multimodal_image_phash_neardup, connected_components_star.
-# * The 8 r4-era rows staged at the head of SECONDARY last round —
-#   closing the freshness ratchet: after this round no row's latest
-#   green predates round 5.
-# * 30 of the 48 r5-era rows, name order; the remaining 18
-#   (tpch_q12..q22/q2/q4/q5/q7/q8/q9 + winnow_fingerprints)
-#   head SECONDARY as the r11 queue.  Family coverage holds without
-#   swaps this round: every family keeps either a window member or an
-#   r8/r9-green representative (relational keeps tpch_q3_shipping +
-#   tpch_q1-era greens; text keeps udtf_sentence_split and
-#   rake_keyphrases in-window).
+#   tools/query_fingerprints.json — since r11 the fingerprint is
+#   TRANSITIVE over package helpers and constants, so helper-only
+#   rewrites can no longer coast on stale driver evidence).
+# * "oldest-first" (test_window_rotates_oldest_first).
+# This round's window, in order:
+# * 15 queries whose code changed in the r11 optimization round
+#   (directly or through shared helpers — the in-row WMH/ICWS
+#   signatures, the one-pass capped symmetric expansion, the in-row
+#   band-match tail consumers from r10 the ADVICE flagged as coasting
+#   (dedup_minhash_lsh, pairs_topk_capped, the _propagate_labels and
+#   _bpe_train consumers), and the iterative-loop checkpoint-release
+#   change (kcore, connected components, trainers)).
+# * The 21-row staged SECONDARY head (r10 VERDICT #6: the stalest
+#   evidence — streaming_python_datasource_feed, table_checksum_audit,
+#   the tpch_q2..q22 block, winnow_fingerprints; last green r5).
+# * 14 next-stalest rows (r5/r6-era greens: seasonal backtest,
+#   link prediction, psi drift, gini, sliding counts, trend slope,
+#   tpch_q10/q6, image patches, zscore outliers, pagerank, clustering
+#   coefficient, curation DAG lineage, streaming backfill merge).
+# Displaced r10-green rows move to the TAIL of SECONDARY (freshest
+# evidence last); the SECONDARY head is the r12 rotation queue.
 PRIORITY: tuple[str, ...] = (
-    # new this round (VERDICT r9 #2/#3/#4/#5): first driver rows
-    "streaming_txn_sink",
-    "snapshot_optimize_transactional",
-    "dedup_icws_capped",
-    "bpe_train_merges_batched",
-    # new this round (growth batch): graph traversal (multi-source
-    # BFS), sketch-x-window composition (sliding HLL), zero-copy
-    # lakehouse clone, WordPiece next to BPE, the CCNet perplexity
-    # filter, frequency-domain image near-dup, and large-star/
-    # small-star connected components — first driver rows
-    "bfs_hop_levels",
-    "hll_sliding_distinct",
-    "snapshot_shallow_clone",
-    "wordpiece_train_merges",
-    "bigram_perplexity_filter",
-    "multimodal_image_phash_neardup",
-    "connected_components_star",
-    # changed => re-window (r9 ADVICE: ICWS quantized ranking key)
     "dedup_icws_weighted_minhash",
-    # changed => re-window (r10 optimization round): k-core's per-round
-    # persist+count became an eager localCheckpoint (plan-blowup fix),
-    # LPA's community sizes became a window over one label derivation,
-    # and the incremental MinHash index join dedups candidates by first
-    # matching band in-row — all value-identical (oracle-verified at
-    # sf0.001 + sf0.01), re-windowed per the standing rule so the
-    # driver re-checks them this round
+    "dedup_icws_capped",
+    "dedup_weighted_minhash",
+    "dedup_weighted_minhash_capped",
+    "dedup_minhash_lsh",
+    "pairs_topk_capped",
+    "dedup_clusters",
+    "dedup_canonicalize",
+    "dedup_clusters_recursive",
+    "bpe_train_merges",
+    "bpe_encode_tokens",
+    "bpe_train_merges_batched",
+    "wordpiece_train_merges",
     "kcore_peeling",
-    "label_propagation_communities",
-    "dedup_incremental_minhash",
-    # the staged r4-era queue (r9 VERDICT #1) — ratchet closure
-    "editdist_verified_pairs",
-    "full_outer_activity_reconcile",
-    "streaming_windowed_counts",
-    "tpch_q3_shipping",
-    "udtf_sentence_split",
-    "unpivot_metrics",
-    "variant_shred_stats",
-    "weighted_sample_topk",
-    # r5-era rows, 30 of 48 in name order — the stalest remaining
-    # evidence; the other 18 head SECONDARY as the r11 queue
-    "basket_affinity_pairs",
-    "bloom_membership_audit",
-    "chunk_cdc",
-    "compaction_binpack_plan",
-    "cusum_changepoint_audit",
-    "expectation_suite_audit",
-    "feature_quantile_bins",
-    "global_enumerate_rows",
-    "histogram_quantile_audit",
-    "hll_distinct_audit",
-    "hll_merge_rollup",
-    "ivm_incremental_rollup",
-    "lake_file_skipping",
-    "multimodal_audio_window_stats",
-    "multimodal_image_ahash_neardup",
-    "pandas_cogroup_paired_spend",
-    "pareto_frontier_orders",
-    "peak_concurrency_daily",
-    "ppjoin_prefix_candidates",
-    "pq_adc_topk",
-    "rake_keyphrases",
-    "rfm_segmentation",
-    "rolling_active_users",
-    "skew_salted_join",
-    "snapshot_diff_cdc",
-    "sorted_neighborhood_pairs",
-    "streaming_join_left_outer",)
-
-# Registered immediately AFTER the window, highest value first: if a
-# future driver checks more than DRIVER_WINDOW queries, these are the
-# ones it should reach next.
-SECONDARY: tuple[str, ...] = (
-    # ROUND-11 ROTATION QUEUE: the r5-era rows the 50-slot budget could
-    # not fit this round (seven tpch rows were displaced mid-round when
-    # the seven growth-batch operators took their never-checked-first
-    # slots; three more — streaming_python_datasource_feed,
-    # table_checksum_audit, tpch_q11_important_parts — were displaced
-    # when the optimization round's three changed queries re-windowed)
-    # — the stalest evidence once the r10 window lands, so they rotate
-    # in first next round.
+    "connected_components_star",
     "streaming_python_datasource_feed",
     "table_checksum_audit",
     "tpch_q11_important_parts",
@@ -173,7 +92,6 @@ SECONDARY: tuple[str, ...] = (
     "tpch_q8_market_share",
     "tpch_q9_nation_profit",
     "winnow_fingerprints",
-    # unchanged relative order from the r9 file
     "seasonal_naive_backtest",
     "link_prediction_common_neighbors",
     "psi_drift_audit",
@@ -184,12 +102,18 @@ SECONDARY: tuple[str, ...] = (
     "multimodal_image_patches",
     "tpch_q6_forecast_revenue",
     "zscore_outlier_days",
-    "kcore_peeling",
     "pagerank_user_graph",
-    "label_propagation_communities",
     "clustering_coefficient",
     "curation_dag_lineage",
     "streaming_backfill_merge",
+)
+
+# Registered immediately AFTER the window, highest value first: if a
+# future driver checks more than DRIVER_WINDOW queries, these are the
+# ones it should reach next.  Head = the r12 rotation queue (stalest
+# remaining evidence first); displaced r10-green rows sit at the tail
+# (freshest evidence last).
+SECONDARY: tuple[str, ...] = (
     "approx_percentile_parity_audit",
     "mad_robust_outlier_days",
     "recency_decay_engagement",
@@ -197,7 +121,6 @@ SECONDARY: tuple[str, ...] = (
     "pandas_session_gaps",
     "velib_health",
     "streaming_silver_availablenow",
-    "dedup_clusters",
     "hypertable_rollup",
     "lake_partition_pruned",
     "asof_join_latest_state",
@@ -255,9 +178,7 @@ SECONDARY: tuple[str, ...] = (
     "embedding_dispersion",
     "tpch_q1_pricing",
     "corpus_quality_report",
-    "dedup_incremental_minhash",
     "dedup_containment",
-    "dedup_canonicalize",
     "decontaminate_ngram",
     "inverted_index",
     "ann_ivf_topk",
@@ -317,15 +238,9 @@ SECONDARY: tuple[str, ...] = (
     "export_shuffled_shards",
     "dsir_importance_weights",
     "multimodal_frame_sample",
-    # r9-green rows (last round's window — freshest evidence, so last
-    # in line; dedup_icws_weighted_minhash re-windowed above)
     "snapshot_concurrent_commit",
-    "dedup_weighted_minhash_capped",
-    "bpe_train_merges",
-    "bpe_encode_tokens",
     "dup_span_removal",
     "minhash_estimate_audit",
-    "dedup_weighted_minhash",
     "event_funnel",
     "retention_cohorts",
     "lake_zorder_layout",
@@ -339,9 +254,7 @@ SECONDARY: tuple[str, ...] = (
     "csv_roundtrip_scan",
     "curriculum_phases",
     "decontaminate_embedding",
-    "dedup_clusters_recursive",
     "dedup_embedding_cosine",
-    "dedup_minhash_lsh",
     "domain_cap_sample",
     "dup_span_report",
     "e2e_curation_report",
@@ -356,7 +269,6 @@ SECONDARY: tuple[str, ...] = (
     "lake_retention_sweep",
     "lake_schema_evolution",
     "observed_write_metrics",
-    "pairs_topk_capped",
     "pmi_collocations",
     "python_datasource_bronze",
     "rollup_cube_orders",
@@ -367,7 +279,52 @@ SECONDARY: tuple[str, ...] = (
     "streaming_session_windows",
     "streaming_stateful_enumerate",
     "streaming_static_enrich",
-    "velib_sparkline",)
+    "velib_sparkline",
+    "streaming_txn_sink",
+    "snapshot_optimize_transactional",
+    "bfs_hop_levels",
+    "hll_sliding_distinct",
+    "snapshot_shallow_clone",
+    "bigram_perplexity_filter",
+    "multimodal_image_phash_neardup",
+    "label_propagation_communities",
+    "dedup_incremental_minhash",
+    "editdist_verified_pairs",
+    "full_outer_activity_reconcile",
+    "streaming_windowed_counts",
+    "tpch_q3_shipping",
+    "udtf_sentence_split",
+    "unpivot_metrics",
+    "variant_shred_stats",
+    "weighted_sample_topk",
+    "basket_affinity_pairs",
+    "bloom_membership_audit",
+    "chunk_cdc",
+    "compaction_binpack_plan",
+    "cusum_changepoint_audit",
+    "expectation_suite_audit",
+    "feature_quantile_bins",
+    "global_enumerate_rows",
+    "histogram_quantile_audit",
+    "hll_distinct_audit",
+    "hll_merge_rollup",
+    "ivm_incremental_rollup",
+    "lake_file_skipping",
+    "multimodal_audio_window_stats",
+    "multimodal_image_ahash_neardup",
+    "pandas_cogroup_paired_spend",
+    "pareto_frontier_orders",
+    "peak_concurrency_daily",
+    "ppjoin_prefix_candidates",
+    "pq_adc_topk",
+    "rake_keyphrases",
+    "rfm_segmentation",
+    "rolling_active_users",
+    "skew_salted_join",
+    "snapshot_diff_cdc",
+    "sorted_neighborhood_pairs",
+    "streaming_join_left_outer",
+)
 
 
 def _register(module) -> None:
