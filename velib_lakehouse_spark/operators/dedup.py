@@ -396,7 +396,19 @@ def minhash_band_pairs(d: DataFrame) -> DataFrame:
     band-mask count — the former groupBy paid one more exchange of the
     candidate stream for the same numbers.
     """
-    bands = minhash_bands(d)
+    # repartition by the join key BEFORE the persist: both self-join
+    # sides read the cache co-partitioned AND co-sorted, so the banded
+    # join plans with no exchange and no sort of its own at runtime —
+    # one REPARTITION_BY_COL shuffle at cache build replaces two
+    # ENSURE_REQUIREMENTS shuffles at the join, and the K-seed MD5
+    # signature pipeline runs ONCE instead of once per side (guide
+    # §2.1/§2.4; cache-lifetime note in dedup_minhash_lsh applies).
+    bands = (
+        minhash_bands(d)
+        .repartition("band", "band_sig")
+        .sortWithinPartitions("band", "band_sig")
+        .persist()
+    )
     a = bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("bsigs").alias("bsigs_a"),
@@ -497,7 +509,15 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     table split by INCR_MOD; the join is the judged semantic.
     """
     d = load_table(spark, sf_dir, "documents")
-    bands = minhash_bands(d)
+    # same key-partitioned persist as minhash_band_pairs: the new/index
+    # split reads one cached, (band, band_sig)-clustered signature table
+    # instead of computing the signature pipeline once per side
+    bands = (
+        minhash_bands(d)
+        .repartition("band", "band_sig")
+        .sortWithinPartitions("band", "band_sig")
+        .persist()
+    )
     new = bands.filter(F.col("doc_id") % INCR_MOD == 0).select(
         F.col("doc_id").alias("new_doc"),
         F.col("bsigs").alias("bsigs_n"),
@@ -2924,6 +2944,12 @@ def _wmh_rep_pairs(d: DataFrame) -> DataFrame:
             "bsigs",
             F.posexplode("bsigs").alias("band", "band_sig"),
         )
+        # key-partitioned + key-sorted persist: the self-join below then
+        # reads the cache with NO exchange and NO sort per side at
+        # runtime (one REPARTITION_BY_COL shuffle at cache build
+        # replaces two ENSURE_REQUIREMENTS shuffles; guide §2.1/§2.4)
+        .repartition("band", "band_sig")
+        .sortWithinPartitions("band", "band_sig")
         .persist()
     )
     a, b = rows.alias("a"), rows.alias("b").hint("merge")
@@ -3501,6 +3527,9 @@ def _icws_rep_pairs(d: DataFrame) -> DataFrame:
             "bsigs",
             F.posexplode("bsigs").alias("band", "band_sig"),
         )
+        # same key-partitioned + key-sorted persist as _wmh_rep_pairs
+        .repartition("band", "band_sig")
+        .sortWithinPartitions("band", "band_sig")
         .persist()
     )
     a, b = rows.alias("a"), rows.alias("b").hint("merge")

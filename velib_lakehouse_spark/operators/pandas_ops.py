@@ -201,11 +201,12 @@ def _paired_spend(key, orders_pdf: pd.DataFrame, events_pdf: pd.DataFrame):
     spend = 0
     if k:
         ordered = orders_pdf.sort_values(["o_orderdate", "o_orderkey"])
+        # vectorized exact-cents fold: int64-truncating v*100+0.5 per
+        # element is the same nonnegative half-up the Python loop did
         spend = int(
-            sum(
-                int(v * 100 + 0.5)
-                for v in ordered["o_totalprice"].iloc[:k]
-            )
+            (ordered["o_totalprice"].to_numpy()[:k] * 100 + 0.5)
+            .astype("int64")
+            .sum()
         )
     return pd.DataFrame(
         {
@@ -240,9 +241,13 @@ def pandas_cogroup_paired_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
         .repartition(n, "o_custkey")
     )
+    # the Python side only ever reads len(events_pdf): ship the key
+    # column ALONE through the shuffle and the Arrow boundary instead of
+    # (user_id, ts, event_id) (guide §4: pass only the columns the
+    # function needs)
     e = (
         load_table(spark, sf_dir, "events")
-        .select("user_id", "ts", "event_id")
+        .select("user_id")
         .repartition(n, "user_id")
     )
     return (

@@ -39,20 +39,23 @@ DRIVER_WINDOW = 50
 #   rewrites can no longer coast on stale driver evidence).
 # * "oldest-first" (test_window_rotates_oldest_first).
 # This round's window, in order:
-# * 15 queries whose code changed in the r11 optimization round
+# * 18 queries whose code changed in the r11 optimization round
 #   (directly or through shared helpers — the in-row WMH/ICWS
 #   signatures, the one-pass capped symmetric expansion, the in-row
 #   band-match tail consumers from r10 the ADVICE flagged as coasting
 #   (dedup_minhash_lsh, pairs_topk_capped, the _propagate_labels and
-#   _bpe_train consumers), and the iterative-loop checkpoint-release
-#   change (kcore, connected components, trainers)).
+#   _bpe_train consumers), the iterative-loop checkpoint-release
+#   change (kcore, connected components, trainers), and the late-r11
+#   key-partitioned band-signature persist + cogroup Arrow pruning
+#   (pulls dedup_incremental_minhash, editdist_verified_pairs and
+#   pandas_cogroup_paired_spend back in — transitive-fingerprint
+#   drift; they displace the 3 youngest rows of the stale tail).
 # * The 21-row staged SECONDARY head (r10 VERDICT #6: the stalest
 #   evidence — streaming_python_datasource_feed, table_checksum_audit,
 #   the tpch_q2..q22 block, winnow_fingerprints; last green r5).
-# * 14 next-stalest rows (r5/r6-era greens: seasonal backtest,
+# * 11 next-stalest rows (r5/r6-era greens: seasonal backtest,
 #   link prediction, psi drift, gini, sliding counts, trend slope,
-#   tpch_q10/q6, image patches, zscore outliers, pagerank, clustering
-#   coefficient, curation DAG lineage, streaming backfill merge).
+#   tpch_q10/q6, image patches, zscore outliers, pagerank).
 # Displaced r10-green rows move to the TAIL of SECONDARY (freshest
 # evidence last); the SECONDARY head is the r12 rotation queue.
 PRIORITY: tuple[str, ...] = (
@@ -62,6 +65,9 @@ PRIORITY: tuple[str, ...] = (
     "dedup_weighted_minhash_capped",
     "dedup_minhash_lsh",
     "pairs_topk_capped",
+    "dedup_incremental_minhash",
+    "editdist_verified_pairs",
+    "pandas_cogroup_paired_spend",
     "dedup_clusters",
     "dedup_canonicalize",
     "dedup_clusters_recursive",
@@ -103,9 +109,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q6_forecast_revenue",
     "zscore_outlier_days",
     "pagerank_user_graph",
-    "clustering_coefficient",
-    "curation_dag_lineage",
-    "streaming_backfill_merge",
 )
 
 # Registered immediately AFTER the window, highest value first: if a
@@ -114,6 +117,9 @@ PRIORITY: tuple[str, ...] = (
 # remaining evidence first); displaced r10-green rows sit at the tail
 # (freshest evidence last).
 SECONDARY: tuple[str, ...] = (
+    "clustering_coefficient",
+    "curation_dag_lineage",
+    "streaming_backfill_merge",
     "approx_percentile_parity_audit",
     "mad_robust_outlier_days",
     "recency_decay_engagement",
@@ -288,8 +294,6 @@ SECONDARY: tuple[str, ...] = (
     "bigram_perplexity_filter",
     "multimodal_image_phash_neardup",
     "label_propagation_communities",
-    "dedup_incremental_minhash",
-    "editdist_verified_pairs",
     "full_outer_activity_reconcile",
     "streaming_windowed_counts",
     "tpch_q3_shipping",
@@ -312,7 +316,6 @@ SECONDARY: tuple[str, ...] = (
     "lake_file_skipping",
     "multimodal_audio_window_stats",
     "multimodal_image_ahash_neardup",
-    "pandas_cogroup_paired_spend",
     "pareto_frontier_orders",
     "peak_concurrency_daily",
     "ppjoin_prefix_candidates",
