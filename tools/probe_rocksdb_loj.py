@@ -51,7 +51,8 @@ def main() -> None:
         dt = time.perf_counter() - t0
         agg = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64(*df.columns)).alias("h"),
+            # decimal sum: 20k 64-bit hashes overflow a long under ANSI
+            F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
         ).collect()[0]
         spark.catalog.clearCache()
         return round(dt, 3), agg["n"], agg["h"]

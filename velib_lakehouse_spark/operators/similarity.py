@@ -1671,17 +1671,27 @@ def ann_graph_beam_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "src",
             ).select("q_vec_id", F.col("dst").alias("vec_id"))
-        ).distinct()
-        beam_rows = [
-            (r["q_vec_id"], r["vec_id"], r["cos"])
-            for r in (
-                _score(expanded)
-                .withColumn("rn", F.row_number().over(wq))
-                .filter(F.col("rn") <= GRAPH_BEAM)
-                .select("q_vec_id", "vec_id", "cos")
-                .collect()
-            )
-        ]
+        )
+        # no distinct() before scoring: duplicates of a pair are
+        # identical (q, vec_id, cos) triples, so dense_rank gives every
+        # pair the row_number it would have had among DISTINCT pairs
+        # (vec_id breaks cos ties) and a driver-side set dedupes the
+        # copies — one exchange + one aggregate saved per hop for a few
+        # duplicated map-side dot products (interleaved A/B over the
+        # hop loop: 7.13 -> 5.19 s min-of-3, identical beam asserted;
+        # tools/exp_beam_hops.py)
+        beam_rows = sorted(
+            {
+                (r["q_vec_id"], r["vec_id"], r["cos"])
+                for r in (
+                    _score(expanded)
+                    .withColumn("rn", F.dense_rank().over(wq))
+                    .filter(F.col("rn") <= GRAPH_BEAM)
+                    .select("q_vec_id", "vec_id", "cos")
+                    .collect()
+                )
+            }
+        )
         frontier_rows = [(qv, vid) for qv, vid, _ in beam_rows]
     # Index-time state (v, edges) served the hops above and is done;
     # the RETURNED frame is search output (the beam, now a literal) and

@@ -39,7 +39,7 @@ DRIVER_WINDOW = 50
 #   rewrites can no longer coast on stale driver evidence).
 # * "oldest-first" (test_window_rotates_oldest_first).
 # This round's window, in order:
-# * 18 queries whose code changed in the r11 optimization round
+# * 19 queries whose code changed in the r11 optimization round
 #   (directly or through shared helpers — the in-row WMH/ICWS
 #   signatures, the one-pass capped symmetric expansion, the in-row
 #   band-match tail consumers from r10 the ADVICE flagged as coasting
@@ -49,13 +49,15 @@ DRIVER_WINDOW = 50
 #   key-partitioned band-signature persist + cogroup Arrow pruning
 #   (pulls dedup_incremental_minhash, editdist_verified_pairs and
 #   pandas_cogroup_paired_spend back in — transitive-fingerprint
-#   drift; they displace the 3 youngest rows of the stale tail).
+#   drift; they displace the 3 youngest rows of the stale tail), and
+#   the no-distinct dense_rank beam hop (ann_graph_beam_audit in,
+#   pagerank_user_graph out — graph keeps kcore/components/LPA rows).
 # * The 21-row staged SECONDARY head (r10 VERDICT #6: the stalest
 #   evidence — streaming_python_datasource_feed, table_checksum_audit,
 #   the tpch_q2..q22 block, winnow_fingerprints; last green r5).
-# * 11 next-stalest rows (r5/r6-era greens: seasonal backtest,
+# * 10 next-stalest rows (r5/r6-era greens: seasonal backtest,
 #   link prediction, psi drift, gini, sliding counts, trend slope,
-#   tpch_q10/q6, image patches, zscore outliers, pagerank).
+#   tpch_q10/q6, image patches, zscore outliers).
 # Displaced r10-green rows move to the TAIL of SECONDARY (freshest
 # evidence last); the SECONDARY head is the r12 rotation queue.
 PRIORITY: tuple[str, ...] = (
@@ -68,6 +70,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_incremental_minhash",
     "editdist_verified_pairs",
     "pandas_cogroup_paired_spend",
+    "ann_graph_beam_audit",
     "dedup_clusters",
     "dedup_canonicalize",
     "dedup_clusters_recursive",
@@ -108,7 +111,6 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_image_patches",
     "tpch_q6_forecast_revenue",
     "zscore_outlier_days",
-    "pagerank_user_graph",
 )
 
 # Registered immediately AFTER the window, highest value first: if a
@@ -120,6 +122,7 @@ SECONDARY: tuple[str, ...] = (
     "clustering_coefficient",
     "curation_dag_lineage",
     "streaming_backfill_merge",
+    "pagerank_user_graph",
     "approx_percentile_parity_audit",
     "mad_robust_outlier_days",
     "recency_decay_engagement",
@@ -198,7 +201,6 @@ SECONDARY: tuple[str, ...] = (
     "bm25_rank",
     "pack_sequences",
     "theta_sketch_set_algebra",
-    "ann_graph_beam_audit",
     "compaction_execute",
     "anti_parts_never_ordered",
     "case_buckets",
