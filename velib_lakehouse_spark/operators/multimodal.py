@@ -564,8 +564,19 @@ def _phash_bits(spark: SparkSession, d: DataFrame) -> DataFrame:
     — 90 s at 16x where this form holds seconds).
     """
     n_cells = PHASH_N * PHASH_N
+    # explicit-N repartition before the 256x explode — same pattern and
+    # rationale as dedup._shingles: small corpora arrive as 1-2 parquet
+    # splits and the CPU-bound DCT would run on that many cores (AQE
+    # honors a user partition count, so this doesn't coalesce back).
+    # At scale the input already has many splits and this shuffles only
+    # the filtered (doc_id, text) rows once. Interleaved A/B at sf0.1:
+    # 7.4 -> 3.9 s min-of-3, identical bits (tools/exp_phash_widen.py).
     px = (
-        d.filter(F.length("text") >= n_cells)
+        d.select("doc_id", "text")
+        .filter(F.length("text") >= n_cells)
+        .repartition(
+            d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
         .select(
             "doc_id",
             F.posexplode(

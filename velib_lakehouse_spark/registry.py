@@ -39,7 +39,7 @@ DRIVER_WINDOW = 50
 #   rewrites can no longer coast on stale driver evidence).
 # * "oldest-first" (test_window_rotates_oldest_first).
 # This round's window, in order:
-# * 19 queries whose code changed in the r11 optimization round
+# * 20 queries whose code changed in the r11 optimization round
 #   (directly or through shared helpers — the in-row WMH/ICWS
 #   signatures, the one-pass capped symmetric expansion, the in-row
 #   band-match tail consumers from r10 the ADVICE flagged as coasting
@@ -51,13 +51,15 @@ DRIVER_WINDOW = 50
 #   pandas_cogroup_paired_spend back in — transitive-fingerprint
 #   drift; they displace the 3 youngest rows of the stale tail), and
 #   the no-distinct dense_rank beam hop (ann_graph_beam_audit in,
-#   pagerank_user_graph out — graph keeps kcore/components/LPA rows).
+#   pagerank_user_graph out — graph keeps kcore/components/LPA rows),
+#   and the DCT narrow-scan widening (multimodal_image_phash_neardup
+#   in, zscore_outlier_days out — events keeps 3 r10-green rows).
 # * The 21-row staged SECONDARY head (r10 VERDICT #6: the stalest
 #   evidence — streaming_python_datasource_feed, table_checksum_audit,
 #   the tpch_q2..q22 block, winnow_fingerprints; last green r5).
-# * 10 next-stalest rows (r5/r6-era greens: seasonal backtest,
+# * 9 next-stalest rows (r5/r6-era greens: seasonal backtest,
 #   link prediction, psi drift, gini, sliding counts, trend slope,
-#   tpch_q10/q6, image patches, zscore outliers).
+#   tpch_q10/q6, image patches).
 # Displaced r10-green rows move to the TAIL of SECONDARY (freshest
 # evidence last); the SECONDARY head is the r12 rotation queue.
 PRIORITY: tuple[str, ...] = (
@@ -71,6 +73,7 @@ PRIORITY: tuple[str, ...] = (
     "editdist_verified_pairs",
     "pandas_cogroup_paired_spend",
     "ann_graph_beam_audit",
+    "multimodal_image_phash_neardup",
     "dedup_clusters",
     "dedup_canonicalize",
     "dedup_clusters_recursive",
@@ -110,7 +113,6 @@ PRIORITY: tuple[str, ...] = (
     "tpch_q10_returned_items",
     "multimodal_image_patches",
     "tpch_q6_forecast_revenue",
-    "zscore_outlier_days",
 )
 
 # Registered immediately AFTER the window, highest value first: if a
@@ -123,6 +125,7 @@ SECONDARY: tuple[str, ...] = (
     "curation_dag_lineage",
     "streaming_backfill_merge",
     "pagerank_user_graph",
+    "zscore_outlier_days",
     "approx_percentile_parity_audit",
     "mad_robust_outlier_days",
     "recency_decay_engagement",
